@@ -1,0 +1,191 @@
+"""Catalog: raw testdata tables + reference-shaped mapped views.
+
+The driver testdata (/root/testdata/sf*/) is a TPC-H-ish star schema. The
+reference pipeline's tables (orders / shipment_deliveries / reviews /
+dim_dates / dim_products / tripdata — see /root/repo/FIXTURES.md) are derived
+from it with DETERMINISTIC, SQL-expressible mappings so every Spark query has
+an exactly-equivalent DuckDB oracle. The same mapping expressions live as SQL
+in ``oracles/mappings.py`` — keep the two in lockstep.
+
+Reference shapes being reproduced:
+- orders / shipment_deliveries / reviews DDL:
+  /root/reference/erd_table_creations.sql:1-26
+- implied dims dim_dates / dim_products:
+  /root/reference/sql/transformation.sql:40-44,90-93,100-108
+- tripdata: /root/reference/airflow/dags/tripdata_monthly_metrics.py:63-77
+
+Scale note: every mapped view is a narrow projection over a parquet scan —
+column pruning and predicate pushdown reach the scan (verified via
+``plans.explain``). dim_dates is generated on the driver-side as a ~3k-row
+frame and is always broadcast; dim_products is a broadcast candidate at any
+realistic cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, EngineConfig
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a proper TIMESTAMP ``ts``.
+
+    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark only
+    reads via the nanosAsLong legacy conf; nanos are truncated to micros
+    (matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncation).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # Integer DIV, not float division — int64 nanos exceed double mantissa.
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped mapped views (FIXTURES.md §C)
+# ---------------------------------------------------------------------------
+
+
+def ref_orders(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """orders(order_id, customer_id, order_date, product_id, unit_price,
+    quantity, total_price) — cf. erd_table_creations.sql:8-17."""
+    o = load_table(spark, sf_dir, "orders")
+    unit_price = (F.col("o_orderkey") % 300 + 100).alias("unit_price")
+    quantity = (F.col("o_orderkey") % 10 + 1).alias("quantity")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        (F.col("o_orderkey") % cfg.product_mod).alias("product_id"),
+        unit_price,
+        quantity,
+        ((F.col("o_orderkey") % 300 + 100) * (F.col("o_orderkey") % 10 + 1)).alias(
+            "total_price"
+        ),
+    )
+
+
+def ref_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shipment_deliveries(shipment_id, order_id, shipment_date,
+    delivery_date) — cf. erd_table_creations.sql:20-26. Null-model mirrors the
+    reference data's high null rates (FIXTURES.md: ~68%/~78% null) via
+    deterministic key arithmetic: a third of shipments have no shipment_date;
+    delivered rows are the even-partkey subset of shipped rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.when(F.col("l_partkey") % 3 != 0, F.to_date("l_shipdate"))
+    deliver = F.when(
+        (F.col("l_partkey") % 3 != 0) & (F.col("l_partkey") % 2 == 0),
+        F.date_add(F.to_date("l_shipdate"), (F.col("l_suppkey") % 4 + 1).cast("int")),
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("shipment_id"),
+        F.col("l_orderkey").alias("order_id"),
+        ship.alias("shipment_date"),
+        deliver.alias("delivery_date"),
+    )
+
+
+def ref_reviews(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """reviews(review 1..5, product_id) — duplicates allowed (append-only
+    load, SURVEY.md Q7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_partkey") % 5 + 1).alias("review"),
+        (F.col("l_partkey") % cfg.product_mod).alias("product_id"),
+    )
+
+
+def dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_products(product_id, product_name) — implied warehouse dim
+    (transformation.sql:100-108); mapped onto part."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+    )
+
+
+def dim_dates(spark: SparkSession, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """dim_dates(calendar_dt, year_num, month_of_the_year_num,
+    day_of_the_week_num ISO 1=Mon..7=Sun, working_day 'true'/'false' TEXT) —
+    implied warehouse dim (transformation.sql:40-44,90-93; FIXTURES.md §B).
+
+    working_day is 'false' on weekends and on fixed-date holidays (Jan 1,
+    May 1, Jul 4, Dec 25, Dec 26) so the reference's "public holiday" quirk
+    (weekday AND working_day='false', SURVEY.md Q1) selects non-empty rows.
+    Generated with sequence+explode — a few thousand rows, always broadcast.
+    """
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(cfg.calendar_start),
+                F.lit(cfg.calendar_end),
+            )
+        ).alias("calendar_dt")
+    )
+    m = F.month("calendar_dt")
+    d = F.dayofmonth("calendar_dt")
+    iso_dow = F.weekday("calendar_dt") + 1  # weekday(): 0=Mon..6=Sun
+    holiday = (
+        ((m == 1) & (d == 1))
+        | ((m == 5) & (d == 1))
+        | ((m == 7) & (d == 4))
+        | ((m == 12) & (d == 25))
+        | ((m == 12) & (d == 26))
+    )
+    return days.select(
+        F.col("calendar_dt"),
+        F.year("calendar_dt").alias("year_num"),
+        m.alias("month_of_the_year_num"),
+        iso_dow.alias("day_of_the_week_num"),
+        F.when((iso_dow >= 6) | holiday, F.lit("false"))
+        .otherwise(F.lit("true"))
+        .alias("working_day"),
+    )
+
+
+def tripdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tripdata(pickup_date, pickup_datetime, dropoff_datetime, fare_amount)
+    — the NYC-taxi-shaped table the reference queries on ClickHouse
+    (tripdata_monthly_metrics.py:63-77), mapped onto events. event timestamps
+    cover one month; spreading by ``event_id % 36`` months yields 36 monthly
+    groups like the reference's 2014-01..2016-12 golden output."""
+    ev = load_events(spark, sf_dir)
+    pickup = F.expr("timestampadd(MONTH, CAST(event_id % 36 AS INT), ts)")
+    return ev.select(
+        pickup.alias("pickup_datetime"),
+        F.to_date(pickup).alias("pickup_date"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(event_id % 60 + 1 AS INT),"
+            " timestampadd(MONTH, CAST(event_id % 36 AS INT), ts))"
+        ).alias("dropoff_datetime"),
+        F.col("value").cast("double").alias("fare_amount"),
+    )

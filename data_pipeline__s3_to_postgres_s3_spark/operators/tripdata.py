@@ -1,0 +1,59 @@
+"""tripdata_monthly_metrics — monthly Saturday/Sunday diluted means.
+
+Reference: /root/reference/airflow/dags/tripdata_monthly_metrics.py:63-77
+(operators A6, P1, P2, F8-F11, O3; quirk Q8: the means are ZERO-DILUTED over
+all rows in the month — ``avg(CASE WHEN dow=7 THEN x ELSE 0 END)`` — not
+conditional means over Saturdays only; reproduced exactly, including
+ROUND(…, 2) and DAYOFWEEK's 1=Sunday convention).
+
+Minute durations use floor(epoch-diff / 60) to match ClickHouse's
+TIMESTAMPDIFF(MINUTE, …) truncation (SURVEY.md F11).
+
+Scale: one shuffle on year_month with map-side partial aggregation; the
+month key is low-cardinality but value-heavy → AQE coalesces the
+post-shuffle partitions. Input projection is 4 columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import tripdata
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+WINDOW_START = "2024-01-01"
+WINDOW_END = "2026-12-31"
+
+
+def tripdata_monthly_metrics(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    trips = tripdata(spark, sf_dir).where(
+        F.col("pickup_date").between(WINDOW_START, WINDOW_END)
+    )
+
+    dow = F.dayofweek("pickup_date")  # 1=Sunday .. 7=Saturday
+    minutes = F.floor(
+        (
+            F.unix_timestamp("dropoff_datetime")
+            - F.unix_timestamp("pickup_datetime")
+        )
+        / 60
+    )
+
+    def diluted(day: int, metric, name: str):
+        return F.round(F.avg(F.when(dow == day, metric).otherwise(0)), 2).alias(name)
+
+    return (
+        trips.groupBy(F.date_format("pickup_date", "yyyy-MM").alias("year_month"))
+        .agg(
+            diluted(7, F.lit(1), "sat_mean_trip_count"),
+            diluted(7, F.col("fare_amount"), "sat_mean_fare_per_trip"),
+            diluted(7, minutes, "sat_mean_duration_per_trip_in_minutes"),
+            diluted(1, F.lit(1), "sun_mean_trip_count"),
+            diluted(1, F.col("fare_amount"), "sun_mean_fare_per_trip"),
+            diluted(1, minutes, "sun_mean_duration_per_trip_in_minutes"),
+        )
+        .orderBy("year_month")
+    )
