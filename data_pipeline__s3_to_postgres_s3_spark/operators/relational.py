@@ -1,0 +1,187 @@
+"""Standard relational surface beyond the reference's own inventory.
+
+The reference's SQL never uses set ops, grouping sets, distinct aggregates,
+or top-k-per-group (SURVEY.md §2.4/§2.7) — Spark provides them natively and
+this engine exposes them as first-class, oracle-checked queries.
+
+Float determinism: all money sums use exact integer cents
+(functions/numeric.py) so results are independent of partial-aggregation
+order — a correctness requirement for differential testing and the cheap
+high-precision choice at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import cents, portable_round
+
+
+def pricing_summary(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: grouped conditional
+    sums/averages with fixed-decimal-exact accumulation. The headline
+    full-scan aggregate for the bench: one shuffle (map-side partial agg on
+    a 6-ish-key group), whole-stage codegen end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01")
+    )
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_price_c = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    charge_c = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        6,
+    )
+    disc_c = cents(F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price_c) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c) / 1000000.0).alias("sum_charge"),
+            portable_round(F.sum(qty_c) / 100.0 / n, 2).alias("avg_qty"),
+            portable_round(F.sum(price_c) / 100.0 / n, 2).alias("avg_price"),
+            portable_round(F.sum(disc_c) / 100.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_customers_per_region(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Top-3 customers by order revenue per region: dim-chain broadcast
+    joins (region→nation are tiny) + one shuffled agg on custkey + a
+    top-k window that reuses the aggregation's partitioning."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"))
+    )
+    enriched = (
+        per_cust.join(
+            customer.select("c_custkey", "c_name", "c_nationkey"),
+            per_cust["o_custkey"] == customer["c_custkey"],
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("revenue_cents"), F.asc("c_custkey")
+    )
+    return (
+        enriched.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "r_name",
+            "rank",
+            "c_custkey",
+            "c_name",
+            (F.col("revenue_cents") / 100.0).alias("revenue"),
+        )
+    )
+
+
+def customer_set_ops(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT pipeline (SURVEY.md §2.7 — absent from
+    the reference, standard engine surface): building-segment ∪ high-value
+    customers, restricted to those with orders, minus negative balances."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    high_value = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+        .where(F.col("rev") > 500_000 * 100)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    negative = customer.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        building.union(high_value)
+        .intersect(with_orders)
+        .exceptAll(negative)
+        .distinct()
+    )
+
+
+def rollup_orders(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """ROLLUP(status, priority) totals — grouping-set labels normalized via
+    COALESCE so the oracle hash is engine-agnostic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+def cube_orders(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """CUBE(status, priority) counterpart of rollup_orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+def distinct_aggregates(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """COUNT(DISTINCT …) per nation (Spark expands to a two-phase partial
+    distinct aggregate; the oracle is plain SQL)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import tripdata
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import cents, portable_round
 
 WINDOW_START = "2024-01-01"
 WINDOW_END = "2026-12-31"
@@ -42,18 +43,33 @@ def tripdata_monthly_metrics(
         / 60
     )
 
-    def diluted(day: int, metric, name: str):
-        return F.round(F.avg(F.when(dow == day, metric).otherwise(0)), 2).alias(name)
+    # Diluted mean = SUM(zero-filled metric)/COUNT(*). Fares accumulate as
+    # exact integer cents (functions/numeric.py) so the pre-round double is
+    # bit-identical regardless of partial-aggregation order, then rounded
+    # with the engine-portable half-up formula.
+    n = F.count(F.lit(1))
+
+    def diluted_count(day: int, name: str):
+        s = F.sum(F.when(dow == day, 1).otherwise(0))
+        return portable_round(s.cast("double") / n, 2).alias(name)
+
+    def diluted_fare(day: int, name: str):
+        s = F.sum(F.when(dow == day, cents(F.col("fare_amount"))).otherwise(0))
+        return portable_round(s / 100.0 / n, 2).alias(name)
+
+    def diluted_minutes(day: int, name: str):
+        s = F.sum(F.when(dow == day, minutes).otherwise(0))
+        return portable_round(s.cast("double") / n, 2).alias(name)
 
     return (
         trips.groupBy(F.date_format("pickup_date", "yyyy-MM").alias("year_month"))
         .agg(
-            diluted(7, F.lit(1), "sat_mean_trip_count"),
-            diluted(7, F.col("fare_amount"), "sat_mean_fare_per_trip"),
-            diluted(7, minutes, "sat_mean_duration_per_trip_in_minutes"),
-            diluted(1, F.lit(1), "sun_mean_trip_count"),
-            diluted(1, F.col("fare_amount"), "sun_mean_fare_per_trip"),
-            diluted(1, minutes, "sun_mean_duration_per_trip_in_minutes"),
+            diluted_count(7, "sat_mean_trip_count"),
+            diluted_fare(7, "sat_mean_fare_per_trip"),
+            diluted_minutes(7, "sat_mean_duration_per_trip_in_minutes"),
+            diluted_count(1, "sun_mean_trip_count"),
+            diluted_fare(1, "sun_mean_fare_per_trip"),
+            diluted_minutes(1, "sun_mean_duration_per_trip_in_minutes"),
         )
         .orderBy("year_month")
     )

@@ -1,0 +1,90 @@
+"""Window-function surface: lag/lead gaps, sessionization, running totals,
+tumbling-window rollups over the events table.
+
+The reference's only window is one ROW_NUMBER (SURVEY.md §2.5); the engine
+exposes the full pyspark.sql.Window surface. Sessionization is the classic
+two-window composition: lag() to detect gaps, then a running SUM of
+new-session flags to assign session ids — one shuffle on user_id, both
+windows share the same partitioning.
+
+Scale: windows partition by user_id — high-cardinality, well-distributed
+key, so the sort within each partition is local and bounded. The tumbling
+rollup is a plain groupBy on a derived time bucket (the batch twin of the
+Structured Streaming window in streaming/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_events
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import cents
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_sessionized(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-user session stats with a 30-minute inactivity gap."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(
+            gap_sec.isNull() | (gap_sec > SESSION_GAP_MINUTES * 60), 1
+        ).otherwise(0),
+    )
+    with_session = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+def events_running_totals(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Running per-user cumulative value (frame-spec window, exact cents)."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents(F.col("value"))).over(w) / 100.0).alias("running_value"),
+    )
+
+
+def event_type_hourly(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Tumbling 1-hour rollup by event type (batch twin of the streaming
+    windowed aggregation)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

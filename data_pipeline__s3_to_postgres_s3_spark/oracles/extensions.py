@@ -1,0 +1,160 @@
+"""DuckDB oracles for the standard-surface extension queries
+(operators/relational.py, operators/windows.py). Same cents / portable-round
+formulas as the Spark side (functions/numeric.py)."""
+
+PRICING_SUMMARY = """
+WITH base AS (
+    SELECT l_returnflag, l_linestatus,
+        CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+        CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+        CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+            AS disc_price_c,
+        CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000,
+                   0) AS BIGINT) AS charge_c,
+        CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+    SUM(qty_c) / 100.0 AS sum_qty,
+    SUM(price_c) / 100.0 AS sum_base_price,
+    SUM(disc_price_c) / 10000.0 AS sum_disc_price,
+    SUM(charge_c) / 1000000.0 AS sum_charge,
+    FLOOR((SUM(qty_c) / 100.0 / COUNT(*)) * 100 + 0.5) / 100 AS avg_qty,
+    FLOOR((SUM(price_c) / 100.0 / COUNT(*)) * 100 + 0.5) / 100 AS avg_price,
+    FLOOR((SUM(disc_c) / 100.0 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc,
+    COUNT(*) AS count_order
+FROM base
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TOP_REVENUE_CUSTOMERS_PER_REGION = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT r_name, c_custkey, c_name, revenue_cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY r_name
+               ORDER BY revenue_cents DESC, c_custkey ASC
+           ) AS rank
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name, rank, c_custkey, c_name, revenue_cents / 100.0 AS revenue
+FROM ranked WHERE rank <= 3
+"""
+
+CUSTOMER_SET_OPS = """
+SELECT DISTINCT custkey FROM (
+    (
+        (
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT o_custkey AS custkey FROM orders
+            GROUP BY o_custkey
+            HAVING SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   > 50000000
+        )
+        INTERSECT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+    )
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+)
+"""
+
+_GROUPED_TOTALS = """
+    COUNT(*) AS n_orders,
+    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_revenue
+"""
+
+ROLLUP_ORDERS = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       {_GROUPED_TOTALS}
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+CUBE_ORDERS = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       {_GROUPED_TOTALS}
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+DISTINCT_AGGREGATES = """
+SELECT n_name,
+    COUNT(DISTINCT c_mktsegment) AS n_segments,
+    COUNT(DISTINCT c_custkey) AS n_customers,
+    COUNT(*) AS n_rows
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# Events: ts is TIMESTAMP_NS in parquet; truncate to microseconds the same
+# way the Spark side does (timestamp_micros(ts DIV 1000)).
+_EV = "(SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events)"
+
+EVENTS_SESSIONIZED = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, tsu, value,
+        CASE WHEN FLOOR(epoch(tsu))
+                  - FLOOR(epoch(LAG(tsu) OVER w)) > {30 * 60}
+                  OR LAG(tsu) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM {_EV}
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+sessions AS (
+    SELECT user_id, value,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+    MAX(session_id) AS n_sessions,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM sessions
+GROUP BY user_id
+"""
+
+EVENTS_RUNNING_TOTALS = f"""
+SELECT user_id, event_id,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+        PARTITION BY user_id ORDER BY tsu, event_id
+        ROWS UNBOUNDED PRECEDING
+    ) / 100.0 AS running_value
+FROM {_EV}
+"""
+
+EVENT_TYPE_HOURLY = f"""
+SELECT CAST(date_trunc('hour', tsu) AS TIMESTAMP) AS hour_start, event_type,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value,
+    COUNT(DISTINCT user_id) AS n_users
+FROM {_EV}
+GROUP BY hour_start, event_type
+"""
+
+EXTENSION_ORACLES = {
+    "pricing_summary": PRICING_SUMMARY,
+    "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
+    "customer_set_ops": CUSTOMER_SET_OPS,
+    "rollup_orders": ROLLUP_ORDERS,
+    "cube_orders": CUBE_ORDERS,
+    "distinct_aggregates": DISTINCT_AGGREGATES,
+    "events_sessionized": EVENTS_SESSIONIZED,
+    "events_running_totals": EVENTS_RUNNING_TOTALS,
+    "event_type_hourly": EVENT_TYPE_HOURLY,
+}

@@ -167,15 +167,27 @@ ORDER BY pct_five_star_review DESC, pct_four_star_review DESC,
 LIMIT 1
 """
 
+# Diluted means as exact-integer sums / COUNT(*), rounded with the portable
+# half-up formula — mirrors operators/tripdata.py bit-for-bit.
+_MINUTES = "FLOOR(date_diff('second', pickup_datetime, dropoff_datetime) / 60)"
 _TRIP_COLS = ", ".join(
-    f"ROUND(AVG(CASE WHEN dayofweek(pickup_date) + 1 = {dow} THEN {metric}"
-    f" ELSE 0 END), 2) AS {day}_mean_{name}"
+    f"FLOOR((({sum_expr}) / COUNT(*)) * 100 + 0.5) / 100 AS {day}_mean_{name}"
     for day, dow in (("sat", 7), ("sun", 1))
-    for metric, name in (
-        ("1", "trip_count"),
-        ("fare_amount", "fare_per_trip"),
+    for sum_expr, name in (
         (
-            "FLOOR(date_diff('second', pickup_datetime, dropoff_datetime) / 60)",
+            f"CAST(SUM(CASE WHEN dayofweek(pickup_date) + 1 = {dow} THEN 1"
+            f" ELSE 0 END) AS DOUBLE)",
+            "trip_count",
+        ),
+        (
+            f"SUM(CASE WHEN dayofweek(pickup_date) + 1 = {dow} THEN"
+            f" CAST(ROUND(fare_amount * 100, 0) AS BIGINT) ELSE 0 END)"
+            f" / 100.0",
+            "fare_per_trip",
+        ),
+        (
+            f"CAST(SUM(CASE WHEN dayofweek(pickup_date) + 1 = {dow} THEN"
+            f" {_MINUTES} ELSE 0 END) AS DOUBLE)",
             "duration_per_trip_in_minutes",
         ),
     )

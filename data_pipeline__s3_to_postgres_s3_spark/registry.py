@@ -19,11 +19,25 @@ from .operators.best_product import (
 from .operators.public_holiday import agg_public_holiday
 from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
+from .operators.relational import (
+    cube_orders,
+    customer_set_ops,
+    distinct_aggregates,
+    pricing_summary,
+    rollup_orders,
+    top_revenue_customers_per_region,
+)
 from .operators.watermark import (
     incremental_load_watermark,
     orders_with_lineitems_semi,
     orders_without_lineitems_anti,
 )
+from .operators.windows import (
+    event_type_hourly,
+    events_running_totals,
+    events_sessionized,
+)
+from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.parity import PARITY_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -39,6 +53,15 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_load_watermark": incremental_load_watermark,
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,
+    "pricing_summary": pricing_summary,
+    "top_revenue_customers_per_region": top_revenue_customers_per_region,
+    "customer_set_ops": customer_set_ops,
+    "rollup_orders": rollup_orders,
+    "cube_orders": cube_orders,
+    "distinct_aggregates": distinct_aggregates,
+    "events_sessionized": events_sessionized,
+    "events_running_totals": events_running_totals,
+    "event_type_hourly": event_type_hourly,
 }
 
-ORACLES: dict[str, str] = {**PARITY_ORACLES}
+ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES}
