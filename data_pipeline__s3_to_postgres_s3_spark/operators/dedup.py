@@ -1,0 +1,340 @@
+"""Deduplication operators over the documents table: exact, n-gram Jaccard,
+MinHash+LSH, SimHash — the standard large-corpus dedup ladder for LLM
+training-data pipelines (cf. Broder's MinHash resemblance estimator and
+Charikar's SimHash, both public literature).
+
+Design for 100 TB:
+- exact: hash-groupBy on md5 — one narrow shuffle of (hash, doc_id) pairs,
+  never the payloads.
+- n-gram Jaccard is the *verification* kernel, quadratic within candidate
+  sets — never run all-pairs at scale; MinHash banding produces the
+  candidates so the join is bucket-local. High-DF shingles are the skew
+  hazard: the LSH path never joins on raw shingles, and the all-pairs
+  variant here is the sf-scale oracle baseline.
+- MinHash signatures/bands are computed with md5-string minima — pure
+  codegen built-ins, portable to the DuckDB oracle (no engine-specific
+  hash), accumulated via groupBy(doc, perm).min — map-side combinable.
+- SimHash: 64-bit signature from per-token md5 bit votes; candidate pairs
+  share a 16-bit band (4 hex chars), verified by Hamming distance ≤ k.
+
+Everything is exact DataFrame algebra — deterministic, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_PERMS = 16
+MINHASH_BAND_ROWS = 4  # → 4 bands of 4 rows
+# Affine-permutation family over a single 28-bit base hash (Broder's
+# min-wise independent permutations approximation): h_p(x) = (a_p·x + b_p)
+# mod PRIME. One md5 per shingle instead of MINHASH_PERMS of them — 16×
+# less hashing at identical estimator quality. Bounds chosen so
+# a_p·h + b_p < 2^59 + 2^32 never overflows int64 (h < 2^28, a_p < 2^31).
+# Constants are fixed (Knuth multiplicative seeds), shared with the oracle.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+MINHASH_A = [
+    ((2 * p + 1) * 2654435761 % (2**31)) | 1 for p in range(MINHASH_PERMS)
+]
+MINHASH_B = [(p + 1) * 2246822519 % (2**32) for p in range(MINHASH_PERMS)]
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams, 1-based element_at so the
+    DuckDB oracle (1-based lists) is symmetric."""
+    return _shingle_arrays(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+def dedup_exact(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: canonical (min) doc per hash +
+    duplicate count. Only (hash, doc_id) shuffles; payloads stay put."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
+    Exact but quadratic in candidate sets — the oracle baseline the LSH
+    variants approximate. jaccard = |∩| / (|A| + |B| - |∩|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct word 3-grams as a
+    map-side array column.
+
+    Built as zip_with over three shifted slices of the token array — an
+    order of magnitude faster than transform(sequence(...), i ->
+    element_at(toks, i)…): higher-order functions evaluate interpreted, and
+    the slice/zip_with shape walks each array once instead of doing indexed
+    element_at lookups per position. slice length greatest(n-2, 0) makes
+    short docs yield empty arrays (filtered out), matching the oracle."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n_sh = f"greatest(size(toks) - {NGRAM_N - 1}, 0)"
+    sh = F.expr(
+        f"array_distinct(zip_with("
+        f" zip_with(slice(toks, 1, {n_sh}), slice(toks, 2, {n_sh}),"
+        f"          (x, y) -> concat(x, ' ', y)),"
+        f" slice(toks, 3, {n_sh}),"
+        f" (x, y) -> concat(x, ' ', y)))"
+    )
+    return toks.select("doc_id", sh.alias("shingles")).where(
+        F.array_size("shingles") > 0
+    )
+
+
+def minhash_band_keys(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) where minhash_p(doc) = MIN over shingles of
+    (a_p·h(shingle) + b_p) mod PRIME, h = first 32 md5 bits.
+
+    Execution shape: shingles explode, ONE md5 per shingle collapses to a
+    32-bit int, the 16 affine permutations are codegen'd integer columns,
+    and ONE groupBy(doc_id) takes the minima — map-side combine collapses
+    each task's rows to one 16-int tuple per doc before the shuffle, so the
+    wire carries |docs|·16 ints regardless of shingle count. (Both a
+    16×md5 variant and a lambda array_min(transform(...)) variant measured
+    slower: md5 dominates, and higher-order functions run interpreted.)"""
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    exploded = shingle_arrays.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", h.alias("h"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h") * MINHASH_A[p] + MINHASH_B[p]) % MINHASH_PRIME
+            ).alias(f"mh{p}")
+            for p in range(MINHASH_PERMS)
+        ]
+    )
+    n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{p}")
+                        for p in range(
+                            b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS
+                        )
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection: candidate pairs share at
+    least one of 4 band keys (16 perms, 4 rows/band ⇒ catches Jaccard ≳0.7
+    with high probability), then exact Jaccard verification ≥ threshold.
+
+    The scale path: signatures are map-side (see minhash_band_keys), the
+    only joins are equi-joins on (band, band_key) — bucket-local,
+    skew-bounded (a band bucket holds only near-identical docs) — and
+    verification is an array_intersect over the two candidate docs'
+    shingle arrays (no shingle-level shuffle at all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(docs)
+    bands = minhash_band_keys(arrays)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    aa = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    ab = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.array_size("sh_a") + F.array_size("sh_b") - inter
+    )
+    return (
+        candidates.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash_signatures(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, simhash hex16): 64-bit SimHash — per-token md5, each hex
+    nibble contributes 4 bit-votes; signature bit j = majority vote.
+
+    Execution shape: distinct tokens explode, each md5 collapses to two
+    32-bit longs (2 conv calls per token — NOT one conv per nibble, which
+    would be 96M string ops at sf0.1), then ONE codegen'd groupBy(doc_id)
+    with 64 integer bit-sums + a count. Bit vote = 2·Σbit − n > 0. The only
+    shuffle carries 65 small ints per doc (map-side combined). Higher-order
+    array folds were measurably worse here: Spark evaluates lambda
+    functions interpreted, outside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(array_distinct(split(text, ' ')), t -> t <> '')")
+        ).alias("token"),
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("lo"),
+    )
+
+    def bit(pos: int, b: int):
+        # Hex position pos (0-based), bit b (0 = nibble MSB). Positions 0-7
+        # live in hi, 8-15 in lo; nibble 0 is the most significant.
+        src = F.col("hi") if pos < 8 else F.col("lo")
+        shift = 4 * (7 - pos % 8) + (3 - b)
+        return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+
+    agg = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(bit(pos, b)).alias(f"s_{pos}_{b}")
+            for pos in range(16)
+            for b in range(4)
+        ],
+    )
+    # Signature bit j set ⟺ majority vote ⟺ 2·Σbit_j > n.
+    hex_digits = []
+    for pos in range(16):
+        nib = sum(
+            F.when(F.col(f"s_{pos}_{b}") * 2 > F.col("n"), 1 << (3 - b)).otherwise(0)
+            for b in range(4)
+        )
+        hex_digits.append(F.lower(F.conv(nib.cast("string"), 10, 16)))
+    return agg.select("doc_id", F.concat(*hex_digits).alias("simhash"))
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """SimHash near-dup pairs: block on any shared 16-bit band (4 hex
+    chars), verify Hamming distance ≤ 3 via per-nibble XOR popcount."""
+    sig = simhash_signatures(spark, sf_dir, cfg)
+
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(str(i)), F.lit(":"), F.substring("simhash", i * 4 + 1, 4)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    # Hamming via two 32-bit halves (hex→long, xor, popcount) — 4 conv ops
+    # per pair instead of 32 nibble lookups.
+    def half(col: str, start: int):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+    hamming = (
+        F.bit_count(half("sim_a", 1).bitwiseXOR(half("sim_b", 1)))
+        + F.bit_count(half("sim_a", 9).bitwiseXOR(half("sim_b", 9)))
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

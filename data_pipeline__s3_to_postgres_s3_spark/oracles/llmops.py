@@ -1,0 +1,321 @@
+"""DuckDB oracles for the LLM-data-pipeline operators (operators/textops.py,
+operators/dedup.py, operators/similarity.py).
+
+Portability rules used here:
+- md5() is the shared cross-engine hash (both engines produce identical hex).
+- hex nibble → int via strpos('0123456789abcdef', c) - 1 (DuckDB lacks conv).
+- embedding dot products cast every element to DOUBLE before multiplying —
+  DuckDB's list_dot_product accumulates in float32 and is NOT parity-safe.
+- cosines are rounded with the portable floor(x·10⁴+0.5)/10⁴ formula before
+  ordering/thresholding, matching the Spark side.
+"""
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BAND_ROWS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    SIMHASH_MAX_HAMMING,
+)
+from ..operators.similarity import LSH_BITS, N_QUERIES, NEARDUP_COSINE, TOP_K
+from ..operators.textops import BPE_PATTERN, LANG_MARKERS, STOPWORDS
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_QUALITY = f"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+        string_split(text, ' ') AS toks,
+        length(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id, lang,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+        AS n_bpe_tokens,
+    n_chars,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+        AS avg_token_len,
+    CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+        / len(toks) AS stopword_ratio,
+    CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+         - (len(toks) - 1) AS DOUBLE) / n_chars AS punct_ratio
+FROM base
+"""
+
+_LANGS = sorted(LANG_MARKERS)
+_SCORE_COLS = ", ".join(
+    "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS score_{}".format(
+        ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+    )
+    for lang in _LANGS
+)
+_BEST = "greatest({})".format(", ".join(f"score_{lang}" for lang in _LANGS))
+# Same chained argmax as the Spark side: alphabetical-first wins ties.
+_PRED = "'und'"
+for lang in reversed(_LANGS):
+    _PRED = (
+        f"CASE WHEN best_score > 0 AND score_{lang} = best_score"
+        f" THEN '{lang}' ELSE {_PRED} END"
+    )
+
+LANG_ID = f"""
+WITH scored AS (
+    SELECT doc_id, lang AS actual_lang, {_SCORE_COLS}
+    FROM documents
+),
+with_best AS (
+    SELECT *, {_BEST} AS best_score FROM scored
+)
+SELECT doc_id, actual_lang, {_PRED} AS predicted_lang, best_score
+FROM with_best
+"""
+
+DOC_FINGERPRINT = """
+SELECT doc_id,
+    md5(text) AS content_hash,
+    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS normalized_hash,
+    substr(md5(text), 1, 4) AS shard_key,
+    length(text) AS n_chars
+FROM documents
+"""
+
+DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+    MIN(doc_id) AS canonical_doc_id,
+    COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+"""
+
+# Hex → int without conv(): Horner chain over the first 7 md5 chars
+# (matches Spark's conv(substring(md5, 1, 7), 16, 10)).
+_NIBBLE_OF = "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+_HEX7_TO_INT = _NIBBLE_OF.format(i=1)
+for _i in range(2, 8):
+    _HEX7_TO_INT = f"({_HEX7_TO_INT} * 16 + {_NIBBLE_OF.format(i=_i)})"
+
+_A_LIST = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_B_LIST = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+# Shared shingle CTE (word 3-grams, 1-based list indexing like element_at).
+_SHINGLES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+        concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+        AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+DEDUP_MINHASH_LSH = f"""
+WITH {_SHINGLES},
+hashed AS (
+    SELECT doc_id, {_HEX7_TO_INT} AS h
+    FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+),
+mh AS (
+    SELECT doc_id, p,
+        MIN((({_A_LIST})[p + 1] * h + ({_B_LIST})[p + 1])
+            % {MINHASH_PRIME}) AS minhash
+    FROM hashed, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS t(p)
+    GROUP BY doc_id, p
+),
+bands AS (
+    SELECT doc_id, p // {MINHASH_BAND_ROWS} AS band,
+        md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY p)) AS band_key
+    FROM mh GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT doc_a, doc_b, COUNT(*) AS n_inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+        AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+# --- SimHash (generated SQL: 64 bit-votes from md5 nibbles) ---------------
+
+_NIB = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+_VOTE_COLS = ", ".join(
+    f"SUM(((({_NIB.format(pos=pos + 1)}) >> {3 - bit}) & 1) * 2 - 1)"
+    f" AS s_{pos}_{bit}"
+    for pos in range(16)
+    for bit in range(4)
+)
+_HEX_DIGITS = ", ".join(
+    "substr('0123456789abcdef', ("
+    + " + ".join(
+        f"CASE WHEN s_{pos}_{bit} > 0 THEN {1 << (3 - bit)} ELSE 0 END"
+        for bit in range(4)
+    )
+    + f") + 1, 1) AS hx_{pos}"
+    for pos in range(16)
+)
+_SIMHASH_CONCAT = " || ".join(f"hx_{pos}" for pos in range(16))
+
+_SIMHASH_SIG = f"""
+tok AS (
+    SELECT DISTINCT doc_id, t AS token
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE t <> ''
+),
+hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+votes AS (SELECT doc_id, {_VOTE_COLS} FROM hashed GROUP BY doc_id),
+sig AS (
+    SELECT doc_id, {_SIMHASH_CONCAT} AS simhash
+    FROM (SELECT doc_id, {_HEX_DIGITS} FROM votes)
+)
+"""
+
+_POPCOUNT_NIBBLE = (
+    "((x >> 3) & 1) + ((x >> 2) & 1) + ((x >> 1) & 1) + (x & 1)"
+)
+_HAMMING = " + ".join(
+    _POPCOUNT_NIBBLE.replace(
+        "x",
+        f"xor(strpos('0123456789abcdef', substr(sim_a, {pos + 1}, 1)) - 1,"
+        f" strpos('0123456789abcdef', substr(sim_b, {pos + 1}, 1)) - 1)",
+    )
+    for pos in range(16)
+)
+
+DEDUP_SIMHASH = f"""
+WITH {_SIMHASH_SIG},
+bands AS (
+    SELECT doc_id, simhash,
+        CAST(i AS VARCHAR) || ':' || substr(simhash, i * 4 + 1, 4) AS band_key
+    FROM sig, unnest(generate_series(0, 3)) AS t(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                    b.doc_id AS doc_b, b.simhash AS sim_b
+    FROM bands a
+    JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({_HAMMING} AS INTEGER) AS hamming
+FROM cand
+WHERE {_HAMMING} <= {SIMHASH_MAX_HAMMING}
+"""
+
+# --- Similarity search ----------------------------------------------------
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+_EMB_NORM = f"""
+e AS (
+    SELECT vec_id, embedding,
+        sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+    FROM embeddings
+)
+"""
+
+_BUCKET = " || ".join(
+    f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+    for i in range(LSH_BITS)
+)
+
+_COS_AB = (
+    f"FLOOR(({_DOT_SQL.format(a='q.embedding', b='e.embedding')}"
+    f" / (q.norm * e.norm)) * 10000 + 0.5) / 10000"
+)
+
+SIMILARITY_BRUTEFORCE_TOPK = f"""
+WITH {_EMB_NORM},
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        {_COS_AB} AS sim
+    FROM q, e
+    WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+SIMILARITY_LSH_TOPK = f"""
+WITH {_EMB_NORM},
+eb AS (SELECT *, {_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id, embedding, norm, bucket FROM eb
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        {_COS_AB} AS sim
+    FROM q JOIN eb e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+EMBEDDING_NEARDUP_PAIRS = f"""
+WITH {_EMB_NORM},
+eb AS (SELECT *, {_BUCKET} AS bucket FROM e),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        FLOOR(({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / (a.norm * b.norm)) * 10000 + 0.5) / 10000 AS sim
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {NEARDUP_COSINE}
+"""
+
+LLMOPS_ORACLES = {
+    "text_quality": TEXT_QUALITY,
+    "lang_id": LANG_ID,
+    "doc_fingerprint": DOC_FINGERPRINT,
+    "dedup_exact": DEDUP_EXACT,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
+    "dedup_simhash": DEDUP_SIMHASH,
+    "similarity_bruteforce_topk": SIMILARITY_BRUTEFORCE_TOPK,
+    "similarity_lsh_topk": SIMILARITY_LSH_TOPK,
+    "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS,
+}

@@ -27,6 +27,18 @@ from .operators.relational import (
     rollup_orders,
     top_revenue_customers_per_region,
 )
+from .operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from .operators.similarity import (
+    embedding_neardup_pairs,
+    similarity_bruteforce_topk,
+    similarity_lsh_topk,
+)
+from .operators.textops import doc_fingerprint, lang_id, text_quality
 from .operators.watermark import (
     incremental_load_watermark,
     orders_with_lineitems_semi,
@@ -38,6 +50,7 @@ from .operators.windows import (
     events_sessionized,
 )
 from .oracles.extensions import EXTENSION_ORACLES
+from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -62,6 +75,20 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionized": events_sessionized,
     "events_running_totals": events_running_totals,
     "event_type_hourly": event_type_hourly,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "similarity_bruteforce_topk": similarity_bruteforce_topk,
+    "similarity_lsh_topk": similarity_lsh_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
-ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES}
+ORACLES: dict[str, str] = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **LLMOPS_ORACLES,
+}
