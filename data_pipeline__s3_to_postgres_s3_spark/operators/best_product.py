@@ -34,7 +34,14 @@ def most_ordered_product_date(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Each product's most-ordered weekday date (transformation.sql:86-97)."""
-    orders = ref_orders(spark, sf_dir, cfg)
+    return most_ordered_product_date_from_tables(
+        spark, ref_orders(spark, sf_dir, cfg), cfg
+    )
+
+
+def most_ordered_product_date_from_tables(
+    spark: SparkSession, orders: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
     dates = dim_dates(spark, cfg)
 
     base = orders.join(
@@ -63,7 +70,12 @@ def review_percentages(
     """Star-rating percentages per product (transformation.sql:99-111)."""
     products = dim_products(spark, sf_dir)
     reviews = ref_reviews(spark, sf_dir, cfg)
+    return review_percentages_from_tables(products, reviews)
 
+
+def review_percentages_from_tables(
+    products: DataFrame, reviews: DataFrame
+) -> DataFrame:
     j = F.broadcast(products).join(reviews, "product_id", "inner")
 
     def pct(star: int, name: str):
@@ -94,7 +106,12 @@ def shipment_percentages(
     orders = ref_orders(spark, sf_dir, cfg)
     ships = ref_shipments(spark, sf_dir)
     products = dim_products(spark, sf_dir)
+    return shipment_percentages_from_tables(orders, ships, products)
 
+
+def shipment_percentages_from_tables(
+    orders: DataFrame, ships: DataFrame, products: DataFrame
+) -> DataFrame:
     j = (
         orders.join(ships, "order_id", "left")
         .join(F.broadcast(products), "product_id", "left")
@@ -125,9 +142,42 @@ def best_performing_product(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Final single-row analytics table (transformation.sql:125-149)."""
-    most = most_ordered_product_date(spark, sf_dir, cfg)
-    rev = review_percentages(spark, sf_dir, cfg)
-    ship = shipment_percentages(spark, sf_dir, cfg).withColumnsRenamed(
+    return best_performing_product_from_tables(
+        spark,
+        ref_orders(spark, sf_dir, cfg),
+        ref_shipments(spark, sf_dir),
+        ref_reviews(spark, sf_dir, cfg),
+        cfg,
+        products=dim_products(spark, sf_dir),
+    )
+
+
+def best_performing_product_from_tables(
+    spark: SparkSession,
+    orders: DataFrame,
+    ships: DataFrame,
+    reviews: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    products: DataFrame | None = None,
+) -> DataFrame:
+    """Core logic over raw frames — used by the ELT pipeline's transform
+    stage. When no product dimension is supplied (the pipeline's staging area
+    has none), a surrogate ``product_<id>`` dim is derived from the observed
+    product ids, mirroring the reference's implied if_common.dim_products
+    (transformation.sql:100-108)."""
+    if products is None:
+        products = (
+            orders.select("product_id")
+            .union(reviews.select("product_id"))
+            .distinct()
+            .select(
+                "product_id",
+                F.concat(F.lit("product_"), F.col("product_id")).alias("product_name"),
+            )
+        )
+    most = most_ordered_product_date_from_tables(spark, orders, cfg)
+    rev = review_percentages_from_tables(products, reviews)
+    ship = shipment_percentages_from_tables(orders, ships, products).withColumnsRenamed(
         {
             "pct_early_shipments": "s_pct_early",
             "pct_late_shipments": "s_pct_late",

@@ -28,7 +28,15 @@ MONTHS = (
 def agg_public_holiday(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    orders = ref_orders(spark, sf_dir, cfg)
+    return agg_public_holiday_from_tables(spark, ref_orders(spark, sf_dir, cfg), cfg)
+
+
+def agg_public_holiday_from_tables(
+    spark: SparkSession, orders: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Core logic over a raw orders frame — used both by the oracle-checked
+    query above and the ELT pipeline's transform stage. dim_dates is generated
+    (implied warehouse dim, SURVEY.md §1.3) and always broadcast."""
     dates = dim_dates(spark, cfg)
 
     joined = orders.join(

@@ -29,9 +29,16 @@ def agg_shipments(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     ships = ref_shipments(spark, sf_dir)
-    orders = ref_orders(spark, sf_dir, cfg).select("order_id", "order_date")
+    orders = ref_orders(spark, sf_dir, cfg)
+    return agg_shipments_from_tables(ships, orders, cfg)
 
-    j = ships.join(orders, "order_id", "inner")
+
+def agg_shipments_from_tables(
+    ships: DataFrame, orders: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Core logic over raw (shipment_deliveries, orders) frames — used both
+    by the oracle-checked query above and the ELT pipeline's transform stage."""
+    j = ships.join(orders.select("order_id", "order_date"), "order_id", "inner")
 
     late = (
         (F.datediff("shipment_date", "order_date") >= 6)

@@ -1,0 +1,83 @@
+"""File sources/sinks with production hygiene.
+
+Replaces the reference's local-disk CSV staging hop
+(extract_load_transform_data_pipeline.py.py:42-80): Spark reads object
+storage or local files directly with a DECLARED schema, in PERMISSIVE mode
+with a corrupt-record column, so bad rows are quarantined instead of
+crashing the run (or silently coercing, as pandas inference does).
+
+Sinks write parquet partitioned by ingestion_date — the reference's
+"raw_files_<date>" folder convention (ibid. :48-50) become a partition
+column, which at 100 TB is what enables partition pruning and
+overwrite-by-date idempotence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> DataFrame:
+    """Schema-declared CSV read; malformed rows land in _corrupt_record."""
+    full_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    return (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantined_rows).
+
+    The quarantine frame keeps every column (not just the raw record):
+    Spark disallows queries referencing ONLY the internal corrupt-record
+    column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull())
+    return clean, bad
+
+
+def quarantine(bad: DataFrame, reject_path: str) -> None:
+    """Persist quarantined rows to a reject sink for later inspection.
+
+    This is the only supported terminal op for the bad-rows frame straight
+    off a raw CSV scan: Spark rejects count()-style queries whose pruned
+    schema is just the internal corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a write references every column,
+    and the persisted parquet carries no such restriction."""
+    bad.write.mode("append").parquet(reject_path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, ingestion_date: str, mode: str = "overwrite"
+) -> None:
+    """Overwrite-by-date parquet sink (idempotent re-runs of one date)."""
+    out = df.withColumn("ingestion_date", F.lit(ingestion_date).cast("date"))
+    (
+        out.write.mode(mode)
+        .partitionBy("ingestion_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV export (reference S6: analytics_export/<t>.csv). single_file
+    coalesces to 1 for byte-level parity with the reference's one-file
+    export — never do that at scale; default leaves parallelism alone."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)

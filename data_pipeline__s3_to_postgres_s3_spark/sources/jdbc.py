@@ -1,0 +1,88 @@
+"""JDBC sink/source with the reference's incremental-load semantics.
+
+Reference behavior being re-expressed (SURVEY.md S3/S4/S8, A7, J7):
+- max-PK high-watermark append (extract_load_transform_data_pipeline.py.py:
+  82-107): read MAX(pk) from the destination, keep source rows above it,
+  append. The watermark read is pushed down as a 1-row aggregate query; the
+  source filter is a pushed predicate — no full-table reads anywhere.
+- append-only load for keyless tables (reviews, ibid. :109-113).
+- full-replace sink (tripdata_monthly_metrics.py:102-117) → mode(overwrite)
+  with truncate=true so the table is truncated, not dropped (keeps grants).
+
+At scale, JDBC writes go through numPartitions concurrent connections with
+batchsize'd inserts; the general upsert (non-monotone keys) is the
+anti-join variant (operators/watermark.py) followed by append.
+
+No JDBC driver jar ships in this environment, so everything network-facing
+is parameterized and the pure logic (watermark filter plan construction) is
+unit-tested against in-memory frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class JdbcTarget:
+    url: str  # e.g. jdbc:postgresql://host:5432/db
+    table: str  # e.g. staging.orders
+    properties: dict = field(default_factory=dict)
+    num_partitions: int = 8
+    batch_size: int = 10_000
+
+    def options(self) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "dbtable": self.table,
+            "numPartitions": str(self.num_partitions),
+            "batchsize": str(self.batch_size),
+            **{k: str(v) for k, v in self.properties.items()},
+        }
+
+
+def read_watermark(spark: SparkSession, target: JdbcTarget, pk: str) -> int:
+    """COALESCE(MAX(pk), 0) from the destination — pushed down as a 1-row
+    subquery, mirroring extract_load_transform_data_pipeline.py.py:95-98."""
+    subq = (
+        f"(SELECT COALESCE(MAX(CAST({pk} AS INT)), 0) AS wm "
+        f"FROM {target.table}) AS wm_sub"
+    )
+    df = spark.read.format("jdbc").options(**{**target.options(), "dbtable": subq}).load()
+    return df.collect()[0]["wm"]
+
+
+def filter_above_watermark(source: DataFrame, pk: str, watermark: int) -> DataFrame:
+    """The incremental slice (pushed-down predicate on the source scan)."""
+    return source.where(F.col(pk) > F.lit(watermark))
+
+
+def append_incremental(
+    spark: SparkSession, source: DataFrame, target: JdbcTarget, pk: str
+) -> None:
+    wm = read_watermark(spark, target, pk)
+    (
+        filter_above_watermark(source, pk, wm)
+        .write.format("jdbc")
+        .options(**target.options())
+        .mode("append")
+        .save()
+    )
+
+
+def append_all(source: DataFrame, target: JdbcTarget) -> None:
+    """Keyless append-only load (reviews semantics — duplicates allowed)."""
+    source.write.format("jdbc").options(**target.options()).mode("append").save()
+
+
+def overwrite_table(source: DataFrame, target: JdbcTarget) -> None:
+    """Full-replace sink (reference S8); truncate keeps DDL/grants."""
+    (
+        source.write.format("jdbc")
+        .options(**{**target.options(), "truncate": "true"})
+        .mode("overwrite")
+        .save()
+    )
