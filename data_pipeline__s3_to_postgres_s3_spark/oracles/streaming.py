@@ -1,0 +1,80 @@
+"""DuckDB oracles for the Structured Streaming queries (streaming/events.py).
+
+Valid because complete-mode window aggregations over a finite stream equal
+their batch twins, streaming dedup emits exactly the distinct set, and the
+stateful running-max sink reduces to the batch max/count (monotone state).
+Same micros truncation + cents formulas as oracles/extensions.py.
+"""
+
+_EV = "(SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events)"
+
+STREAM_HOURLY_ROLLUP = f"""
+SELECT CAST(date_trunc('hour', tsu) AS TIMESTAMP) AS hour_start, event_type,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM {_EV}
+GROUP BY hour_start, event_type
+"""
+
+# Sliding 1h window, 30m slide: an event at t belongs to the windows starting
+# at time_bucket_30m(t) and time_bucket_30m(t) - 30m.
+STREAM_SLIDING_VALUE = f"""
+WITH contrib AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, tsu) AS window_start, value
+    FROM {_EV}
+    UNION ALL
+    SELECT time_bucket(INTERVAL 30 MINUTE, tsu) - INTERVAL 30 MINUTE, value
+    FROM {_EV}
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM contrib
+GROUP BY window_start
+"""
+
+# Gaps-and-islands sessionization, 30-minute gap — one row per session,
+# keyed by its first event time (== Spark's session_window.start).
+STREAM_SESSION_STATS = f"""
+WITH flagged AS (
+    SELECT user_id, tsu, value,
+        CASE WHEN epoch(tsu) - epoch(LAG(tsu) OVER w) >= {30 * 60}
+                  OR LAG(tsu) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM {_EV}
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+),
+sessions AS (
+    SELECT user_id, tsu, value,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING
+        ) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+    MIN(tsu) AS session_start,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+STREAM_DEDUP_EVENTS = """
+SELECT DISTINCT ON (event_id) event_id, user_id, event_type, value
+FROM events
+ORDER BY event_id
+"""
+
+STREAM_USER_RUNNING_MAX = """
+SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+STREAMING_ORACLES = {
+    "stream_hourly_rollup": STREAM_HOURLY_ROLLUP,
+    "stream_sliding_value": STREAM_SLIDING_VALUE,
+    "stream_session_stats": STREAM_SESSION_STATS,
+    "stream_dedup_events": STREAM_DEDUP_EVENTS,
+    "stream_user_running_max": STREAM_USER_RUNNING_MAX,
+}

@@ -52,6 +52,14 @@ from .operators.windows import (
 from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
+from .oracles.streaming import STREAMING_ORACLES
+from .streaming import (
+    stream_dedup_events,
+    stream_hourly_rollup,
+    stream_session_stats,
+    stream_sliding_value,
+    stream_user_running_max,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -85,10 +93,16 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "stream_hourly_rollup": stream_hourly_rollup,
+    "stream_sliding_value": stream_sliding_value,
+    "stream_session_stats": stream_session_stats,
+    "stream_dedup_events": stream_dedup_events,
+    "stream_user_running_max": stream_user_running_max,
 }
 
 ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,
     **LLMOPS_ORACLES,
+    **STREAMING_ORACLES,
 }

@@ -1,0 +1,15 @@
+from .events import (
+    stream_dedup_events,
+    stream_hourly_rollup,
+    stream_session_stats,
+    stream_sliding_value,
+    stream_user_running_max,
+)
+
+__all__ = [
+    "stream_dedup_events",
+    "stream_hourly_rollup",
+    "stream_session_stats",
+    "stream_sliding_value",
+    "stream_user_running_max",
+]

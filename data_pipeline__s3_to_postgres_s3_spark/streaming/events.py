@@ -1,0 +1,246 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (cron DAGs — SURVEY.md §2.9), so this is pure
+extension surface: the operations a continuously-ingesting training-data
+pipeline needs, expressed as readStream → transform → writeStream.
+
+Driver-contract compatibility: each query here still has the
+``(spark, sf_dir) -> DataFrame`` shape. Internally it runs a real streaming
+query (file source → Trigger.AvailableNow → memory sink) to completion and
+returns the sink table. On a cluster the same plan runs unbounded — swap the
+file source for Kafka and the memory sink for a real one; the transformation
+is identical (that is the point of Structured Streaming's unified model).
+
+Determinism & oracles:
+- ``complete``-mode window aggregations consume ALL input, so their final
+  sink content equals the batch twin — SQL-oracle-checkable.
+- streaming dedup emits each first-seen row exactly once → oracle-checkable.
+- the custom stateful operator (applyInPandasWithState) emits monotone
+  per-user running aggregates in update mode; taking the per-user max over
+  the sink gives the final state — oracle-checkable because max/count are
+  monotone under prefix-growth.
+
+Scale notes: state lives in the HDFS-backed state store keyed by group —
+watermarks bound it for append-mode production runs (the watermark columns
+are wired here even where complete mode ignores them, so flipping the output
+mode is a one-line change). Per-key state for running_max is O(1) bytes; the
+shuffle is one exchange on the grouping key, same as the batch agg.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.numeric import cents
+
+SESSION_GAP = "30 minutes"
+_SINK_IDS = itertools.count()
+
+# Explicit stream schema (file streams cannot infer). ts is TIMESTAMP(NANOS)
+# in the driver parquet, readable only as long under the nanosAsLong legacy
+# conf — declared LongType here, truncated to micros below (identical to the
+# batch path in catalog.load_events).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # The file stream source requires a DIRECTORY basePath; select the one
+    # events file (or a multi-file drop zone) via pathGlobFilter.
+    ev = reader.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
+    return ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_to_memory(
+    result: DataFrame, output_mode: str, query_name: str | None = None
+) -> DataFrame:
+    """Execute a streaming frame to completion (AvailableNow) into an
+    in-memory sink; return the sink table. Test/driver harness only — a
+    production deployment points the same frame at a real sink."""
+    spark = result.sparkSession
+    name = query_name or f"stream_sink_{next(_SINK_IDS)}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def _hourly_rollup_frame(ev: DataFrame) -> DataFrame:
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_hourly_rollup(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (streaming twin of
+    operators/windows.event_type_hourly). Complete mode ⇒ final sink ==
+    batch result; the watermark is wired for append-mode production."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    return run_to_memory(_hourly_rollup_frame(ev), "complete")
+
+
+def stream_sliding_value(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: each event lands in two
+    overlapping windows — the streaming rate-over-trailing-hour metric."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    result = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_to_memory(result, "complete")
+
+
+def stream_session_stats(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Native session windows (session_window, 30-minute gap) per user —
+    state-store-merged sessions, vs. the batch lag/cumsum formulation in
+    operators/windows.events_sessionized. Emits one row per closed session."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    result = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(result, "complete")
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming exact dedup on event_id: first-seen wins, duplicates
+    suppressed via keyed state. The watermark bounds state retention (ids
+    older than the watermark can never collide again under event-time order,
+    so their state is dropped — this is what makes streaming dedup viable
+    over unbounded input)."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    result = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_to_memory(result, "append")
+
+
+RUNNING_MAX_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("max_value", DoubleType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+RUNNING_MAX_STATE = StructType(
+    [
+        StructField("max_value", DoubleType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+
+def _running_max_fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
+    """Per-user running (max(value), count) — O(1) state per key."""
+    import pandas as pd
+
+    if state.exists:
+        cur_max, cur_n = state.get
+    else:
+        cur_max, cur_n = float("-inf"), 0
+    for pdf in pdfs:
+        if len(pdf):
+            cur_max = max(cur_max, float(pdf["value"].max()))
+            cur_n += int(len(pdf))
+    state.update((cur_max, cur_n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "max_value": [cur_max], "n_events": [cur_n]}
+    )
+
+
+def stream_user_running_max(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    max + event count, emitted once per micro-batch in update mode. The final state is
+    recovered from the sink by a monotone max — n_events/max_value only grow,
+    so the per-user max over all emitted rows IS the final state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    updates = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_max_fn,
+            RUNNING_MAX_OUTPUT,
+            RUNNING_MAX_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_to_memory(updates, "update")
+    return sink.groupBy("user_id").agg(
+        F.max("max_value").alias("max_value"),
+        F.max("n_events").alias("n_events"),
+    )

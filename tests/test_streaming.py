@@ -1,0 +1,94 @@
+"""Streaming-specific tests: multi-micro-batch incremental processing.
+
+The registry-level oracle tests already check each streaming query's final
+result at sf0.01 (single input file ⇒ usually one micro-batch). These tests
+split the events table into several files and force one-file-per-trigger, so
+windows, dedup state, and the custom applyInPandasWithState operator must
+carry state ACROSS micro-batches to stay correct — the property that matters
+for a real unbounded deployment.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+    stream_hourly_rollup,
+    stream_user_running_max,
+)
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_small, tmp_path_factory):
+    """events split into 4 files named events-*.parquet (matches the stream
+    source's pathGlobFilter), ordered by ts so micro-batches arrive roughly
+    in event-time order (as a real stream would)."""
+    out = tmp_path_factory.mktemp("events_split")
+    # Store ts as int64 nanos, matching the driver parquet's TIMESTAMP(NANOS)
+    # representation that EVENTS_STREAM_SCHEMA declares as LongType.
+    ev = (
+        load_events(spark, sf_small)
+        .withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+        .orderBy("ts")
+    )
+    # Write via a quartile split to keep file boundaries deterministic.
+    n = ev.count()
+    rows_per = n // 4 + 1
+    ranked = ev.withColumn(
+        "bucket",
+        F.floor(
+            (F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / rows_per
+        ),
+    )
+    for b in range(4):
+        part = ranked.where(F.col("bucket") == b).drop("bucket")
+        # one file each, named so pathGlobFilter picks it up
+        part.coalesce(1).write.mode("overwrite").parquet(str(out / f"tmp_{b}"))
+        src = glob.glob(str(out / f"tmp_{b}" / "*.parquet"))[0]
+        shutil.move(src, str(out / f"events-{b}.parquet"))
+        shutil.rmtree(str(out / f"tmp_{b}"))
+    return str(out)
+
+
+def _batch_hourly(spark, sf_small):
+    from data_pipeline__s3_to_postgres_s3_spark.functions.numeric import cents
+
+    ev = load_events(spark, sf_small)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_hourly_rollup_across_batches(spark, sf_small, split_events_dir):
+    """Complete-mode windowed agg over 4 micro-batches == batch twin."""
+    streamed = stream_hourly_rollup(spark, split_events_dir, max_files_per_trigger=1)
+    expected = _batch_hourly(spark, sf_small)
+    keys = ["hour_start", "event_type", "n_events", "total_value"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_running_max_state_across_batches(spark, sf_small, split_events_dir):
+    """applyInPandasWithState must thread per-user state through all 4
+    micro-batches: final state == batch max/count."""
+    streamed = stream_user_running_max(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    expected = load_events(spark, sf_small).groupBy("user_id").agg(
+        F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events")
+    )
+    keys = ["user_id", "max_value", "n_events"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
