@@ -38,6 +38,12 @@ from .operators.similarity import (
     similarity_bruteforce_topk,
     similarity_lsh_topk,
 )
+from .operators.multimodal import (
+    audio_chunks,
+    frame_sample,
+    media_catalog,
+    media_features,
+)
 from .operators.textops import doc_fingerprint, lang_id, text_quality
 from .operators.watermark import (
     incremental_load_watermark,
@@ -52,6 +58,7 @@ from .operators.windows import (
 from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
+from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
@@ -98,6 +105,10 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_stats": stream_session_stats,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_running_max": stream_user_running_max,
+    "media_catalog": media_catalog,
+    "frame_sample": frame_sample,
+    "audio_chunks": audio_chunks,
+    "media_features": media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -105,4 +116,5 @@ ORACLES: dict[str, str] = {
     **EXTENSION_ORACLES,
     **LLMOPS_ORACLES,
     **STREAMING_ORACLES,
+    **MULTIMODAL_ORACLES,
 }

@@ -1,0 +1,75 @@
+"""Multimodal plumbing tests.
+
+The structural queries (media_catalog / frame_sample / audio_chunks) are
+oracle-checked by the registry-level differential tests. These tests cover
+what SQL can't: the mapInPandas decode stand-in produces the exact features
+a local Python reference computes, with the Arrow batch plumbing intact.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+from data_pipeline__s3_to_postgres_s3_spark.operators.multimodal import (
+    _decode_stub,
+    media_features,
+    media_table,
+)
+
+
+def _reference_features(text: str) -> dict:
+    payload = text.encode("utf-8")
+    n = len(payload)
+    counts: dict[int, int] = {}
+    for b in payload:
+        counts[b] = counts.get(b, 0) + 1
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return {"n_bytes": n, "mean_byte": sum(payload) / n, "byte_entropy": entropy}
+
+
+def test_decode_stub_deterministic():
+    f1 = _decode_stub(b"hello world", "image")
+    f2 = _decode_stub(b"hello world", "audio")
+    assert f1 == f2  # media_type doesn't alter the stub's byte features
+    assert f1["n_bytes"] == 11
+    assert _decode_stub(b"", "image") == {
+        "n_bytes": 0,
+        "mean_byte": 0.0,
+        "byte_entropy": 0.0,
+    }
+
+
+def test_media_features_matches_python_reference(spark, sf_small):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_small, "documents").limit(50).collect()
+    }
+    feats = {
+        r["doc_id"]: r
+        for r in media_features(spark, sf_small)
+        .where(F.col("doc_id") < 50)
+        .collect()
+    }
+    assert len(feats) == len([d for d in docs if d < 50])
+    for doc_id, text in docs.items():
+        if doc_id not in feats:
+            continue
+        ref = _reference_features(text)
+        got = feats[doc_id]
+        assert got["n_bytes"] == ref["n_bytes"]
+        assert abs(got["mean_byte"] - ref["mean_byte"]) < 1e-12
+        assert abs(got["byte_entropy"] - ref["byte_entropy"]) < 1e-12
+
+
+def test_media_table_schema(spark, sf_small):
+    m = media_table(spark, sf_small)
+    dtypes = dict(m.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["media_type"] == "string"
+    assert dtypes["meta"].startswith("struct<format:string,width:bigint")
+    # every doc gets exactly one media row, all three modalities present
+    assert m.count() == load_table(spark, sf_small, "documents").count()
+    assert m.select("media_type").distinct().count() == 3
