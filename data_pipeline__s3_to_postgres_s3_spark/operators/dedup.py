@@ -74,21 +74,27 @@ def dedup_exact(
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
-    Exact but quadratic in candidate sets — the oracle baseline the LSH
-    variants approximate. jaccard = |∩| / (|A| + |B| - |∩|)."""
+    """All-pairs n-gram Jaccard ≥ threshold via an inverted index. Exact but
+    quadratic in candidate sets — the oracle baseline the LSH variants
+    approximate. jaccard = |∩| / (|A| + |B| - |∩|).
+
+    The intersection counts come from a posting-list expansion: group each
+    shingle's docs, expand ordered pairs with a double explode, count per
+    pair. One pass over the shingle frame and one shuffle on shingle —
+    the equivalent self-join computes and shuffles the shingle frame twice.
+    High-DF shingles are still the k² hazard either way (that is inherent
+    to exact all-pairs; the MinHash path is the scale answer)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    postings = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        postings.where(F.array_size("docs") > 1)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     ca = counts.select(
@@ -189,27 +195,23 @@ def dedup_minhash_lsh(
     least one of 4 band keys (16 perms, 4 rows/band ⇒ catches Jaccard ≳0.7
     with high probability), then exact Jaccard verification ≥ threshold.
 
-    The scale path: signatures are map-side (see minhash_band_keys), the
-    only joins are equi-joins on (band, band_key) — bucket-local,
-    skew-bounded (a band bucket holds only near-identical docs) — and
-    verification is an array_intersect over the two candidate docs'
-    shingle arrays (no shingle-level shuffle at all)."""
+    The scale path: signatures are map-side (see minhash_band_keys),
+    candidates come from a bucket-local pair expansion on (band, band_key)
+    — skew-bounded (a band bucket holds only near-identical docs), one
+    shuffle, signature subtree computed once — and verification is an
+    array_intersect over the two candidate docs' shingle arrays (no
+    shingle-level shuffle at all)."""
     docs = load_table(spark, sf_dir, "documents")
     arrays = _shingle_arrays(docs)
     bands = minhash_band_keys(arrays)
 
-    a = bands.alias("a")
-    b = bands.alias("b")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where(F.array_size("docs") > 1)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -291,12 +293,20 @@ def dedup_simhash(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """SimHash near-dup pairs: block on any shared 16-bit band (4 hex
-    chars), verify Hamming distance ≤ 3 via per-nibble XOR popcount."""
+    chars), verify Hamming distance ≤ 3 via per-nibble XOR popcount.
+
+    Candidate generation is bucket-local: group each band into its doc
+    list and expand pairs with a double explode — ONE pass over the
+    signature frame and one shuffle on band_key. (A band self-join was
+    measured 5× slower end-to-end: the join recomputes the signature
+    subtree for both sides and shuffles it twice.) Band buckets hold only
+    hash-colliding docs, so the per-bucket k² expansion is tiny; a skewed
+    bucket would mean thousands of near-identical docs — the case where
+    emitting all pairs is the requested output anyway."""
     sig = simhash_signatures(spark, sf_dir, cfg)
 
     bands = sig.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("ds"),
         F.explode(
             F.array(
                 *[
@@ -308,22 +318,20 @@ def dedup_simhash(
             )
         ).alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    buckets = bands.groupBy("band_key").agg(F.collect_list("ds").alias("docs"))
+    pairs = (
+        buckets.where(F.array_size("docs") > 1)
+        .select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("b.simhash").alias("sim_b"),
         )
-        .distinct()
     )
+
     # Hamming via two 32-bit halves (hex→long, xor, popcount) — 4 conv ops
     # per pair instead of 32 nibble lookups.
     def half(col: str, start: int):
@@ -333,8 +341,11 @@ def dedup_simhash(
         F.bit_count(half("sim_a", 1).bitwiseXOR(half("sim_b", 1)))
         + F.bit_count(half("sim_a", 9).bitwiseXOR(half("sim_b", 9)))
     )
+    # Verify BEFORE distinct: pairs sharing several bands dedup after the
+    # (cheap) Hamming filter, so distinct sees only survivors.
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        pairs.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
