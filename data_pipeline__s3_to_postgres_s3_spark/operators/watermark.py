@@ -27,17 +27,21 @@ def incremental_load_watermark(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Rows the incremental load would append: source orders with
-    order_id > COALESCE(MAX(order_id) of already-loaded subset, 0)."""
+    order_id > COALESCE(MAX(order_id) of already-loaded subset, 0).
+
+    The watermark is READ FIRST (a 1-row scalar aggregate collected to the
+    driver — exactly what the reference's MAX(pk) query does over JDBC) so
+    the source filter is a LITERAL comparison that pushes down to the scan.
+    The broadcast-join-the-scalar alternative keeps one lazy plan but the
+    predicate then compares a column and cannot push — at 100 TB that is
+    the difference between reading the delta and reading the world
+    (pinned by tests/test_plans.py::test_watermark_filter_pushed)."""
     src = ref_orders(spark, sf_dir, cfg)
     target = src.where(F.col("order_id") < cfg.watermark_seed)
     wm = target.agg(
         F.coalesce(F.max("order_id"), F.lit(0)).alias("wm")
-    )
-    return (
-        src.join(F.broadcast(wm))
-        .where(F.col("order_id") > F.col("wm"))
-        .drop("wm")
-    )
+    ).collect()[0]["wm"]
+    return src.where(F.col("order_id") > F.lit(wm))
 
 
 def orders_without_lineitems_anti(

@@ -1,0 +1,80 @@
+"""Physical-plan introspection: the feedback loop for scale tuning.
+
+At 100 TB the physical plan IS the performance story: a filter that fails
+to reach the parquet scan re-reads the world, a missed broadcast turns a
+map-side join into a full shuffle, a lost partitioning doubles the
+exchanges. These helpers parse ``df.explain("formatted")`` output into
+checkable facts so tests can PIN the plans we want — a regression that
+un-pushes a filter or drops a broadcast fails CI, not the cluster.
+
+Parsing the formatted explain string (a stable, versioned surface) rather
+than walking JVM plan objects keeps this working across Spark versions and
+inside plain driver sessions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's scans (flattened)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings, one per file scan — the column-pruning
+    evidence: a scan reading columns the query never uses is a bug."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+    ]
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges) — the
+    metric to minimize; every unit is a full network redistribution.
+    Formatted mode titles shuffle nodes plain 'Exchange' and broadcast ones
+    'BroadcastExchange'."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.MULTILINE))
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans in the FINAL adaptive plan.
+
+    Under AQE the pre-execution plan carries no '*(n)' markers, so this
+    forces plan finalization (finalPhysicalPlan materializes the query
+    stages — i.e. it runs the query; diagnostic/test use only). More fused
+    operators per span = fewer virtual calls; zero spans in a hot path
+    means everything runs interpreted."""
+    ep = df._jdf.queryExecution().executedPlan()
+    try:
+        plan_str = ep.finalPhysicalPlan().toString()
+    except Exception:  # non-AQE plan: markers are already present
+        plan_str = ep.toString()
+    return len(set(re.findall(r"\*\((\d+)\)", plan_str)))

@@ -1,0 +1,77 @@
+"""Physical-plan pinning tests — the 100 TB posture, checked in CI.
+
+Each test asserts a plan property that is invisible at sf0.01 row counts
+but decisive at scale: filters reaching the parquet scan, column-pruned
+read schemas, dimension broadcasts, bounded shuffle counts, live codegen.
+A change that silently regresses one of these passes every value-level
+test and then melts down on a cluster — this file is where it fails
+instead.
+"""
+
+from __future__ import annotations
+
+from data_pipeline__s3_to_postgres_s3_spark import plans
+from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1
+    # 7 needed columns of lineitem's 16 — pruning reaches the scan.
+    assert schemas[0].count(":") == 7
+    assert "l_comment" not in schemas[0]
+
+
+def test_public_holiday_broadcasts_dim_dates(spark, sf_dir):
+    df = QUERIES["agg_public_holiday"](spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sortmerge_join_count(df) == 0
+    # orders scan: exactly the two columns the query needs
+    schemas = [s for s in plans.read_schemas(df) if "o_orderkey" in s]
+    assert schemas and all(s.count(":") == 2 for s in schemas)
+    # global agg: one partial/final exchange, nothing else
+    assert plans.exchange_count(df) <= 1
+
+
+def test_agg_shipments_narrow_join_inputs(spark, sf_dir):
+    df = QUERIES["agg_shipments"](spark, sf_dir)
+    schemas = plans.read_schemas(df)
+    # orders side: (o_orderkey, o_orderdate); lineitem side: the 4 columns
+    # the shipment mapping needs — never the full tables.
+    assert any(s.count(":") == 2 and "o_orderdate" in s for s in schemas)
+    # lineitem side: 5 columns (keys + linenumber for shipment_id + dates)
+    assert any(s.count(":") == 5 and "l_shipdate" in s for s in schemas)
+    assert all("l_comment" not in s for s in schemas)
+
+
+def test_best_product_dims_broadcast(spark, sf_dir):
+    df = QUERIES["best_performing_product"](spark, sf_dir)
+    # dim_products joins twice + dim_dates — all broadcast, never shuffled.
+    assert plans.broadcast_join_count(df) >= 3
+
+
+def test_watermark_filter_pushed(spark, sf_dir):
+    df = QUERIES["incremental_load_watermark"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "GreaterThan(o_orderkey" in pushed
+
+
+def test_codegen_live_in_hot_paths(spark, sf_dir):
+    """The parity queries must run inside whole-stage codegen (the
+    reference needs zero Python UDFs — SURVEY.md §2.8); a span count of 0
+    would mean interpreted evaluation."""
+    for name in ("pricing_summary", "agg_shipments", "review_percentages"):
+        assert plans.wholestage_codegen_count(QUERIES[name](spark, sf_dir)) >= 1
+
+
+def test_dedup_simhash_single_pass(spark, sf_dir):
+    """Bucket pair-expansion: signature aggregation + band bucketing +
+    final distinct — at most 3 shuffles, no join exchanges (the old
+    self-join shape had 5+ and computed signatures twice)."""
+    df = QUERIES["dedup_simhash"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 3
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
