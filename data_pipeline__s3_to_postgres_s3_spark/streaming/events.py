@@ -81,23 +81,40 @@ def read_events_stream(
 
 
 def run_to_memory(
-    result: DataFrame, output_mode: str, query_name: str | None = None
+    result: DataFrame,
+    output_mode: str,
+    query_name: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming frame to completion (AvailableNow) into an
     in-memory sink; return the sink table. Test/driver harness only — a
-    production deployment points the same frame at a real sink."""
+    production deployment points the same frame at a real sink.
+
+    state_partitions caps spark.sql.shuffle.partitions for THIS query's
+    planning (restored after): streaming state partitioning is fixed at
+    first start, and per-key Python stateful ops pay a worker round-trip
+    per state partition per micro-batch — size it to key cardinality, not
+    to the session's scan parallelism (32 partitions for 1.5k keys ran
+    3× slower than 8 at sf0.1)."""
     spark = result.sparkSession
     name = query_name or f"stream_sink_{next(_SINK_IDS)}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -239,7 +256,7 @@ def stream_user_running_max(
             GroupStateTimeout.NoTimeout,
         )
     )
-    sink = run_to_memory(updates, "update")
+    sink = run_to_memory(updates, "update", state_partitions=8)
     return sink.groupBy("user_id").agg(
         F.max("max_value").alias("max_value"),
         F.max("n_events").alias("n_events"),
