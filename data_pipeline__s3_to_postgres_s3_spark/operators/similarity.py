@@ -30,7 +30,13 @@ from ..functions.numeric import portable_round
 N_QUERIES = 8  # fixed query set: vec_id < 8
 TOP_K = 5
 NEARDUP_COSINE = 0.45
-LSH_BITS = 8
+# Multi-table sign-LSH tuning (recall@5 vs brute force at sf0.01, pinned in
+# tests/test_similarity.py): 4 bits × 8 tables → 0.78; 8 bits × 4 tables →
+# 0.10 — these embeddings' per-bit collision probability makes long codes
+# far too selective. At larger corpora raise TABLES (recall) before BITS
+# (selectivity); candidates/query ≈ L·N/2^bits either way.
+LSH_BITS = 4
+LSH_TABLES = 8  # table t hashes dims [4t+1..4t+4]
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -73,31 +79,152 @@ def similarity_bruteforce_topk(
     )
 
 
-def similarity_lsh_topk(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
-) -> DataFrame:
-    """Approximate top-5: candidates restricted to the query's sign-LSH
-    bucket (first 8 dims' sign bits), then exact cosine within the bucket.
-    Same output shape as the brute-force baseline for recall measurement."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    bucket = F.concat(
+def _sign_bucket(table: int) -> F.Column:
+    """Sign-bit bucket string for hash table `table` (dims 8t+1..8t+8).
+    A fixed axis-aligned hyperplane family — deterministic so the DuckDB
+    oracle replicates it; a production deployment would use seeded random
+    hyperplanes (same plan, different constants)."""
+    return F.concat(
         *[
-            F.when(F.expr(f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)") >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
+            F.when(
+                F.expr(
+                    f"CAST(element_at(embedding, {table * LSH_BITS + i + 1})"
+                    " AS DOUBLE)"
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
             for i in range(LSH_BITS)
         ]
     )
-    emb = emb.withColumn("bucket", bucket)
+
+
+def similarity_lsh_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Approximate top-5 via MULTI-TABLE sign-LSH: 4 independent 8-bit hash
+    tables; a corpus vector is a candidate if it collides with the query in
+    ANY table (single-table recall was 0.03 on clustered data — the classic
+    L-tables construction trades 4× candidate volume for usable recall).
+
+    Scale shape: buckets explode map-side (4 small rows per vector), the
+    only join is an equi-join on (table, bucket) against the broadcast
+    query buckets, candidates dedup before exact scoring — per-query work
+    ≈ 4·N/2^bits, no corpus shuffle."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), _sign_bucket(t).alias("bucket"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = emb.select("vec_id", F.explode(entries).alias("e")).select(
+        "vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    )
+    q_buckets = buckets.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    candidates = (
+        buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("norm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
     )
-    pairs = emb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket"))
-        & (F.col("vec_id") != F.col("query_id")),
+    pairs = candidates.join(emb, "vec_id").join(F.broadcast(queries), "query_id")
+    sim = portable_round(
+        _cosine("q_embedding", "embedding", "q_norm", "norm"), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+# nprobe=4 of the 10 cells → recall@5 0.68 at sf0.01 (2 probes: 0.40);
+# the nprobe/nlist ratio is the recall-vs-scan dial.
+IVF_NPROBE = 4
+# Centroid components / squared distances are rounded (portable formula) so
+# the Spark and DuckDB replicas of the index agree bit-for-bit despite
+# different float-accumulation orders inside AVG.
+IVF_ROUND = 6
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """(cell, centroid array<double>): element-wise mean embedding per label
+    — the IVF coarse quantizer 'training' step (the label column plays the
+    role of the k-means assignment; a production build would run k-means||
+    here). Tiny output (nlist × d) → always broadcast."""
+    flat = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cent = flat.groupBy("label", "dim").agg(
+        portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("transform(sc, x -> x.c)").alias("centroid"),
+        )
+    )
+
+
+_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - y)"
+    " * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def similarity_ivf_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """IVF approximate top-5: corpus vectors are assigned to their nearest
+    centroid cell (inverted lists); each query probes its IVF_NPROBE nearest
+    cells and runs exact cosine only there.
+
+    Physical shape at scale: centroids broadcast twice (assignment + query
+    probing — nlist·d doubles, trivially small); the corpus never shuffles
+    for scoring, only the (query, cell) probe pairs equi-join the inverted
+    lists; top-k is the same partition-local window as the brute-force
+    path. Corpus scored per query ≈ N·nprobe/nlist — the 100 TB lever is
+    nlist, not hardware."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(emb)
+    d2 = portable_round(F.expr(_D2.format(a="embedding", b="centroid")), IVF_ROUND)
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "norm", "cell", d2.alias("d2")
+    )
+    # nearest cell per corpus vector: min over (d2, cell) — deterministic.
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+        .join(emb, "vec_id")
+    )
+    # each query probes its IVF_NPROBE nearest cells.
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        scored.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("norm").alias("q_norm"),
+            "cell",
+            "d2",
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= IVF_NPROBE)
+        .drop("d2", "cell_rank")
+    )
+    pairs = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id")
     )
     sim = portable_round(
         _cosine("q_embedding", "embedding", "q_norm", "norm"), 4
@@ -113,35 +240,48 @@ def similarity_lsh_topk(
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45) found via the
-    sign-LSH buckets — the embedding-space member of the dedup ladder.
-    Bucket-equi-join keeps the pair space bucket-local (≈N²/2^bits)."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45) via multi-table
+    sign-LSH — the embedding-space member of the dedup ladder. Candidate
+    pairs come from the same bucket-local collect+expand shape as the
+    text-dedup operators (one pass, one shuffle on (table, bucket)); exact
+    cosine verifies. Pair space ≈ L·N²/2^bits, tunable by bits/tables."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    bucket = F.concat(
+    entries = F.array(
         *[
-            F.when(F.expr(f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)") >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
-            for i in range(LSH_BITS)
+            F.struct(F.lit(t).alias("tbl"), _sign_bucket(t).alias("bucket"))
+            for t in range(LSH_TABLES)
         ]
     )
-    emb = emb.withColumn("bucket", bucket)
-    a = emb.alias("a")
-    b = emb.alias("b")
+    buckets = emb.select("vec_id", F.explode(entries).alias("e")).select(
+        "vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    )
+    candidates = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.collect_list("vec_id").alias("vecs"))
+        .where(F.array_size("vecs") > 1)
+        .select(F.explode("vecs").alias("vec_a"), "vecs")
+        .select("vec_a", F.explode("vecs").alias("vec_b"))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
     sim = portable_round(
-        F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
-        / (F.col("a.norm") * F.col("b.norm")),
+        F.expr(_DOT.format(a="emb_a", b="emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
         4,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= NEARDUP_COSINE)
     )

@@ -19,7 +19,14 @@ from ..operators.dedup import (
     MINHASH_PRIME,
     SIMHASH_MAX_HAMMING,
 )
-from ..operators.similarity import LSH_BITS, N_QUERIES, NEARDUP_COSINE, TOP_K
+from ..operators.similarity import (
+    IVF_NPROBE,
+    LSH_BITS,
+    LSH_TABLES,
+    N_QUERIES,
+    NEARDUP_COSINE,
+    TOP_K,
+)
 from ..operators.textops import BPE_PATTERN, LANG_MARKERS, STOPWORDS
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -248,10 +255,21 @@ e AS (
 )
 """
 
-_BUCKET = " || ".join(
-    f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
-    for i in range(LSH_BITS)
+def _bucket_sql(table: int) -> str:
+    """Sign-bit bucket for hash table `table` (dims 8t+1..8t+8) — mirrors
+    operators/similarity._sign_bucket."""
+    return " || ".join(
+        f"CASE WHEN CAST(embedding[{table * LSH_BITS + i + 1}] AS DOUBLE)"
+        " >= 0 THEN '1' ELSE '0' END"
+        for i in range(LSH_BITS)
+    )
+
+
+_BUCKET_COLS = ", ".join(
+    f"{_bucket_sql(t)} AS b{t}" for t in range(LSH_TABLES)
 )
+_ANY_TABLE_MATCH = " OR ".join(f"q.b{t} = e.b{t}" for t in range(LSH_TABLES))
+_ANY_TABLE_MATCH_AB = " OR ".join(f"a.b{t} = b.b{t}" for t in range(LSH_TABLES))
 
 _COS_AB = (
     f"FLOOR(({_DOT_SQL.format(a='q.embedding', b='e.embedding')}"
@@ -276,15 +294,17 @@ ranked AS (
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
+# Multi-table LSH: candidate = collides with the query in ANY of the
+# LSH_TABLES hash tables (the OR join is the oracle-side equivalent of the
+# Spark plan's explode + equi-join + distinct).
 SIMILARITY_LSH_TOPK = f"""
 WITH {_EMB_NORM},
-eb AS (SELECT *, {_BUCKET} AS bucket FROM e),
-q AS (SELECT vec_id, embedding, norm, bucket FROM eb
-      WHERE vec_id < {N_QUERIES}),
+eb AS (SELECT *, {_BUCKET_COLS} FROM e),
+q AS (SELECT * FROM eb WHERE vec_id < {N_QUERIES}),
 scored AS (
     SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
         {_COS_AB} AS sim
-    FROM q JOIN eb e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+    FROM q JOIN eb e ON ({_ANY_TABLE_MATCH}) AND e.vec_id <> q.vec_id
 ),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (
@@ -297,14 +317,77 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
 
 EMBEDDING_NEARDUP_PAIRS = f"""
 WITH {_EMB_NORM},
-eb AS (SELECT *, {_BUCKET} AS bucket FROM e),
+eb AS (SELECT *, {_BUCKET_COLS} FROM e),
 scored AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         FLOOR(({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                / (a.norm * b.norm)) * 10000 + 0.5) / 10000 AS sim
-    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM eb a JOIN eb b ON ({_ANY_TABLE_MATCH_AB}) AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {NEARDUP_COSINE}
+"""
+
+
+
+_D2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+)
+
+# IVF replica: per-label mean centroids (rounded 1e-6 like the Spark side so
+# AVG float-order differences cannot flip a nearest-cell decision), nearest
+# cell per vector, nprobe=2 probing, exact cosine within probed cells.
+SIMILARITY_IVF_TOPK = f"""
+WITH {_EMB_NORM},
+flat AS (
+    SELECT label, unnest(embedding) AS val,
+        generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS cell, dim,
+        FLOOR(AVG(CAST(val AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS c
+    FROM flat GROUP BY label, dim
+),
+centroids AS (
+    SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell
+),
+scored AS (
+    SELECT e.vec_id, c.cell,
+        FLOOR({_D2_SQL.format(a='e.embedding', b='c.centroid')} * 1000000
+              + 0.5) / 1000000 AS d2
+    FROM e, centroids c
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM scored WHERE vec_id < {N_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}
+),
+paired AS (
+    SELECT p.query_id, a.vec_id,
+        {_COS_AB.replace('e.embedding', 't.embedding').replace('e.norm', 't.norm')} AS sim
+    FROM probes p
+    JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e t ON t.vec_id = a.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+    ) AS rank
+    FROM paired
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 LLMOPS_ORACLES = {
@@ -317,5 +400,6 @@ LLMOPS_ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH,
     "similarity_bruteforce_topk": SIMILARITY_BRUTEFORCE_TOPK,
     "similarity_lsh_topk": SIMILARITY_LSH_TOPK,
+    "similarity_ivf_topk": SIMILARITY_IVF_TOPK,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS,
 }

@@ -36,6 +36,7 @@ from .operators.dedup import (
 from .operators.similarity import (
     embedding_neardup_pairs,
     similarity_bruteforce_topk,
+    similarity_ivf_topk,
     similarity_lsh_topk,
 )
 from .operators.multimodal import (
@@ -99,6 +100,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "stream_hourly_rollup": stream_hourly_rollup,
     "stream_sliding_value": stream_sliding_value,
