@@ -49,11 +49,21 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
+    """Counts '(n) <op>' detail headers only — formatted mode prints every
+    node twice (tree + details), so bare substring counts double."""
+    return len(
+        re.findall(
+            r"^\(\d+\) Broadcast(?:Hash|NestedLoop)Join",
+            formatted_plan(df),
+            re.MULTILINE,
+        )
+    )
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+    return len(
+        re.findall(r"^\(\d+\) SortMergeJoin", formatted_plan(df), re.MULTILINE)
+    )
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Metastore-backed tables (bucketing needs saveAsTable): keep the
+        # Derby catalog + warehouse out of the repo working directory.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/spark-graft-derby",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
