@@ -37,6 +37,11 @@ NEARDUP_COSINE = 0.45
 # (selectivity); candidates/query ≈ L·N/2^bits either way.
 LSH_BITS = 4
 LSH_TABLES = 8  # table t hashes dims [4t+1..4t+4]
+# Near-dup pair mining wants SELECTIVE buckets (it pays |bucket|² per
+# bucket, not |bucket| per query): 8 bits × 8 tables covers all 64 dims
+# and keeps the pair space ~16× smaller than the 4-bit query buckets.
+NEARDUP_BITS = 8
+NEARDUP_TABLES = 8
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -79,22 +84,22 @@ def similarity_bruteforce_topk(
     )
 
 
-def _sign_bucket(table: int) -> F.Column:
-    """Sign-bit bucket string for hash table `table` (dims 8t+1..8t+8).
-    A fixed axis-aligned hyperplane family — deterministic so the DuckDB
-    oracle replicates it; a production deployment would use seeded random
-    hyperplanes (same plan, different constants)."""
+def _sign_bucket(table: int, bits: int = LSH_BITS) -> F.Column:
+    """Sign-bit bucket string for hash table `table` (dims bits·t+1 ..
+    bits·t+bits). A fixed axis-aligned hyperplane family — deterministic so
+    the DuckDB oracle replicates it; a production deployment would use
+    seeded random hyperplanes (same plan, different constants)."""
     return F.concat(
         *[
             F.when(
                 F.expr(
-                    f"CAST(element_at(embedding, {table * LSH_BITS + i + 1})"
+                    f"CAST(element_at(embedding, {table * bits + i + 1})"
                     " AS DOUBLE)"
                 )
                 >= 0,
                 F.lit("1"),
             ).otherwise(F.lit("0"))
-            for i in range(LSH_BITS)
+            for i in range(bits)
         ]
     )
 
@@ -248,8 +253,11 @@ def embedding_neardup_pairs(
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     entries = F.array(
         *[
-            F.struct(F.lit(t).alias("tbl"), _sign_bucket(t).alias("bucket"))
-            for t in range(LSH_TABLES)
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _sign_bucket(t, NEARDUP_BITS).alias("bucket"),
+            )
+            for t in range(NEARDUP_TABLES)
         ]
     )
     buckets = emb.select("vec_id", F.explode(entries).alias("e")).select(

@@ -23,6 +23,8 @@ from ..operators.similarity import (
     IVF_NPROBE,
     LSH_BITS,
     LSH_TABLES,
+    NEARDUP_BITS,
+    NEARDUP_TABLES,
     N_QUERIES,
     NEARDUP_COSINE,
     TOP_K,
@@ -255,13 +257,13 @@ e AS (
 )
 """
 
-def _bucket_sql(table: int) -> str:
-    """Sign-bit bucket for hash table `table` (dims 8t+1..8t+8) — mirrors
-    operators/similarity._sign_bucket."""
+def _bucket_sql(table: int, bits: int = LSH_BITS) -> str:
+    """Sign-bit bucket for hash table `table` (dims bits*t+1..bits*t+bits)
+    — mirrors operators/similarity._sign_bucket."""
     return " || ".join(
-        f"CASE WHEN CAST(embedding[{table * LSH_BITS + i + 1}] AS DOUBLE)"
+        f"CASE WHEN CAST(embedding[{table * bits + i + 1}] AS DOUBLE)"
         " >= 0 THEN '1' ELSE '0' END"
-        for i in range(LSH_BITS)
+        for i in range(bits)
     )
 
 
@@ -269,7 +271,12 @@ _BUCKET_COLS = ", ".join(
     f"{_bucket_sql(t)} AS b{t}" for t in range(LSH_TABLES)
 )
 _ANY_TABLE_MATCH = " OR ".join(f"q.b{t} = e.b{t}" for t in range(LSH_TABLES))
-_ANY_TABLE_MATCH_AB = " OR ".join(f"a.b{t} = b.b{t}" for t in range(LSH_TABLES))
+_ND_BUCKET_COLS = ", ".join(
+    f"{_bucket_sql(t, NEARDUP_BITS)} AS b{t}" for t in range(NEARDUP_TABLES)
+)
+_ANY_TABLE_MATCH_AB = " OR ".join(
+    f"a.b{t} = b.b{t}" for t in range(NEARDUP_TABLES)
+)
 
 _COS_AB = (
     f"FLOOR(({_DOT_SQL.format(a='q.embedding', b='e.embedding')}"
@@ -317,7 +324,7 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
 
 EMBEDDING_NEARDUP_PAIRS = f"""
 WITH {_EMB_NORM},
-eb AS (SELECT *, {_BUCKET_COLS} FROM e),
+eb AS (SELECT *, {_ND_BUCKET_COLS} FROM e),
 scored AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         FLOOR(({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
