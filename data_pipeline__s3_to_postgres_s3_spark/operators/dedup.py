@@ -300,13 +300,21 @@ def dedup_simhash(
     signature frame and one shuffle on band_key. (A band self-join was
     measured 5× slower end-to-end: the join recomputes the signature
     subtree for both sides and shuffles it twice.) Band buckets hold only
-    hash-colliding docs, so the per-bucket k² expansion is tiny; a skewed
-    bucket would mean thousands of near-identical docs — the case where
-    emitting all pairs is the requested output anyway."""
-    sig = simhash_signatures(spark, sf_dir, cfg)
+    hash-colliding docs, so the per-bucket k² expansion is usually tiny —
+    but low-entropy corpora DO produce giant buckets (the bench corpus puts
+    1.6k docs in one: 2.4M candidate pairs), so per-pair work must be
+    minimal: signatures are converted hex→(hi, lo) longs ONCE PER DOC
+    before bucketing, and each pair costs two xor+popcounts in codegen.
+    (Recomputing conv(hex) per pair was 4× slower end-to-end.)"""
+    sig = simhash_signatures(spark, sf_dir, cfg).select(
+        "doc_id",
+        "simhash",
+        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
 
     bands = sig.select(
-        F.struct("doc_id", "simhash").alias("ds"),
+        F.struct("doc_id", "hi", "lo").alias("ds"),
         F.explode(
             F.array(
                 *[
@@ -324,28 +332,19 @@ def dedup_simhash(
         .select(F.explode("docs").alias("a"), "docs")
         .select("a", F.explode("docs").alias("b"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sim_b"),
-        )
     )
-
-    # Hamming via two 32-bit halves (hex→long, xor, popcount) — 4 conv ops
-    # per pair instead of 32 nibble lookups.
-    def half(col: str, start: int):
-        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
-
     hamming = (
-        F.bit_count(half("sim_a", 1).bitwiseXOR(half("sim_b", 1)))
-        + F.bit_count(half("sim_a", 9).bitwiseXOR(half("sim_b", 9)))
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
     )
     # Verify BEFORE distinct: pairs sharing several bands dedup after the
     # (cheap) Hamming filter, so distinct sees only survivors.
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
