@@ -105,6 +105,71 @@ def lang_id(
     )
 
 
+WINNOW_K = 3  # k-gram size (words)
+WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
+# Combined (hash, pos) sort key: hash in the high bits, position below —
+# window MIN then implements "minimal hash, leftmost position" in one
+# bigint (no struct-min needed, so the DuckDB oracle is symmetric).
+WINNOW_POS_SPAN = 1 << 20
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    hash every word k-gram, slide a w-gram window, keep each window's
+    minimal hash — guarantees any shared substring of length ≥ w+k-1
+    yields a shared fingerprint, with density ~2/(w+1) of all grams.
+
+    Execution shape: grams explode map-side; ONE window function (min over
+    a w-row frame, partitioned by doc, ordered by gram position) selects
+    the fingerprints; distinct compacts. The shuffle carries (doc_id,
+    hash, pos) longs only. The fingerprint table is what joins against a
+    corpus index for plagiarism/near-dup lookup at scale — selectivity is
+    tuned by w, independent of doc length."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_grams = f"greatest(size(t) - {WINNOW_K - 1}, 0)"
+    grams = F.expr(
+        f"zip_with(zip_with(slice(t, 1, {n_grams}), slice(t, 2, {n_grams}),"
+        f" (x, y) -> concat(x, ' ', y)), slice(t, 3, {n_grams}),"
+        f" (x, y) -> concat(x, ' ', y))"
+    )
+    hashed = (
+        toks.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("h") * WINNOW_POS_SPAN + F.col("pos")).alias("key"),
+        )
+    )
+    # Trailing positions see truncated (<w) windows — harmless extra
+    # fingerprints; the oracle uses the identical ROWS frame.
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        hashed.select("doc_id", F.min("key").over(w).alias("fp_key"))
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("fp_key") / WINNOW_POS_SPAN).cast("long").alias("fingerprint"),
+            (F.col("fp_key") % WINNOW_POS_SPAN).cast("long").alias("pos"),
+        )
+    )
+
+
 def doc_fingerprint(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -397,10 +397,37 @@ ranked AS (
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
+# Winnowing fingerprints: same combined (hash << 20 | pos) key and the same
+# truncated trailing ROWS frame as the Spark side.
+WINNOW_FINGERPRINTS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT doc_id, i - 1 AS pos,
+        concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+hashed AS (
+    SELECT doc_id, pos,
+        ({_HEX7_TO_INT} * 1048576 + pos) AS key
+    FROM (SELECT doc_id, pos, md5(gram) AS m FROM grams)
+),
+winnowed AS (
+    SELECT DISTINCT doc_id,
+        MIN(key) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+        ) AS fp_key
+    FROM hashed
+)
+SELECT doc_id, fp_key // 1048576 AS fingerprint, fp_key % 1048576 AS pos
+FROM winnowed
+"""
+
 LLMOPS_ORACLES = {
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
     "doc_fingerprint": DOC_FINGERPRINT,
+    "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,

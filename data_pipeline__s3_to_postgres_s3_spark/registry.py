@@ -45,7 +45,12 @@ from .operators.multimodal import (
     media_catalog,
     media_features,
 )
-from .operators.textops import doc_fingerprint, lang_id, text_quality
+from .operators.textops import (
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    winnow_fingerprints,
+)
 from .operators.watermark import (
     incremental_load_watermark,
     orders_with_lineitems_semi,
@@ -94,6 +99,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprints": winnow_fingerprints,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
