@@ -1,0 +1,32 @@
+"""Run-to-run determinism for tie-break-prone queries (SURVEY.md quirk Q5).
+
+The reference's ROW_NUMBER and LIMIT 1 winners are nondeterministic; this
+engine pins trailing sort keys everywhere. Each query here runs twice in
+the same session — task scheduling, partial-agg combine order, and AQE
+re-planning all vary between runs, so any unpinned tie-break or
+order-dependent float accumulation shows up as a diff."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
+
+PRONE = [
+    "most_ordered_product_date",  # ROW_NUMBER over grouped counts
+    "best_performing_product",    # 5-key sort + LIMIT 1
+    "top_revenue_customers_per_region",  # rank with revenue ties
+    "dedup_simhash",              # bucket pair expansion order
+    "similarity_ivf_topk",        # centroid AVG accumulation order
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", PRONE)
+def test_query_deterministic_across_runs(spark, sf_dir, name):
+    first = _rows(QUERIES[name](spark, sf_dir))
+    second = _rows(QUERIES[name](spark, sf_dir))
+    assert first == second
