@@ -185,3 +185,44 @@ def distinct_aggregates(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def value_percentiles(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) + spread per event type.
+
+    Spark's `percentile` matches DuckDB's quantile_cont bit-for-bit (same
+    (1-f)·a + f·b interpolation on the sorted run), so this is oracle-
+    checkable without rounding. Exact percentiles sort each group — fine
+    for bounded groups; the unbounded-cardinality path is the sketch twin
+    in approx_aggregates."""
+    from ..catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def approx_aggregates(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Sketch-based twins of the exact aggregates — the 100 TB cardinality
+    path: HyperLogLog++ distinct counts (constant memory vs a full hash
+    set) and t-digest-style percentile_approx. Engine-specific sketches
+    have no cross-engine oracle (rows-only check); accuracy vs the exact
+    twins is pinned in tests/test_approx.py."""
+    from ..catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
+    )

@@ -147,6 +147,18 @@ FROM {_EV}
 GROUP BY hour_start, event_type
 """
 
+VALUE_PERCENTILES = f"""
+SELECT event_type,
+    quantile_cont(value, 0.5) AS p50,
+    quantile_cont(value, 0.9) AS p90,
+    quantile_cont(value, 0.99) AS p99,
+    MIN(value) AS min_value,
+    MAX(value) AS max_value,
+    COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -157,4 +169,5 @@ EXTENSION_ORACLES = {
     "events_sessionized": EVENTS_SESSIONIZED,
     "events_running_totals": EVENTS_RUNNING_TOTALS,
     "event_type_hourly": EVENT_TYPE_HOURLY,
+    "value_percentiles": VALUE_PERCENTILES,
 }

@@ -20,12 +20,14 @@ from .operators.public_holiday import agg_public_holiday
 from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
+    approx_aggregates,
     cube_orders,
     customer_set_ops,
     distinct_aggregates,
     pricing_summary,
     rollup_orders,
     top_revenue_customers_per_region,
+    value_percentiles,
 )
 from .operators.dedup import (
     dedup_exact,
@@ -88,6 +90,8 @@ QUERIES: dict[str, QueryFn] = {
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,
     "pricing_summary": pricing_summary,
+    "value_percentiles": value_percentiles,
+    "approx_aggregates": approx_aggregates,
     "top_revenue_customers_per_region": top_revenue_customers_per_region,
     "customer_set_ops": customer_set_ops,
     "rollup_orders": rollup_orders,
