@@ -50,8 +50,17 @@ def most_ordered_product_date_from_tables(
         "inner",
     ).where(F.col("day_of_the_week_num").between(1, 5))
 
-    grouped = base.groupBy("product_id", "order_date", "working_day").agg(
-        F.count(F.lit(1)).alias("order_count")
+    # repartition(product_id) FIRST: hash-partitioning on product_id
+    # satisfies the 3-key groupBy's clustering (subset rule) AND the
+    # window's, so one exchange serves both (2 → 1, tools/plan_report.py).
+    # Right call here because the group reduction factor is ~1 row per
+    # (product, date) — shuffling raw rows once beats shuffling barely-
+    # reduced partial aggregates twice. For high-reduction aggregates,
+    # partial-agg-first wins instead; measure before copying this shape.
+    grouped = (
+        base.repartition("product_id")
+        .groupBy("product_id", "order_date", "working_day")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
     w = (
         Window.partitionBy("product_id")
