@@ -47,14 +47,6 @@ SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams, 1-based element_at so the
-    DuckDB oracle (1-based lists) is symmetric."""
-    return _shingle_arrays(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-
-
 def dedup_exact(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -85,8 +77,13 @@ def dedup_ngram_jaccard(
     High-DF shingles are still the k² hazard either way (that is inherent
     to exact all-pairs; the MinHash path is the scale answer)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    arrays = _shingle_arrays(docs)
+    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+    # |A| per doc is just the array size — no groupBy-over-exploded-rows
+    # (shingles are already distinct within each array).
+    counts = arrays.select(
+        "doc_id", F.array_size("shingles").cast("long").alias("n_shingles")
+    )
 
     postings = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
     inter = (
