@@ -107,15 +107,17 @@ def _sign_bucket(table: int, bits: int = LSH_BITS) -> F.Column:
 def similarity_lsh_topk(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Approximate top-5 via MULTI-TABLE sign-LSH: 4 independent 8-bit hash
-    tables; a corpus vector is a candidate if it collides with the query in
-    ANY table (single-table recall was 0.03 on clustered data — the classic
-    L-tables construction trades 4× candidate volume for usable recall).
+    """Approximate top-5 via MULTI-TABLE sign-LSH: LSH_TABLES=8 independent
+    LSH_BITS=4-bit hash tables; a corpus vector is a candidate if it
+    collides with the query in ANY table (single-table recall was 0.03 on
+    clustered data — the classic L-tables construction trades L× candidate
+    volume for usable recall; 8-bit codes gave recall 0.10, see the tuning
+    note at the LSH_BITS/LSH_TABLES constants above).
 
-    Scale shape: buckets explode map-side (4 small rows per vector), the
-    only join is an equi-join on (table, bucket) against the broadcast
-    query buckets, candidates dedup before exact scoring — per-query work
-    ≈ 4·N/2^bits, no corpus shuffle."""
+    Scale shape: buckets explode map-side (LSH_TABLES small rows per
+    vector), the only join is an equi-join on (table, bucket) against the
+    broadcast query buckets, candidates dedup before exact scoring —
+    per-query work ≈ L·N/2^bits, no corpus shuffle."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     entries = F.array(
         *[

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 8
 
 
+def _round_robin_salt(salt: int) -> Column:
+    """Deterministic-per-layout round-robin bucket: spreads the rows of any
+    single key over `salt` buckets even when every column is constant."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -39,16 +45,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's keys scattered over `salt` buckets.
 
-    big gets a random-free deterministic salt (hash of its row content
-    modulo salt would correlate with keys; a round-robin on a cheap
-    monotonic id is ideal, but any column-derived value works as long as
-    it spreads rows of ONE key — we hash the full row minus the key).
-    small is exploded ×salt so every (key, salt) bucket finds its match.
+    big gets a random-free salt from `monotonically_increasing_id() % salt`
+    — a round-robin over each task's row sequence, so rows of ONE key
+    spread across buckets regardless of row content. (Hashing the non-key
+    columns fails two edge cases: a frame whose only column is the join key
+    has nothing to hash, and constant non-key rows all land in one salt —
+    exactly the hot-key scenario the salt exists for.) The salt value is
+    partitioning-dependent but never observable: small is exploded ×salt so
+    every (key, salt) bucket finds its match, and _salt is dropped.
     """
-    other_cols = [c for c in big.columns if c != on]
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in other_cols]), F.lit(salt))
-    )
+    big_salted = big.withColumn("_salt", _round_robin_salt(salt))
     small_salted = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -65,8 +71,6 @@ def two_phase_agg(
     """SUM-shaped aggregation in two phases: (key, salt) partials, then the
     final combine on key. agg_col must be an algebraic sum-like expression
     (SUM of anything, COUNT via SUM(1))."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
-    )
+    salted = df.withColumn("_salt", _round_robin_salt(salt))
     partial = salted.groupBy(key, "_salt").agg(agg_col.alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(alias))

@@ -122,7 +122,9 @@ sessions AS (
     FROM flagged
 )
 SELECT user_id,
-    MAX(session_id) AS n_sessions,
+    -- DuckDB's windowed SUM yields HUGEINT → pandas float64; Spark emits
+    -- int64. Cast so the driver's value-hash compares 3 with 3, not 3.0.
+    CAST(MAX(session_id) AS BIGINT) AS n_sessions,
     COUNT(*) AS n_events,
     SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
 FROM sessions

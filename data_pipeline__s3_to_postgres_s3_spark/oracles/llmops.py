@@ -344,7 +344,8 @@ _D2_SQL = (
 
 # IVF replica: per-label mean centroids (rounded 1e-6 like the Spark side so
 # AVG float-order differences cannot flip a nearest-cell decision), nearest
-# cell per vector, nprobe=2 probing, exact cosine within probed cells.
+# cell per vector, nprobe=IVF_NPROBE (4) probing, exact cosine within
+# probed cells.
 SIMILARITY_IVF_TOPK = f"""
 WITH {_EMB_NORM},
 flat AS (

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,7 +80,15 @@ def load(
                 .agg(F.coalesce(F.max(pk), F.lit(0)).alias("wm"))
                 .collect()[0]["wm"]
             )
-        except Exception:  # first run: destination doesn't exist yet
+        except AnalysisException as exc:
+            # Only "destination doesn't exist yet" means first run. Any
+            # other failure (permissions, corrupt footer, transient store
+            # error) must re-raise: falling back to wm=0 would re-append
+            # every staged row — the silent-duplication twin of the
+            # swallow bug the runner docstring criticizes in the reference.
+            condition = exc.getCondition() or ""
+            if "PATH_NOT_FOUND" not in condition and "PATH_NOT_FOUND" not in str(exc):
+                raise
             wm = 0
         df.where(F.col(pk) > F.lit(wm)).write.mode("append").parquet(dest)
 

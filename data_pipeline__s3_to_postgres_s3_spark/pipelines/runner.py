@@ -12,8 +12,10 @@ this wrapper is for whole-job transients (JDBC outages, S3 throttling).
 
 from __future__ import annotations
 
+import datetime
 import logging
 import time
+import traceback
 from collections.abc import Callable
 from typing import TypeVar
 
@@ -22,16 +24,34 @@ T = TypeVar("T")
 logger = logging.getLogger("data_pipeline__s3_to_postgres_s3_spark.runner")
 
 
+def append_error_log(path: str, job_name: str, exc: BaseException) -> None:
+    """Append a timestamped traceback to `path` — the reference's
+    error_log.txt sink (extract_load_transform_data_pipeline.py.py:20-22)
+    minus the swallow: callers still re-raise. Best-effort by design; a
+    failing log sink must never mask the original error."""
+    try:
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write(
+                f"{datetime.datetime.now().isoformat()} {job_name}: "
+                f"{exc}\n{traceback.format_exc()}\n"
+            )
+    except OSError:
+        logger.warning("could not append to error log %s", path, exc_info=True)
+
+
 def run_with_retries(
     job: Callable[[], T],
     retries: int = 1,
     delay_s: float = 300.0,
     job_name: str = "job",
     sleep: Callable[[float], None] = time.sleep,
+    error_log_path: str | None = None,
 ) -> T:
     """Run `job`, retrying up to `retries` times with a fixed delay
     (mirroring the reference's Airflow retry posture). Raises the final
-    failure — never swallows."""
+    failure — never swallows. When `error_log_path` is set, every failed
+    attempt also appends a timestamped traceback there (the reference's
+    error_log.txt semantics)."""
     last: BaseException | None = None
     for attempt in range(retries + 1):
         try:
@@ -41,6 +61,8 @@ def run_with_retries(
             logger.exception(
                 "%s failed (attempt %d/%d)", job_name, attempt + 1, retries + 1
             )
+            if error_log_path is not None:
+                append_error_log(error_log_path, job_name, exc)
             if attempt < retries:
                 sleep(delay_s)
     assert last is not None

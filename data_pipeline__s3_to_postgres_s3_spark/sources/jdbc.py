@@ -20,10 +20,23 @@ unit-tested against in-memory frames.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Identifiers reaching the watermark subquery are interpolated into SQL, so
+# they must be plain (optionally schema-qualified) names — never arbitrary
+# strings. Matches `orders`, `staging.orders`; rejects quotes/spaces/
+# semicolons outright.
+_IDENTIFIER = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_identifier(name: str, what: str) -> str:
+    if not _IDENTIFIER.match(name):
+        raise ValueError(f"{what} {name!r} is not a valid SQL identifier")
+    return name
 
 
 @dataclass(frozen=True)
@@ -46,10 +59,18 @@ class JdbcTarget:
 
 def read_watermark(spark: SparkSession, target: JdbcTarget, pk: str) -> int:
     """COALESCE(MAX(pk), 0) from the destination — pushed down as a 1-row
-    subquery, mirroring extract_load_transform_data_pipeline.py.py:95-98."""
+    subquery, mirroring extract_load_transform_data_pipeline.py.py:95-98.
+
+    Deliberate departures from the reference: CAST AS BIGINT (the
+    reference's `CAST(... AS INT)` silently truncates 64-bit keys — at
+    100 TB order_id is bigint-scale, and a truncated watermark re-appends
+    duplicate rows), and both identifiers are validated before
+    interpolation (no raw-string SQL injection path)."""
+    pk = _check_identifier(pk, "primary key column")
+    table = _check_identifier(target.table, "table")
     subq = (
-        f"(SELECT COALESCE(MAX(CAST({pk} AS INT)), 0) AS wm "
-        f"FROM {target.table}) AS wm_sub"
+        f"(SELECT COALESCE(MAX(CAST({pk} AS BIGINT)), 0) AS wm "
+        f"FROM {table}) AS wm_sub"
     )
     df = spark.read.format("jdbc").options(**{**target.options(), "dbtable": subq}).load()
     return df.collect()[0]["wm"]

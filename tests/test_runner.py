@@ -45,3 +45,32 @@ def test_no_retry_on_success():
 
     assert run_with_retries(fine, retries=3, sleep=lambda _: None) == 42
     assert calls["n"] == 1
+
+
+def test_error_log_file_written_on_failure(tmp_path):
+    """error_log.txt semantics (reference :20-22): every failed attempt
+    appends a timestamped traceback — AND the error still re-raises."""
+    log = tmp_path / "error_log.txt"
+
+    def broken():
+        raise ValueError("boom goes the pipeline")
+
+    with pytest.raises(ValueError, match="boom"):
+        run_with_retries(
+            broken,
+            retries=1,
+            delay_s=0,
+            sleep=lambda _: None,
+            job_name="elt",
+            error_log_path=str(log),
+        )
+    text = log.read_text()
+    assert text.count("boom goes the pipeline") >= 2  # header + traceback ×2 attempts
+    assert "Traceback" in text
+    assert "elt" in text
+
+
+def test_no_error_log_on_success(tmp_path):
+    log = tmp_path / "error_log.txt"
+    run_with_retries(lambda: 1, sleep=lambda _: None, error_log_path=str(log))
+    assert not log.exists()

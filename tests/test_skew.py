@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline__s3_to_postgres_s3_spark.operators.skew import (
+    _round_robin_salt,
     salted_join,
     two_phase_agg,
 )
@@ -55,10 +56,28 @@ def test_salted_join_spreads_hot_key(spark, skewed):
     big, _ = skewed
     n_buckets = (
         big.where(F.col("k") == 1)
-        .select(F.pmod(F.hash("payload"), F.lit(8)).alias("b"))
+        .select(_round_robin_salt(8).alias("b"))
         .distinct()
         .count()
     )
+    assert n_buckets > 1
+
+
+def test_salted_join_key_only_frame(spark, skewed):
+    """A big frame whose ONLY column is the join key must still salt (the
+    old hash-of-other-columns salt threw here)."""
+    big, small = skewed
+    key_only = big.select("k")
+    plain = key_only.join(small, "k", "inner").select("k", "name")
+    salted = salted_join(key_only, small, "k", "inner").select("k", "name")
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_constant_payload_spreads(spark):
+    """Constant non-key rows — the degenerate case for content-derived
+    salts — must still spread over >1 bucket."""
+    big = spark.range(1000).select(F.lit(1).alias("k"), F.lit("x").alias("payload"))
+    n_buckets = big.select(_round_robin_salt(8).alias("b")).distinct().count()
     assert n_buckets > 1
 
 
