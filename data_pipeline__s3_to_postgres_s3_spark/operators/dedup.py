@@ -10,7 +10,13 @@ Design for 100 TB:
   sets — never run all-pairs at scale; MinHash banding produces the
   candidates so the join is bucket-local. High-DF shingles are the skew
   hazard: the LSH path never joins on raw shingles, and the all-pairs
-  variant here is the sf-scale oracle baseline.
+  variant here (the sf-scale oracle baseline) prunes posting lists above
+  NGRAM_DF_CAP before expansion, with ngram_df_report auditing the prune
+  so it is never silent.
+- SimHash buckets above SIMHASH_BUCKET_CAP are sub-banded with extra
+  signature nibbles, and still-huge sub-buckets (identical-signature
+  clusters) expand via a distributed self-join instead of a giant
+  collect_list row — no unbounded plan node, nothing dropped.
 - MinHash signatures/bands are computed with md5-string minima — pure
   codegen built-ins, portable to the DuckDB oracle (no engine-specific
   hash), accumulated via groupBy(doc, perm).min — map-side combinable.
@@ -30,6 +36,15 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.8
+# Inverted-index guard: shingles appearing in more than NGRAM_DF_CAP docs
+# are pruned from the posting lists before pair expansion (a shingle in k
+# docs contributes k²/2 candidate pairs — one boilerplate phrase at 100 TB
+# is a job-killer). Doc shingle-set sizes stay exact; only the intersection
+# index is pruned, so a pair whose overlap is pure boilerplate falls out —
+# the standard stop-shingle rationale. Inactive at test scale (max DF is 25
+# at sf0.1), so sf results are bit-identical with or without the cap; the
+# DuckDB oracle applies the same cap symmetrically.
+NGRAM_DF_CAP = 256
 MINHASH_PERMS = 16
 MINHASH_BAND_ROWS = 4  # → 4 bands of 4 rows
 # Affine-permutation family over a single 28-bit base hash (Broder's
@@ -45,6 +60,13 @@ MINHASH_A = [
 MINHASH_B = [(p + 1) * 2246822519 % (2**32) for p in range(MINHASH_PERMS)]
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
+# Band buckets above this size are sub-banded with SIMHASH_SUB_NIBBLES
+# extra signature nibbles before pair expansion (see dedup_simhash).
+# Inactive at the sf0.01 correctness gate (max bucket 159); binds at sf0.1
+# (max bucket 1,639) and is the guard that matters at 100× on low-entropy
+# corpora. The DuckDB oracle applies the same rule symmetrically.
+SIMHASH_BUCKET_CAP = 512
+SIMHASH_SUB_NIBBLES = 2  # 8 extra bits → up to 256 sub-buckets per bucket
 
 
 def dedup_exact(
@@ -64,18 +86,28 @@ def dedup_exact(
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    df_cap: int = NGRAM_DF_CAP,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold via an inverted index. Exact but
-    quadratic in candidate sets — the oracle baseline the LSH variants
+    """All-pairs n-gram Jaccard ≥ threshold via an inverted index. Exact
+    over the DF-capped index — the oracle baseline the LSH variants
     approximate. jaccard = |∩| / (|A| + |B| - |∩|).
 
     The intersection counts come from a posting-list expansion: group each
     shingle's docs, expand ordered pairs with a double explode, count per
     pair. One pass over the shingle frame and one shuffle on shingle —
     the equivalent self-join computes and shuffles the shingle frame twice.
-    High-DF shingles are still the k² hazard either way (that is inherent
-    to exact all-pairs; the MinHash path is the scale answer)."""
+
+    High-DF guard: posting lists longer than `df_cap` are pruned before
+    expansion (each contributes k²/2 pairs AND a k-element array row — both
+    unbounded without the cap). Pruning is never silent: `ngram_df_report`
+    audits exactly what the cap dropped (an in-plan Observation was tried
+    first, but AQE's empty-relation propagation prunes CollectMetrics
+    nodes in precisely the degenerate corpora the metric exists to
+    expose). The DuckDB oracle applies the identical cap, so results stay
+    hash-green whenever it binds."""
     docs = load_table(spark, sf_dir, "documents")
     arrays = _shingle_arrays(docs)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -87,7 +119,7 @@ def dedup_ngram_jaccard(
 
     postings = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
     inter = (
-        postings.where(F.array_size("docs") > 1)
+        postings.where(F.array_size("docs").between(2, df_cap))
         .select(F.explode("docs").alias("doc_a"), "docs")
         .select("doc_a", F.explode("docs").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -108,6 +140,28 @@ def dedup_ngram_jaccard(
         .join(cb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def ngram_df_report(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Shingle document-frequency audit for dedup_ngram_jaccard: one row
+    with n_shingles / max_df / dropped_shingles / dropped_postings (what
+    the DF cap pruned from the intersection index). Run alongside the
+    dedup job so the prune is on record — never silent."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    over = F.col("df") > df_cap
+    return dfreq.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.max("df").alias("max_df"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_shingles"),
+        F.sum(F.when(over, F.col("df")).otherwise(0)).alias("dropped_postings"),
     )
 
 
@@ -287,22 +341,41 @@ def simhash_signatures(
 
 
 def dedup_simhash(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on any shared 16-bit band (4 hex
     chars), verify Hamming distance ≤ 3 via per-nibble XOR popcount.
 
-    Candidate generation is bucket-local: group each band into its doc
-    list and expand pairs with a double explode — ONE pass over the
-    signature frame and one shuffle on band_key. (A band self-join was
-    measured 5× slower end-to-end: the join recomputes the signature
-    subtree for both sides and shuffles it twice.) Band buckets hold only
-    hash-colliding docs, so the per-bucket k² expansion is usually tiny —
-    but low-entropy corpora DO produce giant buckets (the bench corpus puts
-    1.6k docs in one: 2.4M candidate pairs), so per-pair work must be
-    minimal: signatures are converted hex→(hi, lo) longs ONCE PER DOC
-    before bucketing, and each pair costs two xor+popcounts in codegen.
-    (Recomputing conv(hex) per pair was 4× slower end-to-end.)"""
+    Candidate semantics (mirrored exactly by the DuckDB oracle): a pair is
+    a candidate iff some band i gives both docs the same band key — where a
+    band whose bucket exceeds `bucket_cap` has its key EXTENDED with
+    SIMHASH_SUB_NIBBLES extra signature nibbles (the next band's leading
+    hex chars, cyclically). Sub-banding costs a little recall on oversized
+    buckets (a pair must also agree on the extra bits) and bounds the k²
+    candidate blowup of low-entropy corpora; at sf0.1 it cuts the >cap
+    buckets' pair count 3.7×.
+
+    Execution is tiered so no plan node is unbounded:
+    - buckets ≤ cap: group to an array and double-explode — ONE pass, one
+      shuffle. (A band self-join over ALL buckets was measured 5× slower:
+      it recomputes and reshuffles the signature subtree twice.) Array rows
+      are ≤ cap structs, so no giant collect_list row exists.
+    - oversized buckets: re-key by the extended key; sub-buckets still
+      above cap (identical-signature clusters — every pair is genuinely
+      Hamming 0, so the output itself is quadratic and cannot be smaller)
+      expand via a DISTRIBUTED self-join on the sub-key: pairs spread over
+      tasks instead of materializing k copies of a k-element array, and AQE
+      skew splitting handles the single hot key. Nothing is dropped; the
+      guard's activity is auditable via `simhash_bucket_report`.
+
+    Per-pair verification cost stays minimal either way: signatures are
+    converted hex→(hi, lo) longs ONCE PER DOC before bucketing, and each
+    pair costs two xor+popcounts in codegen. (Recomputing conv(hex) per
+    pair was 4× slower end-to-end.)"""
+    sub_len = SIMHASH_SUB_NIBBLES
     sig = simhash_signatures(spark, sf_dir, cfg).select(
         "doc_id",
         "simhash",
@@ -310,26 +383,60 @@ def dedup_simhash(
         F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
     )
 
+    entries = F.array(
+        *[
+            F.struct(
+                F.concat(
+                    F.lit(str(i)), F.lit(":"), F.substring("simhash", i * 4 + 1, 4)
+                ).alias("band_key"),
+                # Extra nibbles for sub-banding: the NEXT band's leading hex
+                # chars (cyclic), so the extension adds bits not already in
+                # the band key.
+                F.substring("simhash", ((i + 1) % 4) * 4 + 1, sub_len).alias("sub"),
+            )
+            for i in range(4)
+        ]
+    )
     bands = sig.select(
         F.struct("doc_id", "hi", "lo").alias("ds"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(str(i)), F.lit(":"), F.substring("simhash", i * 4 + 1, 4)
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band_key"),
+        F.explode(entries).alias("bk"),
+    ).select("ds", F.col("bk.band_key").alias("band_key"), F.col("bk.sub").alias("sub"))
+
+    buckets = bands.groupBy("band_key").agg(
+        F.collect_list(F.struct("ds", "sub")).alias("members")
     )
-    buckets = bands.groupBy("band_key").agg(F.collect_list("ds").alias("docs"))
-    pairs = (
-        buckets.where(F.array_size("docs") > 1)
-        .select(F.explode("docs").alias("a"), "docs")
-        .select("a", F.explode("docs").alias("b"))
+
+    # Tier 0: bounded buckets — in-array pair expansion.
+    small_pairs = (
+        buckets.where(F.array_size("members").between(2, bucket_cap))
+        .select(F.explode("members").alias("ma"), "members")
+        .select(F.col("ma.ds").alias("a"), F.explode("members").alias("mb"))
+        .select("a", F.col("mb.ds").alias("b"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
     )
+
+    # Tier 1: oversized buckets re-keyed with the extra nibbles. (No
+    # in-plan Observation here: when the tier is empty AQE prunes the
+    # CollectMetrics node and Observation.get asserts — and since this
+    # tier drops NOTHING, observability is advisory; use
+    # simhash_bucket_report for the audit.)
+    over = (
+        buckets.where(F.array_size("members") > bucket_cap)
+        .select("band_key", F.explode("members").alias("m"))
+        .select(
+            F.concat("band_key", F.lit("|"), F.col("m.sub")).alias("sub_key"),
+            F.col("m.ds").alias("ds"),
+        )
+    )
+    side_a = over.select("sub_key", F.col("ds").alias("a"))
+    side_b = over.select("sub_key", F.col("ds").alias("b"))
+    over_pairs = (
+        side_a.join(side_b, "sub_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a", "b")
+    )
+
+    pairs = small_pairs.select("a", "b").unionByName(over_pairs)
     hamming = (
         F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
         + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
@@ -344,4 +451,38 @@ def dedup_simhash(
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
+    )
+
+
+def simhash_bucket_report(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Band-bucket distribution audit for dedup_simhash: one row with
+    n_buckets / max_bucket / oversized_buckets / fallback_entries (band
+    entries routed to the distributed-join tier). A narrow count
+    aggregation — run it alongside the dedup job when you need the guard's
+    activity on record; nothing in the dedup itself is dropped."""
+    sig = simhash_signatures(spark, sf_dir, cfg)
+    bands = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(str(i)), F.lit(":"), F.substring("simhash", i * 4 + 1, 4)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_key")
+    )
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > bucket_cap
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("oversized_buckets"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).alias("fallback_entries"),
     )

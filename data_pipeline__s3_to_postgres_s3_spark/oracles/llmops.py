@@ -17,7 +17,10 @@ from ..operators.dedup import (
     MINHASH_BAND_ROWS,
     MINHASH_PERMS,
     MINHASH_PRIME,
+    NGRAM_DF_CAP,
+    SIMHASH_BUCKET_CAP,
     SIMHASH_MAX_HAMMING,
+    SIMHASH_SUB_NIBBLES,
 )
 from ..operators.similarity import (
     IVF_NPROBE,
@@ -120,11 +123,19 @@ sh AS (
 cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
 """
 
-DEDUP_NGRAM_JACCARD = f"""
+def dedup_ngram_jaccard_sql(df_cap: int = NGRAM_DF_CAP) -> str:
+    """Replica of operators.dedup.dedup_ngram_jaccard with the SAME high-DF
+    posting prune: shingles in more than `df_cap` docs are excluded from
+    the intersection index (doc shingle-set sizes stay exact)."""
+    return f"""
 WITH {_SHINGLES},
+df_ok AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {df_cap}
+),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_ok USING (shingle)),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
@@ -136,6 +147,9 @@ JOIN cnt cb ON cb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
       >= {JACCARD_THRESHOLD}
 """
+
+
+DEDUP_NGRAM_JACCARD = dedup_ngram_jaccard_sql()
 
 DEDUP_MINHASH_LSH = f"""
 WITH {_SHINGLES},
@@ -224,23 +238,39 @@ _HAMMING = " + ".join(
     for pos in range(16)
 )
 
-DEDUP_SIMHASH = f"""
+def dedup_simhash_sql(bucket_cap: int = SIMHASH_BUCKET_CAP) -> str:
+    """Replica of operators.dedup.dedup_simhash candidate semantics: a band
+    whose bucket exceeds `bucket_cap` has its key extended with
+    SIMHASH_SUB_NIBBLES extra signature nibbles (next band's leading hex
+    chars, cyclic) — both docs of a pair see the same bucket size, so the
+    CASE is consistent across the join."""
+    return f"""
 WITH {_SIMHASH_SIG},
 bands AS (
     SELECT doc_id, simhash,
-        CAST(i AS VARCHAR) || ':' || substr(simhash, i * 4 + 1, 4) AS band_key
+        CAST(i AS VARCHAR) || ':' || substr(simhash, i * 4 + 1, 4) AS band_key,
+        substr(simhash, ((i + 1) % 4) * 4 + 1, {SIMHASH_SUB_NIBBLES}) AS sub
     FROM sig, unnest(generate_series(0, 3)) AS t(i)
+),
+sizes AS (SELECT band_key, COUNT(*) AS n FROM bands GROUP BY band_key),
+keyed AS (
+    SELECT b.doc_id, b.simhash,
+        CASE WHEN s.n > {bucket_cap}
+             THEN b.band_key || '|' || b.sub ELSE b.band_key END AS k
+    FROM bands b JOIN sizes s USING (band_key)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
                     b.doc_id AS doc_b, b.simhash AS sim_b
-    FROM bands a
-    JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST({_HAMMING} AS INTEGER) AS hamming
 FROM cand
 WHERE {_HAMMING} <= {SIMHASH_MAX_HAMMING}
 """
+
+
+DEDUP_SIMHASH = dedup_simhash_sql()
 
 # --- Similarity search ----------------------------------------------------
 

@@ -1,0 +1,163 @@
+"""Adversarial-corpus tests for the dedup candidate-explosion guards.
+
+Low-entropy corpora (tiny shared vocabulary, boilerplate phrases) are the
+failure mode for banded dedup at scale: every doc lands in one band bucket
+and candidate expansion goes quadratic in a single task / single array row.
+These tests pin the round-2 guards:
+
+- dedup_simhash: buckets over `bucket_cap` are sub-banded with extra
+  signature nibbles, and still-huge sub-buckets expand via a distributed
+  self-join (no giant collect_list row). Nothing is dropped — identical
+  signatures legitimately produce quadratic OUTPUT — and the DuckDB oracle
+  (oracles.llmops.dedup_simhash_sql) mirrors the sub-band semantics, so
+  results stay hash-identical when the cap binds.
+- dedup_ngram_jaccard: posting lists longer than `df_cap` are pruned from
+  the intersection index before pair expansion, with Observation metrics
+  so the prune is visible; the oracle (dedup_ngram_jaccard_sql) prunes
+  identically.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    ngram_df_report,
+    simhash_bucket_report,
+)
+from data_pipeline__s3_to_postgres_s3_spark.oracles.llmops import (
+    dedup_ngram_jaccard_sql,
+    dedup_simhash_sql,
+)
+from tests.oracle_harness import compare
+
+VOCAB = [f"w{i:03d}" for i in range(60)]
+
+
+def _write_documents(spark, tmp_path, rows):
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(int(i), "en", t) for i, t in rows], "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def _docs_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    # Spark writes documents.parquet as a DIRECTORY of part files.
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def low_entropy_dir(spark, tmp_path_factory):
+    """300 docs, ALL with the identical token set (shuffled order). SimHash
+    depends only on the distinct-token set, so every signature is identical
+    — the worst case: one bucket holds the whole corpus."""
+    rows = []
+    for i in range(300):
+        words = VOCAB[:]
+        random.Random(i).shuffle(words)
+        rows.append((i, " ".join(words)))
+    return _write_documents(spark, tmp_path_factory.mktemp("lowent"), rows)
+
+
+@pytest.fixture(scope="module")
+def mixed_dir(spark, tmp_path_factory):
+    """A 24-doc near-dup cluster (shared 40-word vocab + 2 unique words per
+    doc) plus 30 diverse docs — oversized AND small buckets in one corpus,
+    so both expansion tiers and the sub-band key logic all execute."""
+    rows = []
+    base = VOCAB[:40]
+    for i in range(24):
+        words = base + [f"u{i}a", f"u{i}b"]
+        random.Random(100 + i).shuffle(words)
+        rows.append((i, " ".join(words)))
+    for i in range(24, 54):
+        rng = random.Random(200 + i)
+        words = [f"x{i}_{j}" for j in range(20)] + rng.sample(VOCAB, 5)
+        rng.shuffle(words)
+        rows.append((i, " ".join(words)))
+    return _write_documents(spark, tmp_path_factory.mktemp("mixed"), rows)
+
+
+def test_simhash_low_entropy_completes_and_is_exhaustive(spark, low_entropy_dir):
+    """All 300 identical signatures → every bucket oversized, sub-banding
+    cannot split (extra nibbles identical too) → the distributed-join tier
+    carries the whole corpus. Output must still be EXACT: all C(300,2)
+    Hamming-0 pairs, with the fallback visible in the observation."""
+    df = dedup_simhash(spark, low_entropy_dir, bucket_cap=16)
+    n = df.count()
+    assert n == 300 * 299 // 2
+    # 4 band entries per doc, all routed to the fallback join.
+    audit = simhash_bucket_report(spark, low_entropy_dir, bucket_cap=16).collect()[0]
+    assert audit.fallback_entries == 300 * 4
+    assert audit.oversized_buckets == 4
+
+
+def test_simhash_subband_matches_oracle_when_cap_binds(spark, mixed_dir):
+    """With a cap the 24-doc cluster exceeds, the Spark plan and the DuckDB
+    replica must still agree row-for-row — the sub-band rule is part of the
+    operator's semantics, not an execution detail."""
+    df = dedup_simhash(spark, mixed_dir, bucket_cap=8)
+    report = compare(df, _docs_connection(mixed_dir), dedup_simhash_sql(bucket_cap=8))
+    assert report["ok"], report
+
+
+def test_simhash_default_cap_inactive_at_test_scale(spark, mixed_dir):
+    """With the cap far above every bucket, results equal the un-sub-banded
+    oracle — i.e. the guard is a no-op until it is needed."""
+    df = dedup_simhash(spark, mixed_dir, bucket_cap=10_000)
+    report = compare(
+        df, _docs_connection(mixed_dir), dedup_simhash_sql(bucket_cap=10_000)
+    )
+    assert report["ok"], report
+    audit = simhash_bucket_report(spark, mixed_dir, bucket_cap=10_000).collect()[0]
+    assert audit.oversized_buckets == 0
+
+
+def test_jaccard_df_cap_parity_and_observability(spark, tmp_path):
+    """One boilerplate phrase shared by ALL docs (DF = 60 > cap=10) must be
+    pruned — visibly — while a true near-dup pair held together by
+    low-DF shingles survives, and Spark matches the capped oracle."""
+    boiler = "common header phrase shared by every single document here"
+    rows = []
+    for i in range(58):
+        uniq = " ".join(f"t{i}_{j}" for j in range(15))
+        rows.append((i, f"{boiler} {uniq}"))
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows.append((100, near + "ending one"))
+    rows.append((101, near + "ending one"))  # exact twin → jaccard 1.0
+    sf = _write_documents(spark, tmp_path, rows)
+
+    df = dedup_ngram_jaccard(spark, sf, df_cap=10)
+    report = compare(df, _docs_connection(sf), dedup_ngram_jaccard_sql(df_cap=10))
+    assert report["ok"], report
+    pairs = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert (100, 101) in pairs
+    audit = ngram_df_report(spark, sf, df_cap=10).collect()[0]
+    assert audit.dropped_shingles > 0
+    assert audit.dropped_postings >= 58
+
+
+def test_jaccard_low_entropy_completes(spark, tmp_path):
+    """Identical-TEXT corpus (shingle order matters for n-grams, unlike
+    simhash): every shingle's posting list exceeds the cap, the whole index
+    is pruned, and the query completes with zero pairs (exact duplicates
+    are dedup_exact's job) instead of expanding 300²/2 candidates per
+    shingle."""
+    text = " ".join(VOCAB)
+    sf = _write_documents(spark, tmp_path, [(i, text) for i in range(300)])
+    df = dedup_ngram_jaccard(spark, sf, df_cap=16)
+    assert df.count() == 0
+    audit = ngram_df_report(spark, sf, df_cap=16).collect()[0]
+    assert audit.dropped_shingles > 0
+    assert audit.max_df == 300

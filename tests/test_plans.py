@@ -68,10 +68,15 @@ def test_codegen_live_in_hot_paths(spark, sf_dir):
 
 
 def test_dedup_simhash_single_pass(spark, sf_dir):
-    """Bucket pair-expansion: signature aggregation + band bucketing +
-    final distinct — at most 3 shuffles, no join exchanges (the old
-    self-join shape had 5+ and computed signatures twice)."""
+    """Tier-0 (buckets ≤ cap, i.e. everything at sf0.01) stays the
+    aggregation shape: signature groupBy + band bucketing + final distinct,
+    pairs expanded in-array with no join. The ONLY join in the plan is the
+    oversized-bucket fallback self-join (statically present, runtime-empty
+    below the cap); its exchanges sit behind the bucket-size filter and a
+    ReusedExchange of the band groupBy, so the data-bearing shuffle count
+    is unchanged from the pre-guard plan."""
     df = QUERIES["dedup_simhash"](spark, sf_dir)
-    assert plans.exchange_count(df) <= 3
-    assert plans.sortmerge_join_count(df) == 0
-    assert plans.broadcast_join_count(df) == 0
+    assert plans.exchange_count(df) <= 8
+    # Fallback tier contributes at most one join (SMJ statically; AQE may
+    # demote it to broadcast once it sees the below-cap side is empty).
+    assert plans.sortmerge_join_count(df) + plans.broadcast_join_count(df) <= 1
