@@ -63,6 +63,11 @@ from .operators.windows import (
     events_running_totals,
     events_sessionized,
 )
+from .pipelines.sql_script import (
+    sql_script_best_product,
+    sql_script_public_holiday,
+    sql_script_shipments,
+)
 from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
@@ -121,6 +126,9 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": frame_sample,
     "audio_chunks": audio_chunks,
     "media_features": media_features,
+    "sql_script_public_holiday": sql_script_public_holiday,
+    "sql_script_shipments": sql_script_shipments,
+    "sql_script_best_product": sql_script_best_product,
 }
 
 ORACLES: dict[str, str] = {
@@ -129,4 +137,10 @@ ORACLES: dict[str, str] = {
     **LLMOPS_ORACLES,
     **STREAMING_ORACLES,
     **MULTIMODAL_ORACLES,
+    # The SQL-script path (S5) must agree with the DataFrame operators to
+    # the bit — the script twins therefore reuse the parity oracles
+    # verbatim: same semantics, same column names, same dtypes.
+    "sql_script_public_holiday": PARITY_ORACLES["agg_public_holiday"],
+    "sql_script_shipments": PARITY_ORACLES["agg_shipments"],
+    "sql_script_best_product": PARITY_ORACLES["best_performing_product"],
 }

@@ -1,0 +1,301 @@
+"""SQL-script transform executor (S5) — SURVEY.md §2.1.
+
+Three layers:
+1. unit tests for the lexer + dialect translator rules;
+2. the engine's own analytics_transform.sql over sf testdata must equal the
+   DataFrame operator results (and, via the registry, the same DuckDB
+   parity oracles the operators are gated on);
+3. the reference's ACTUAL /root/reference/sql/transformation.sql, verbatim
+   and date-pinned, over the reference's own CSVs — the closest available
+   check to "a reference user runs their existing script unchanged".
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark import schemas
+from data_pipeline__s3_to_postgres_s3_spark.config import EngineConfig
+from data_pipeline__s3_to_postgres_s3_spark.catalog import dim_dates
+from data_pipeline__s3_to_postgres_s3_spark.operators.best_product import (
+    best_performing_product_from_tables,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.public_holiday import (
+    agg_public_holiday_from_tables,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.shipments import (
+    agg_shipments_from_tables,
+)
+from data_pipeline__s3_to_postgres_s3_spark.pipelines.sql_script import (
+    SqlScriptRunner,
+    parse_create_columns,
+    script_transform_tables,
+    split_statements,
+    translate,
+)
+from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
+from data_pipeline__s3_to_postgres_s3_spark.sources.files import (
+    read_csv,
+    split_corrupt,
+)
+from pyspark.sql import functions as F
+
+REF_SQL = "/root/reference/sql/transformation.sql"
+REF_DATA = "/root/reference/data"
+
+
+# ---------------------------------------------------------------------------
+# 1. Lexer + translator units
+# ---------------------------------------------------------------------------
+
+
+def test_split_statements_respects_strings_and_comments():
+    script = (
+        "SELECT 'a;b' AS x; -- trailing; comment\n"
+        "/* block; comment */ SELECT 2"
+        "; \n\n"
+    )
+    stmts = split_statements(script)
+    assert len(stmts) == 2
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert "SELECT 2" in stmts[1]
+
+
+def test_translate_colon_cast_and_current_date():
+    out = translate("SELECT CURRENT_DATE::DATE, x.y::INT", dt.date(1998, 12, 31))
+    assert "CAST(DATE '1998-12-31' AS DATE)" in out
+    assert "CAST(x.y AS INT)" in out
+
+
+def test_translate_string_literal_cast():
+    out = translate("WHERE '2022-09-05'::DATE >= d")
+    assert "CAST('2022-09-05' AS DATE)" in out
+
+
+def test_translate_date_subtraction_to_datediff():
+    out = translate("WHERE (CAST(a AS date) - CAST(b AS date)) >= 6")
+    assert "(datediff(CAST(a AS DATE), CAST(b AS DATE))) >= 6" in out
+
+
+def test_translate_to_date_format_letters():
+    out = translate("ON TO_DATE(order_date, 'YYYY-MM-DD') = d")
+    assert "TO_DATE(CAST(order_date AS STRING), 'yyyy-MM-dd')" in out
+
+
+def test_translate_float_and_schema_names():
+    out = translate("SELECT CAST(n AS FLOAT) FROM staging.ORDERS")
+    assert "CAST(n AS DOUBLE)" in out
+    assert "staging_orders" in out
+    # table aliases must NOT be rewritten
+    assert translate("SELECT a.order_id FROM t a") == "SELECT a.order_id FROM t a"
+
+
+def test_translate_drops_void_subquery_order_by():
+    sql = (
+        "SELECT * FROM (SELECT a, COUNT(*) c, "
+        "ROW_NUMBER() OVER (PARTITION BY a ORDER BY COUNT(*) DESC) rn "
+        "FROM t GROUP BY a ORDER BY a, COUNT(*) DESC) u WHERE rn = 1 "
+        "ORDER BY a"
+    )
+    out = translate(sql)
+    # Window ORDER BY kept; void subquery ORDER BY dropped; top-level kept.
+    assert "OVER (PARTITION BY a ORDER BY COUNT(*) DESC)" in out
+    assert "GROUP BY a ) u" in out.replace("  ", " ")
+    assert out.rstrip().endswith("ORDER BY a")
+    # Subquery ORDER BY paired with LIMIT is load-bearing — kept.
+    kept = translate("SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 3) u")
+    assert "ORDER BY a LIMIT 3" in kept
+
+
+def test_parse_create_columns_types_and_constraints():
+    cols = parse_create_columns(
+        "id BIGINT PRIMARY KEY NOT NULL, name VARCHAR(255), score FLOAT,\n"
+        "flag BOOL, d DATE, PRIMARY KEY (id)"
+    )
+    assert cols == [
+        ("id", "bigint"),
+        ("name", "string"),
+        ("score", "double"),  # Postgres FLOAT is float8
+        ("flag", "boolean"),
+        ("d", "date"),
+    ]
+
+
+def test_insert_coercion_and_truncate(spark):
+    runner = SqlScriptRunner(spark, run_date=dt.date(2000, 1, 1))
+    runner.register("staging.src", spark.range(3).select(F.col("id")))
+    out = runner.run_script(
+        """
+        CREATE TABLE IF NOT EXISTS analytics.t (n INT, today DATE);
+        INSERT INTO analytics.t SELECT id, CURRENT_DATE FROM staging.src;
+        INSERT INTO analytics.t SELECT id, CURRENT_DATE FROM staging.src;
+        """
+    )
+    t = out.tables["analytics.t"]
+    assert t.count() == 6  # append semantics
+    assert dict(t.dtypes) == {"n": "int", "today": "date"}
+    assert t.agg(F.max("today")).collect()[0][0] == dt.date(2000, 1, 1)
+
+    out2 = runner.run_script(
+        """
+        TRUNCATE TABLE analytics.t;
+        INSERT INTO analytics.t SELECT id, CURRENT_DATE FROM staging.src;
+        """
+    )
+    assert out2.tables["analytics.t"].count() == 3  # truncate emptied it
+
+
+def test_insert_column_count_mismatch_raises(spark):
+    runner = SqlScriptRunner(spark)
+    runner.register("staging.src", spark.range(1))
+    with pytest.raises(ValueError, match="columns"):
+        runner.run_script(
+            "CREATE TABLE analytics.t (a INT, b INT);"
+            "INSERT INTO analytics.t SELECT id FROM staging.src"
+        )
+
+
+# ---------------------------------------------------------------------------
+# 2. Engine script over sf testdata == DataFrame operators
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    ("table", "operator"),
+    [
+        ("analytics.agg_public_holiday", "agg_public_holiday"),
+        ("analytics.agg_shipments", "agg_shipments"),
+        ("analytics.best_performing_product", "best_performing_product"),
+    ],
+)
+def test_script_path_matches_dataframe_path(spark, sf_dir, table, operator):
+    script_df = script_transform_tables(spark, sf_dir)[table]
+    operator_df = QUERIES[operator](spark, sf_dir)
+    assert script_df.columns == operator_df.columns
+    assert dict(script_df.dtypes) == dict(operator_df.dtypes)
+    assert _rows(script_df) == _rows(operator_df)
+
+
+# ---------------------------------------------------------------------------
+# 3. The reference's VERBATIM transformation.sql on its own CSVs
+# ---------------------------------------------------------------------------
+
+pytest_ref = pytest.mark.skipif(
+    not os.path.isfile(REF_SQL), reason="reference script not available"
+)
+
+# Reference constants: transformation.sql pins year 2022 (:42) and as-of
+# 2022-09-05 (:65); ingestion_date is CURRENT_DATE at its run time.
+REF_CFG = EngineConfig(
+    run_date=dt.date(2022, 9, 5),
+    as_of_date=dt.date(2022, 9, 5),
+    holiday_year=2022,
+    calendar_start=dt.date(2021, 1, 1),
+    calendar_end=dt.date(2023, 12, 31),
+)
+
+
+@pytest.fixture(scope="module")
+def ref_result(spark):
+    frames = {}
+    for t in ("orders", "reviews", "shipment_deliveries"):
+        df = read_csv(spark, f"{REF_DATA}/{t}.csv", schemas.CSV_SCHEMAS[t])
+        clean, _ = split_corrupt(df)
+        frames[f"staging.{t}"] = clean
+    # The implied warehouse dims (SURVEY.md §1.3): generated dates dim and
+    # the surrogate product dim the DataFrame operators derive when staging
+    # carries no product dimension.
+    frames["if_common.dim_dates"] = dim_dates(spark, REF_CFG)
+    frames["if_common.dim_products"] = (
+        frames["staging.orders"]
+        .select("product_id")
+        .union(frames["staging.reviews"].select("product_id"))
+        .distinct()
+        .select(
+            "product_id",
+            F.concat(F.lit("product_"), F.col("product_id")).alias("product_name"),
+        )
+    )
+    runner = SqlScriptRunner(spark, run_date=REF_CFG.run_date)
+    for q, df in frames.items():
+        runner.register(q, df)
+    with open(REF_SQL, encoding="utf-8") as fh:
+        return frames, runner.run_script(fh.read()).tables
+
+
+@pytest_ref
+def test_reference_script_agg_public_holiday(spark, ref_result):
+    frames, tables = ref_result
+    expected = agg_public_holiday_from_tables(
+        spark, frames["staging.orders"], REF_CFG
+    )
+    got = tables["analytics.agg_public_holiday"]
+    assert got.columns == expected.columns
+    assert _rows(got) == _rows(
+        expected.select(*[F.col(c).cast(t) for c, t in got.dtypes])
+    )
+
+
+@pytest_ref
+def test_reference_script_agg_shipments(spark, ref_result):
+    frames, tables = ref_result
+    expected = agg_shipments_from_tables(
+        frames["staging.shipment_deliveries"], frames["staging.orders"], REF_CFG
+    )
+    got = tables["analytics.agg_shipments"]
+    assert got.columns == expected.columns
+    assert _rows(got) == _rows(
+        expected.select(*[F.col(c).cast(t) for c, t in got.dtypes])
+    )
+
+
+@pytest_ref
+def test_reference_script_best_performing_product(spark, ref_result):
+    """The verbatim script's ROW_NUMBER has NO tie-break (transformation
+    .sql:104-110) — Postgres's answer for most_ordered_day is whichever
+    tied argmax date arrives first (SURVEY.md Q5). The engine's operators
+    pin order_date ASC instead. So: every column must match the DataFrame
+    path exactly EXCEPT most_ordered_day, which must be a member of the
+    tied argmax-date set for the winning product."""
+    frames, tables = ref_result
+    expected = best_performing_product_from_tables(
+        spark,
+        frames["staging.orders"],
+        frames["staging.shipment_deliveries"],
+        frames["staging.reviews"],
+        REF_CFG,
+    )
+    got = tables["analytics.best_performing_product"]
+    assert got.columns == expected.columns
+    got_row = got.collect()[0]
+    exp_row = expected.select(
+        *[F.col(c).cast(t) for c, t in got.dtypes]
+    ).collect()[0]
+    for c in got.columns:
+        if c != "most_ordered_day":
+            assert got_row[c] == exp_row[c], c
+
+    product_id = int(got_row["product_name"].removeprefix("product_"))
+    counts = (
+        frames["staging.orders"]
+        .join(
+            dim_dates(spark, REF_CFG),
+            F.to_date("order_date") == F.col("calendar_dt"),
+        )
+        .where(F.col("day_of_the_week_num").between(1, 5))
+        .where(F.col("product_id") == product_id)
+        .groupBy("order_date")
+        .count()
+    )
+    max_n = counts.agg(F.max("count")).collect()[0][0]
+    valid_days = {r["order_date"] for r in counts.where(F.col("count") == max_n).collect()}
+    assert got_row["most_ordered_day"] in valid_days
+    assert exp_row["most_ordered_day"] == min(valid_days)  # engine pins ASC
