@@ -30,9 +30,20 @@ WINDOW_END = "2026-12-31"
 def tripdata_monthly_metrics(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    trips = tripdata(spark, sf_dir).where(
-        F.col("pickup_date").between(WINDOW_START, WINDOW_END)
-    )
+    return monthly_metrics_from_trips(tripdata(spark, sf_dir))
+
+
+def monthly_metrics_from_trips(
+    trips: DataFrame,
+    window_start: str = WINDOW_START,
+    window_end: str = WINDOW_END,
+) -> DataFrame:
+    """Core metric logic over any trip-shaped frame (pickup_date,
+    pickup_datetime, dropoff_datetime, fare_amount) — used by the sf-mapped
+    query above and by the golden diff against the reference's default.db
+    (tests/test_golden_tripdata.py), which pins the 2014-2016 window the
+    reference queried (tripdata_monthly_metrics.py:66)."""
+    trips = trips.where(F.col("pickup_date").between(window_start, window_end))
 
     dow = F.dayofweek("pickup_date")  # 1=Sunday .. 7=Saturday
     minutes = F.floor(
