@@ -1,0 +1,96 @@
+"""Bench regression gate: diff two bench JSONs, fail on real regressions.
+
+Usage:
+    python tools/bench_delta.py                 # two newest BENCH_r*.json
+    python tools/bench_delta.py OLD.json NEW.json
+    python bench.py | python tools/bench_delta.py BENCH_r01.json -
+
+Accepts either the driver's wrapper format ({"parsed": {...}}) or the raw
+one-line bench.py output. Prints a per-query delta table (worst first) and
+exits 1 when any query regresses more than THRESHOLD× — unless its times
+are below ABS_FLOOR seconds, where local[32] noise dominates and a ratio
+is meaningless. Pass --warn-only to report without failing (e.g. while an
+intentional trade-off is being reviewed)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+THRESHOLD = 1.5
+ABS_FLOOR = 0.3  # seconds; both runs under this → noise, not a regression
+
+
+def load(path: str) -> dict:
+    raw = sys.stdin.read() if path == "-" else open(path, encoding="utf-8").read()
+    # Raw bench.py output may carry warnings around the single JSON line.
+    for line in raw.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                doc = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    else:
+        doc = json.loads(raw)
+    if "parsed" in doc:
+        doc = doc["parsed"]
+    if "queries" not in doc:
+        raise SystemExit(f"{path}: no 'queries' key — not a bench JSON")
+    return doc
+
+
+def main(argv: list[str]) -> int:
+    warn_only = "--warn-only" in argv
+    paths = [a for a in argv if a != "--warn-only"]
+    if not paths:
+        found = sorted(
+            glob.glob("BENCH_r*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )
+        if len(found) < 2:
+            print(f"only {len(found)} BENCH_r*.json present — nothing to diff")
+            return 0
+        paths = found[-2:]
+    if len(paths) != 2:
+        raise SystemExit(__doc__)
+
+    old, new = load(paths[0]), load(paths[1])
+    oq, nq = old["queries"], new["queries"]
+
+    rows = []
+    for name in sorted(set(oq) | set(nq)):
+        o, n = oq.get(name), nq.get(name)
+        if o is None or n is None:
+            rows.append((float("inf") if o is None else 0.0, name, o, n, "added" if o is None else "removed"))
+            continue
+        ratio = n / o if o > 0 else float("inf")
+        noisy = o < ABS_FLOOR and n < ABS_FLOOR
+        flag = ""
+        if ratio > THRESHOLD and not noisy:
+            flag = "REGRESSION"
+        elif ratio < 1 / THRESHOLD and not noisy:
+            flag = "improved"
+        rows.append((ratio, name, o, n, flag))
+
+    print(f"bench delta: {paths[0]} -> {paths[1]}")
+    print(f"total: {old.get('value')}s -> {new.get('value')}s")
+    print(f"{'query':<36} {'old':>8} {'new':>8} {'ratio':>7}  flag")
+    for ratio, name, o, n, flag in sorted(rows, reverse=True):
+        fmt = lambda v: f"{v:8.3f}" if isinstance(v, (int, float)) else f"{'-':>8}"
+        r = f"{ratio:7.2f}" if ratio != float("inf") else "    new"
+        print(f"{name:<36} {fmt(o)} {fmt(n)} {r}  {flag}")
+
+    regressions = [name for _r, name, _o, _n, flag in rows if flag == "REGRESSION"]
+    if regressions:
+        print(f"\n{len(regressions)} regression(s) > {THRESHOLD}x: {', '.join(regressions)}")
+        return 0 if warn_only else 1
+    print(f"\nno regressions > {THRESHOLD}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
