@@ -68,12 +68,17 @@ def read_watermark(spark: SparkSession, target: JdbcTarget, pk: str) -> int:
     interpolation (no raw-string SQL injection path)."""
     pk = _check_identifier(pk, "primary key column")
     table = _check_identifier(target.table, "table")
+    # ANSI-quote the column: Spark's JDBC writer creates columns QUOTED
+    # (case-sensitive in Derby/Postgres/Oracle), so an unquoted reference
+    # would case-fold past them. The table name stays unquoted — Spark
+    # embeds `dbtable` verbatim when creating, so round-trips symmetric.
     subq = (
-        f"(SELECT COALESCE(MAX(CAST({pk} AS BIGINT)), 0) AS wm "
+        f'(SELECT COALESCE(MAX(CAST("{pk}" AS BIGINT)), 0) AS wm '
         f"FROM {table}) AS wm_sub"
     )
     df = spark.read.format("jdbc").options(**{**target.options(), "dbtable": subq}).load()
-    return df.collect()[0]["wm"]
+    # Positional: result-column casing is driver-dependent (Derby: WM).
+    return df.collect()[0][0]
 
 
 def filter_above_watermark(source: DataFrame, pk: str, watermark: int) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Live JDBC round-trip for sources/jdbc.py — embedded Apache Derby.
+
+The reference writes staging tables to Postgres with a max-PK watermark
+(extract_load_transform_data_pipeline.py.py:82-107) and full-replaces a
+SQLite metrics table (tripdata_monthly_metrics.py:102-117). No Postgres/
+SQLite JDBC driver ships here, but Spark bundles Derby (its Hive-metastore
+backend), whose embedded driver needs no server — so the watermark read,
+incremental append, append-only and truncate-overwrite paths all get a
+real end-to-end JDBC exercise instead of plan-construction-only coverage.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline__s3_to_postgres_s3_spark.sources.jdbc import (
+    JdbcTarget,
+    append_all,
+    append_incremental,
+    overwrite_table,
+    read_watermark,
+)
+
+_SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+pytestmark = pytest.mark.skipif(
+    not glob.glob(os.path.join(_SPARK_HOME, "jars", "derby-*.jar")),
+    reason="Derby JDBC jars not available",
+)
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _target(tmp_path, table: str) -> JdbcTarget:
+    return JdbcTarget(
+        url=f"jdbc:derby:{tmp_path}/warehouse;create=true",
+        table=table,
+        properties={"driver": DRIVER},
+        num_partitions=2,
+    )
+
+
+def _orders(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).alias("customer_id"),
+        (F.col("id") * 10).alias("total_price"),
+    )
+
+
+def test_watermark_append_is_incremental_and_idempotent(spark, tmp_path):
+    target = _target(tmp_path, "staging_orders")
+    append_all(_orders(spark, 0, 100), target)  # first load creates the table
+
+    assert read_watermark(spark, target, "order_id") == 99
+
+    # Overlapping batch: only rows above the watermark may land.
+    append_incremental(spark, _orders(spark, 50, 150), target, "order_id")
+    df = spark.read.format("jdbc").options(**target.options()).load()
+    assert df.count() == 150
+    assert df.select(F.countDistinct("order_id")).collect()[0][0] == 150
+
+    # Same batch again: nothing new above the watermark → no duplicates.
+    append_incremental(spark, _orders(spark, 50, 150), target, "order_id")
+    assert spark.read.format("jdbc").options(**target.options()).load().count() == 150
+
+
+def test_overwrite_table_full_replace(spark, tmp_path):
+    target = _target(tmp_path, "metrics")
+    append_all(_orders(spark, 0, 10), target)
+    overwrite_table(_orders(spark, 500, 503), target)
+    df = spark.read.format("jdbc").options(**target.options()).load()
+    assert df.count() == 3
+    assert df.agg(F.min("order_id")).collect()[0][0] == 500
+    # Replace again — truncate path must be repeatable.
+    overwrite_table(_orders(spark, 600, 602), target)
+    assert (
+        spark.read.format("jdbc").options(**target.options()).load().count() == 2
+    )
+
+
+def test_read_watermark_rejects_bad_identifiers(spark, tmp_path):
+    target = _target(tmp_path, "t; DROP TABLE x")
+    with pytest.raises(ValueError, match="identifier"):
+        read_watermark(spark, target, "order_id")
