@@ -1,0 +1,126 @@
+"""Dataset assembly operators for training-data pipelines: deterministic
+splits, corpus statistics, sequence packing.
+
+These are the operations that sit between "clean corpus" (textops/dedup)
+and "training shards": reproducible train/val/test assignment, the token
+accounting that drives mixture decisions, and packing documents into
+fixed token budgets. All pure JVM built-ins — no Python UDFs — and every
+expression is replicated verbatim in the DuckDB oracles
+(oracles/sampling.py; keep in lockstep).
+
+Scale notes (100 TB):
+- dataset_split is a stateless map over the scan — no shuffle at all. The
+  split is a function of doc_id alone (multiplicative hashing), so it is
+  stable under corpus growth and across engines — appending documents
+  never reassigns existing ones, unlike positional/random splits.
+- corpus_stats is one groupBy(lang) with map-side partial aggregation;
+  the exact percentiles are the expensive part (per-group sort) — at
+  production scale swap in percentile_approx and keep the same surface.
+- pack_sequences windows over (lang, shard) where shard buckets ~10k docs:
+  packing needs an order, but a single per-lang window would serialize a
+  43%-skewed 'en' partition; sharding bounds every window partition while
+  keeping bins deterministic (bin ids are unique per (lang, shard)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+# Knuth multiplicative hash: exact bigint arithmetic in Spark and DuckDB,
+# so the assignment is engine-portable (no engine-specific hash function).
+HASH_MULT = 2654435761
+HASH_MOD = 2**32
+SPLIT_BUCKETS = 100
+TRAIN_UPTO = 80  # buckets [0,80) → train
+VAL_UPTO = 90  # [80,90) → val, [90,100) → test
+
+SEQ_LEN = 2048  # token budget per packed sequence
+PACK_SHARD = 10_000  # docs per packing shard (bounds window partitions)
+
+
+def _bucket() -> F.Column:
+    return (F.col("doc_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+
+
+def dataset_split(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment per document.
+
+    Hash-based (not positional, not random): re-running on a grown corpus
+    keeps every existing assignment, and any engine computing the same
+    arithmetic lands on the same split — the property training pipelines
+    need for leak-free evaluation sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket()
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        b.alias("bucket"),
+        F.when(b < TRAIN_UPTO, "train")
+        .when(b < VAL_UPTO, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def corpus_stats(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-language corpus accounting: doc/token/char totals, mean and
+    exact p50/p90 token counts — the numbers mixture weighting reads.
+    Exact percentiles sort per group; at production scale substitute
+    percentile_approx (same column surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_size(F.split(F.col("text"), " "))
+    per_doc = docs.select("lang", toks.alias("n_tokens"), F.length("text").alias("n_chars"))
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_tokens").cast("double") / n).alias("mean_tokens"),
+            F.percentile("n_tokens", F.lit(0.5)).alias("p50_tokens"),
+            F.percentile("n_tokens", F.lit(0.9)).alias("p90_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Contiguous sequence packing: stream documents in stable (doc_id)
+    order within (lang, shard), accumulate whitespace-token counts, and
+    assign each document to the SEQ_LEN-token bin its preceding cumulative
+    total lands in. Deterministic, shuffle-bounded (the window partitions
+    are ≤ PACK_SHARD docs), and the standard cheap alternative to
+    NP-hard bin packing for training-shard assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_size(F.split(F.col("text"), " "))
+    shard = (F.col("doc_id") / PACK_SHARD).cast("bigint")
+    per_doc = docs.select(
+        "doc_id", "lang", toks.alias("n_tokens"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(SEQ_LEN))
+        .cast("bigint")
+        .alias("bin"),
+    )

@@ -1,0 +1,65 @@
+"""DuckDB oracle SQL for the dataset-assembly operators
+(operators/sampling.py — keep constants and arithmetic in lockstep)."""
+
+from ..operators.sampling import (
+    HASH_MOD,
+    HASH_MULT,
+    PACK_SHARD,
+    SEQ_LEN,
+    SPLIT_BUCKETS,
+    TRAIN_UPTO,
+    VAL_UPTO,
+)
+
+_BUCKET = f"doc_id * {HASH_MULT} % {HASH_MOD} % {SPLIT_BUCKETS}"
+
+DATASET_SPLIT = f"""
+SELECT doc_id, lang, source,
+    {_BUCKET} AS bucket,
+    CASE WHEN {_BUCKET} < {TRAIN_UPTO} THEN 'train'
+         WHEN {_BUCKET} < {VAL_UPTO} THEN 'val'
+         ELSE 'test' END AS split
+FROM documents
+"""
+
+CORPUS_STATS = """
+WITH per_doc AS (
+    SELECT lang,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) AS n_chars
+    FROM documents
+)
+SELECT lang,
+    COUNT(*) AS n_docs,
+    SUM(n_tokens) AS total_tokens,
+    SUM(n_chars) AS total_chars,
+    CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+    quantile_cont(n_tokens, 0.5) AS p50_tokens,
+    quantile_cont(n_tokens, 0.9) AS p90_tokens
+FROM per_doc
+GROUP BY lang
+"""
+
+PACK_SEQUENCES = f"""
+WITH per_doc AS (
+    SELECT doc_id, lang,
+        len(string_split(text, ' ')) AS n_tokens,
+        doc_id // {PACK_SHARD} AS shard
+    FROM documents
+)
+SELECT doc_id, lang, shard, n_tokens,
+    SUM(n_tokens) OVER w AS cum_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / {SEQ_LEN}) AS BIGINT)
+        AS bin
+FROM per_doc
+WINDOW w AS (
+    PARTITION BY lang, shard ORDER BY doc_id
+    ROWS UNBOUNDED PRECEDING
+)
+"""
+
+SAMPLING_ORACLES = {
+    "dataset_split": DATASET_SPLIT,
+    "corpus_stats": CORPUS_STATS,
+    "pack_sequences": PACK_SEQUENCES,
+}

@@ -47,6 +47,11 @@ from .operators.multimodal import (
     media_catalog,
     media_features,
 )
+from .operators.sampling import (
+    corpus_stats,
+    dataset_split,
+    pack_sequences,
+)
 from .operators.textops import (
     doc_fingerprint,
     lang_id,
@@ -71,6 +76,7 @@ from .pipelines.sql_script import (
 from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
+from .oracles.sampling import SAMPLING_ORACLES
 from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
@@ -129,6 +135,9 @@ QUERIES: dict[str, QueryFn] = {
     "sql_script_public_holiday": sql_script_public_holiday,
     "sql_script_shipments": sql_script_shipments,
     "sql_script_best_product": sql_script_best_product,
+    "dataset_split": dataset_split,
+    "corpus_stats": corpus_stats,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -137,6 +146,7 @@ ORACLES: dict[str, str] = {
     **LLMOPS_ORACLES,
     **STREAMING_ORACLES,
     **MULTIMODAL_ORACLES,
+    **SAMPLING_ORACLES,
     # The SQL-script path (S5) must agree with the DataFrame operators to
     # the bit — the script twins therefore reuse the parity oracles
     # verbatim: same semantics, same column names, same dtypes.

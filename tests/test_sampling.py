@@ -1,0 +1,78 @@
+"""Semantic pins for the dataset-assembly operators (operators/sampling.py).
+
+The oracle gate proves engine parity; these tests pin the properties that
+make the operators CORRECT for training pipelines: split assignments must
+be stable when the corpus grows, proportions must track the bucket
+boundaries, and packing must respect the token budget except for
+single-oversized documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+    SEQ_LEN,
+    corpus_stats,
+    dataset_split,
+    pack_sequences,
+)
+
+
+def test_split_proportions_and_coverage(spark, sf_dir):
+    df = dataset_split(spark, sf_dir)
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # Multiplicative hashing over a contiguous id range lands near 80/10/10.
+    assert 0.7 <= counts["train"] / total <= 0.9
+    assert counts["val"] / total <= 0.2 and counts["test"] / total <= 0.2
+
+
+def test_split_stable_under_corpus_growth(spark, sf_dir, tmp_path):
+    """Appending documents must never reassign existing ones — the
+    anti-leak property positional or fractional random splits lack."""
+    full = {r["doc_id"]: r["split"] for r in dataset_split(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    half_ids = sorted(half_ids)[: len(half_ids) // 2]
+    docs.where(F.col("doc_id").isin(half_ids)).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    half = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(spark, str(tmp_path)).collect()
+    }
+    assert half == {k: v for k, v in full.items() if k in half}
+
+
+def test_corpus_stats_totals_consistent(spark, sf_dir):
+    stats = corpus_stats(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in stats) == docs_n
+    for r in stats:
+        assert r["p50_tokens"] <= r["p90_tokens"]
+        assert 0 < r["mean_tokens"] <= r["total_tokens"]
+
+
+def test_pack_sequences_budget_invariant(spark, sf_dir):
+    """A document may only spill past its bin's budget if it STARTS inside
+    it (contiguous packing's defining invariant): the preceding cumulative
+    total of every doc lies inside its assigned bin."""
+    df = pack_sequences(spark, sf_dir)
+    bad = df.where(
+        ((F.col("cum_tokens") - F.col("n_tokens")) / SEQ_LEN).cast("bigint")
+        != F.col("bin")
+    ).count()
+    assert bad == 0
+    # Bins are dense from 0 within every (lang, shard) stream.
+    per_group = df.groupBy("lang", "shard").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("n")
+    )
+    assert per_group.where(F.col("lo") != 0).count() == 0
+
+
+def test_pack_sequences_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, pack_sequences(spark, sf_dir).collect()))
+    b = sorted(map(tuple, pack_sequences(spark, sf_dir).collect()))
+    assert a == b
