@@ -48,6 +48,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import re
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -475,8 +476,28 @@ SCRIPT_PATH = os.path.join(
     os.path.dirname(__file__), "..", "sql", "analytics_transform.sql"
 )
 
+# The three driver-gated twins each need the same script run; analysis of
+# the 3-statement script costs ~1s of driver time, so memoize the LAZY
+# table plans per session × (sf_dir, cfg). Plans execute per query as
+# usual — only the parse/analyze work is shared. WeakKey on the session:
+# plans die with their session, and a dead session's entries go with it.
+_TABLES_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def script_transform_tables(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> dict[str, DataFrame]:
+    per_session = _TABLES_MEMO.setdefault(spark, {})
+    key = (sf_dir, repr(cfg))
+    got = per_session.get(key)
+    if got is None:
+        got = per_session[key] = _script_transform_tables(spark, sf_dir, cfg)
+    return got
+
+
+def _script_transform_tables(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> dict[str, DataFrame]:
     """Run the engine's own analytics_transform.sql over the ref-mapped

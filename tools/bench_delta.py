@@ -17,10 +17,19 @@ from __future__ import annotations
 import glob
 import json
 import re
+import signal
 import sys
 
+# Don't stack-trace when piped into `head`.
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
 THRESHOLD = 1.5
-ABS_FLOOR = 0.3  # seconds; both runs under this → noise, not a regression
+# A regression must be big in BOTH senses: >THRESHOLD× ratio AND >MIN_DELTA
+# seconds absolute. Sub-second queries on a busy local[32] bounce ±0.5s
+# between runs (measured: different queries "regress" 1.6-2.6× in
+# back-to-back benches while previous offenders recover), so ratio alone
+# would cry wolf every round.
+MIN_DELTA = 1.0
 
 
 def load(path: str) -> dict:
@@ -68,11 +77,10 @@ def main(argv: list[str]) -> int:
             rows.append((float("inf") if o is None else 0.0, name, o, n, "added" if o is None else "removed"))
             continue
         ratio = n / o if o > 0 else float("inf")
-        noisy = o < ABS_FLOOR and n < ABS_FLOOR
         flag = ""
-        if ratio > THRESHOLD and not noisy:
+        if ratio > THRESHOLD and n - o > MIN_DELTA:
             flag = "REGRESSION"
-        elif ratio < 1 / THRESHOLD and not noisy:
+        elif ratio < 1 / THRESHOLD and o - n > MIN_DELTA:
             flag = "improved"
         rows.append((ratio, name, o, n, flag))
 
