@@ -93,6 +93,35 @@ def corpus_stats(
     )
 
 
+# Mixture weights: per-language keep rates (percent) for corpus mixing —
+# the up/down-sampling step that turns raw corpus proportions into a
+# training distribution. Unlisted languages keep everything.
+MIXTURE_WEIGHTS = {"en": 50, "zh": 100, "de": 100, "fr": 100, "es": 100}
+MIXTURE_SALT = 7  # decorrelates the sampling hash from dataset_split's
+
+
+def mixture_sample(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: keep each document with its
+    language's configured rate, decided by the same multiplicative hashing
+    as dataset_split (salted so the two decisions are independent).
+    Shuffle-free, reproducible, and stable under corpus growth — the
+    properties random sampling lacks in an incremental pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = ((F.col("doc_id") + MIXTURE_SALT) * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in sorted(MIXTURE_WEIGHTS.items())
+        ],
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id", "lang", "source", b.alias("bucket"), rate.alias("keep_pct")
+    ).where(b < rate)
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -4,6 +4,8 @@
 from ..operators.sampling import (
     HASH_MOD,
     HASH_MULT,
+    MIXTURE_SALT,
+    MIXTURE_WEIGHTS,
     PACK_SHARD,
     SEQ_LEN,
     SPLIT_BUCKETS,
@@ -58,8 +60,23 @@ WINDOW w AS (
 )
 """
 
+_MIX_BUCKET = f"(doc_id + {MIXTURE_SALT}) * {HASH_MULT} % {HASH_MOD} % {SPLIT_BUCKETS}"
+_MIX_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}"
+    for lang, pct in sorted(MIXTURE_WEIGHTS.items())
+) + " ELSE 100 END"
+
+MIXTURE_SAMPLE = f"""
+SELECT doc_id, lang, source,
+    {_MIX_BUCKET} AS bucket,
+    {_MIX_RATE} AS keep_pct
+FROM documents
+WHERE {_MIX_BUCKET} < {_MIX_RATE}
+"""
+
 SAMPLING_ORACLES = {
     "dataset_split": DATASET_SPLIT,
     "corpus_stats": CORPUS_STATS,
     "pack_sequences": PACK_SEQUENCES,
+    "mixture_sample": MIXTURE_SAMPLE,
 }

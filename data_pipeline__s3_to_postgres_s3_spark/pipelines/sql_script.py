@@ -247,39 +247,74 @@ def _drop_void_subquery_order_by(sql: str) -> str:
     return out
 
 
+def _guarded_sub(
+    pattern: re.Pattern, repl, sql: str, allow_literal_start: bool = False
+) -> str:
+    """Apply `pattern` only where the match STARTS in a code region —
+    string-literal and comment interiors pass through verbatim. With
+    `allow_literal_start`, a match may also start at a literal's opening
+    quote (the ``'…'::TYPE`` form, where the operand IS the literal).
+    Flags are recomputed per pass because substitutions shift positions."""
+    in_code = {}
+    lit_start = set()
+    prev_code = True
+    for i, ch, _d, ic in _scan(sql):
+        in_code[i] = ic
+        if not ic and prev_code and ch == "'":
+            lit_start.add(i)
+        prev_code = ic
+
+    def guard(m: re.Match) -> str:
+        s = m.start()
+        if in_code.get(s, True) or (allow_literal_start and s in lit_start):
+            return repl(m)
+        return m.group(0)
+
+    return pattern.sub(guard, sql)
+
+
 def translate(
     sql: str,
     run_date: dt.date | None = None,
     search_schemas: tuple[str, ...] = DEFAULT_SEARCH_SCHEMAS,
 ) -> str:
     """Rewrite the supported Postgres dialect subset to Spark SQL (see
-    module docstring for the rule list)."""
+    module docstring for the rule list). Every rule is literal/comment-safe
+    via _guarded_sub — ``SELECT 'staging.orders'`` survives verbatim."""
     sql = _drop_void_subquery_order_by(sql)
-    sql = _COLON_CAST.sub(lambda m: f"CAST({m.group(1)} AS {m.group(2)})", sql)
+    sql = _guarded_sub(
+        _COLON_CAST,
+        lambda m: f"CAST({m.group(1)} AS {m.group(2)})",
+        sql,
+        allow_literal_start=True,
+    )
     if run_date is not None:
-        sql = _CURRENT_DATE.sub(f"DATE '{run_date.isoformat()}'", sql)
-    sql = _DATE_DIFF.sub(
+        sql = _guarded_sub(
+            _CURRENT_DATE, lambda _m: f"DATE '{run_date.isoformat()}'", sql
+        )
+    sql = _guarded_sub(
+        _DATE_DIFF,
         lambda m: f"datediff(CAST({m.group(1)} AS DATE), CAST({m.group(2)} AS DATE))",
         sql,
     )
     # Cast the input to STRING: Spark's ParseToDate wants a string when a
     # format is given, while Postgres TO_DATE tolerates date-typed input.
-    sql = _TO_DATE_FMT.sub(
+    sql = _guarded_sub(
+        _TO_DATE_FMT,
         lambda m: (
             f"{m.group(1)}(CAST({m.group(2)} AS STRING), "
             f"'{_translate_format(m.group(3))}')"
         ),
         sql,
     )
-    sql = _AS_FLOAT.sub("AS DOUBLE", sql)
+    sql = _guarded_sub(_AS_FLOAT, lambda _m: "AS DOUBLE", sql)
     schema_alt = "|".join(search_schemas)
-    sql = re.sub(
-        rf"\b({schema_alt})\s*\.\s*([A-Za-z_]\w*)",
-        lambda m: f"{m.group(1).lower()}_{m.group(2).lower()}",
-        sql,
-        flags=re.IGNORECASE,
+    schema_re = re.compile(
+        rf"\b({schema_alt})\s*\.\s*([A-Za-z_]\w*)", re.IGNORECASE
     )
-    return sql
+    return _guarded_sub(
+        schema_re, lambda m: f"{m.group(1).lower()}_{m.group(2).lower()}", sql
+    )
 
 
 # ---------------------------------------------------------------------------

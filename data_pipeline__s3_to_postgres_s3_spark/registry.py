@@ -50,6 +50,7 @@ from .operators.multimodal import (
 from .operators.sampling import (
     corpus_stats,
     dataset_split,
+    mixture_sample,
     pack_sequences,
 )
 from .operators.textops import (
@@ -138,6 +139,7 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_split": dataset_split,
     "corpus_stats": corpus_stats,
     "pack_sequences": pack_sequences,
+    "mixture_sample": mixture_sample,
 }
 
 ORACLES: dict[str, str] = {

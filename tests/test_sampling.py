@@ -12,9 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+    MIXTURE_WEIGHTS,
     SEQ_LEN,
     corpus_stats,
     dataset_split,
+    mixture_sample,
     pack_sequences,
 )
 
@@ -70,6 +72,33 @@ def test_pack_sequences_budget_invariant(spark, sf_dir):
         F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("n")
     )
     assert per_group.where(F.col("lo") != 0).count() == 0
+
+
+def test_mixture_sample_rates_and_independence(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in mixture_sample(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in totals.items():
+        rate = MIXTURE_WEIGHTS.get(lang, 100) / 100
+        if rate == 1.0:
+            assert kept.get(lang) == total  # keep-all languages intact
+        else:
+            assert abs(kept.get(lang, 0) / total - rate) < 0.15
+    # The sampling decision must not correlate with the split assignment:
+    # the downsampled language keeps ~the split's train share.
+    split = dataset_split(spark, sf_dir).select("doc_id", "split")
+    joint = (
+        mixture_sample(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .join(split, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = {r["split"]: r["n"] for r in joint.collect()}
+    assert 0.6 <= counts["train"] / sum(counts.values()) <= 0.95
 
 
 def test_pack_sequences_deterministic(spark, sf_dir):

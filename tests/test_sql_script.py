@@ -93,6 +93,18 @@ def test_translate_float_and_schema_names():
     assert translate("SELECT a.order_id FROM t a") == "SELECT a.order_id FROM t a"
 
 
+def test_translate_leaves_string_literals_alone():
+    sql = (
+        "SELECT 'staging.orders x::int CURRENT_DATE CAST(a AS FLOAT)' AS s,"
+        " staging.orders.order_id -- staging.orders comment\n"
+        "FROM staging.orders"
+    )
+    out = translate(sql, dt.date(2000, 1, 1))
+    assert "'staging.orders x::int CURRENT_DATE CAST(a AS FLOAT)'" in out
+    assert "-- staging.orders comment" in out
+    assert "FROM staging_orders" in out
+
+
 def test_translate_drops_void_subquery_order_by():
     sql = (
         "SELECT * FROM (SELECT a, COUNT(*) c, "
