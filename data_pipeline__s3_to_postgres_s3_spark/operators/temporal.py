@@ -1,0 +1,142 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+Both are implemented as compositions of DataFrame operators (no UDFs, no
+cross joins), with DuckDB's NATIVE ASOF JOIN / inequality join as the
+independent oracles (oracles/temporal.py).
+
+- asof_join: the union-tag trick. Tag the build side 0 and the probe side
+  1, union, and take last(ignorenulls) of the build columns over a window
+  ordered by (ts, side) per key: each probe row sees exactly the latest
+  build row at-or-before its timestamp. ONE shuffle on the key, no join
+  node at all — the shape a merge-based asof engine produces, expressed
+  declaratively. At 100 TB this scales like any keyed window: skew = a
+  hot key, remedied with the usual salting if one user dominates.
+- range_join (bounded interval): bucket timestamps by the window width W;
+  a pair (a, b) with 0 < b-a ≤ W must land in the same or adjacent
+  bucket, so probing buckets {k, k+1} per left row finds every pair
+  exactly once (b's bucket matches exactly one probe). The join is a
+  plain equi-join on (key, bucket) — candidate volume is bounded by
+  bucket occupancy, never |L|×|R|. Width picks the recall window; the
+  bucket count scales with the time span, so partitions stay balanced.
+
+Timestamps are compared in exact integer microseconds (unix_micros /
+epoch_us) — float epochs would break cross-engine equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_events
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+RANGE_WINDOW_S = 21_600  # 6h burst window for the error range join
+RANGE_WINDOW_US = RANGE_WINDOW_S * 1_000_000
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str,
+    ts: str,
+    build_cols: dict[str, str],
+) -> DataFrame:
+    """Backward as-of join: for each probe row, attach the build row with
+    the greatest `ts` ≤ the probe's `ts` within the same `by` key (LEFT
+    semantics — probes with no prior build row keep nulls).
+
+    `build_cols` maps build column → output alias. Output = probe columns
+    + aliased build columns."""
+    tagged_build = build.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(src).alias(dst) for src, dst in build_cols.items()],
+        *[F.lit(None).alias(f"__p_{c}") for c in probe.columns if c != by],
+    )
+    tagged_probe = probe.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.expr(f"CAST(NULL AS {dict(build.dtypes)[src]}) AS {dst}") for src, dst in build_cols.items()],
+        *[F.col(c).alias(f"__p_{c}") for c in probe.columns if c != by],
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_build.unionByName(tagged_probe).select(
+        by,
+        "__side",
+        *[F.col(f"__p_{c}").alias(c) for c in probe.columns if c != by],
+        *[
+            F.last(dst, ignorenulls=True).over(w).alias(dst)
+            for dst in build_cols.values()
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")
+
+
+def purchase_last_view_asof(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Each purchase event joined to the user's latest at-or-before 'view'
+    event — the point-in-time attribution query. Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        purchases,
+        views,
+        by="user_id",
+        ts="ts",
+        build_cols={"ts": "view_ts", "value": "view_value"},
+    )
+
+
+def _bucket(us: Column) -> Column:
+    return (us / RANGE_WINDOW_US).cast("bigint")
+
+
+def error_bursts_range(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Pairs of error events from the same user within RANGE_WINDOW_S of
+    each other (strictly ordered) — the bounded-interval self-join,
+    bucketed so candidate generation is an equi-join, not a cross join."""
+    ev = load_events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    left = err.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(_bucket(F.col("us")), _bucket(F.col("us")) + 1)).alias(
+            "jb"
+        ),
+    )
+    right = err.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        _bucket(F.col("us")).alias("jb"),
+    )
+    return (
+        left.join(right, ["user_id", "jb"])
+        .where(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= RANGE_WINDOW_US)
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.col("us_b") - F.col("us_a")).alias("gap_us"),
+        )
+    )

@@ -53,6 +53,10 @@ from .operators.sampling import (
     mixture_sample,
     pack_sequences,
 )
+from .operators.temporal import (
+    error_bursts_range,
+    purchase_last_view_asof,
+)
 from .operators.textops import (
     doc_fingerprint,
     lang_id,
@@ -78,6 +82,7 @@ from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
 from .oracles.sampling import SAMPLING_ORACLES
+from .oracles.temporal import TEMPORAL_ORACLES
 from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
@@ -140,6 +145,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_stats": corpus_stats,
     "pack_sequences": pack_sequences,
     "mixture_sample": mixture_sample,
+    "purchase_last_view_asof": purchase_last_view_asof,
+    "error_bursts_range": error_bursts_range,
 }
 
 ORACLES: dict[str, str] = {
@@ -149,6 +156,7 @@ ORACLES: dict[str, str] = {
     **STREAMING_ORACLES,
     **MULTIMODAL_ORACLES,
     **SAMPLING_ORACLES,
+    **TEMPORAL_ORACLES,
     # The SQL-script path (S5) must agree with the DataFrame operators to
     # the bit — the script twins therefore reuse the parity oracles
     # verbatim: same semantics, same column names, same dtypes.
