@@ -1,0 +1,116 @@
+"""Graph operators: connected components over candidate-pair edge lists.
+
+Near-dup detection (dedup.py, similarity.py) emits PAIRS; a keep-list
+needs CLUSTERS — the transitive closure of "is a near-duplicate of".
+`connected_components` computes that closure as an iterative DataFrame
+algorithm; `dedup_clusters` applies it to the MinHash-LSH pairs and
+labels one canonical document per cluster.
+
+Scale notes (100 TB):
+- Min-label propagation alone needs O(diameter) rounds — a chain of
+  incremental edits (A~B~C~… with A!~C) makes diameter O(cluster size).
+  Each round therefore also POINTER-JUMPS (comp ← comp(comp), a
+  self-join), which collapses chains geometrically: a 512-node path
+  converges in ~9 rounds, not 512.
+- Every round is bounded work: one edges⋈labels join + one groupBy-min
+  (both shuffle on node id, map-side combined) + one labels self-join.
+  No collect of nodes or edges ever happens on the driver.
+- Iterative Spark jobs grow lineage without bound; each round ends in
+  an eager localCheckpoint() that truncates the plan — without it,
+  round N replays rounds 1..N-1 and the job goes quadratic.
+- Convergence is detected from a 1-row aggregate: component labels only
+  ever decrease, so sum(comp) is strictly monotone until fixpoint —
+  an unchanged sum IS convergence (no per-row diff join needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+CC_MAX_ITER = 50
+
+
+def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """(node, component) for every node in `edges` (first two columns,
+    undirected); component = smallest node id in the connected component.
+
+    Invariant: comp(u) is always the id of SOME node in u's component and
+    only decreases; the minimum node keeps comp = itself. A round where
+    neighbor-min propagation changes nothing is therefore a fixpoint with
+    comp constant-and-minimal per component. Pointer jumping preserves
+    the invariant (comp(comp(u)) is in the same component) and only
+    accelerates the fixpoint.
+    """
+    u, v = edges.columns[:2]
+    sym = (
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        .distinct()
+    )
+    lab = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = lab.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(lab, sym["dst"] == lab["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = (
+            lab.join(nbr, lab["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        hop = prop.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        lab = (
+            prop.join(hop, prop["comp"] == hop["c_node"])
+            .select("node", F.col("c_comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = lab.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return lab
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Near-duplicate clusters over the whole corpus: MinHash-LSH verified
+    pairs → connected components → one row per document with its cluster
+    id (smallest member doc_id), cluster size, and the canonical flag a
+    dedup keep-list filters on (keep WHERE is_canonical).
+
+    Docs in no pair are their own singleton cluster — the left join keeps
+    the output total-on-documents, so `WHERE is_canonical` is the full
+    deduplicated corpus, not just the untouched docs.
+    """
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir, cfg).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

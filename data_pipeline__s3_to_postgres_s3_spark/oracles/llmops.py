@@ -454,6 +454,36 @@ SELECT doc_id, fp_key // 1048576 AS fingerprint, fp_key % 1048576 AS pos
 FROM winnowed
 """
 
+# Near-dup clusters: transitive closure of the MinHash-LSH pairs. The
+# recursive CTE computes, for every node, the set of reachable nodes over
+# the symmetrized edge list (UNION gives set semantics, so it terminates);
+# MIN(reachable) is exactly the Spark side's smallest-member cluster id.
+# Docs in no pair fall through the LEFT JOIN as their own singleton.
+DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+cc AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+labeled AS (
+    SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+    l.doc_id = l.cluster_id AS is_canonical
+FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
 LLMOPS_ORACLES = {
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
@@ -463,6 +493,7 @@ LLMOPS_ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "dedup_simhash": DEDUP_SIMHASH,
+    "dedup_clusters": DEDUP_CLUSTERS,
     "similarity_bruteforce_topk": SIMILARITY_BRUTEFORCE_TOPK,
     "similarity_lsh_topk": SIMILARITY_LSH_TOPK,
     "similarity_ivf_topk": SIMILARITY_IVF_TOPK,

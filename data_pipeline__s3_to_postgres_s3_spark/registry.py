@@ -29,6 +29,7 @@ from .operators.relational import (
     top_revenue_customers_per_region,
     value_percentiles,
 )
+from .operators.graph import dedup_clusters
 from .operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
@@ -125,6 +126,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,

@@ -1,0 +1,70 @@
+"""Connected components + near-dup clustering (operators/graph.py).
+
+The oracle-parity check for dedup_clusters runs in test_correctness_oracle
+via the registry; these tests pin the CC algorithm itself on adversarial
+shapes (long chains exercise pointer jumping, multiple components, self
+loops) and the cluster-level invariants a keep-list consumer relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = connected_components(df).collect()
+    return {r["node"]: r["comp"] for r in rows}
+
+
+def test_single_chain_collapses_to_min(spark):
+    # Path 0-1-2-…-63: min-propagation alone needs ~64 rounds; pointer
+    # jumping must get there within CC_MAX_ITER (=50).
+    edges = [(i, i + 1) for i in range(63)]
+    comp = _components(spark, edges)
+    assert comp == {i: 0 for i in range(64)}
+
+
+def test_two_components_and_orientation(spark):
+    # Edge orientation must not matter (symmetrized internally).
+    edges = [(5, 3), (3, 9), (20, 21), (22, 21)]
+    comp = _components(spark, edges)
+    assert comp == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_self_loop_and_duplicate_edges(spark):
+    edges = [(7, 7), (1, 2), (2, 1), (1, 2)]
+    comp = _components(spark, edges)
+    assert comp == {7: 7, 1: 1, 2: 1}
+
+
+def test_dedup_clusters_invariants(spark, sf_small):
+    rows = dedup_clusters(spark, sf_small).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+
+    # Every document appears exactly once.
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for cid, members in by_cluster.items():
+        ids = {m["doc_id"] for m in members}
+        # Cluster id is the smallest member, which is the one canonical.
+        assert cid == min(ids)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+    # The keep-list is smaller than the corpus iff any pair was found,
+    # and never larger.
+    n_keep = sum(r["is_canonical"] for r in rows)
+    assert n_keep == len(by_cluster) <= len(rows)
+
+
+def test_no_fixpoint_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(20)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
