@@ -46,10 +46,16 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     accelerates the fixpoint.
     """
     u, v = edges.columns[:2]
+    # Materialize the symmetrized edge list ONCE. Every round joins against
+    # `sym`; without this checkpoint each round would re-execute the whole
+    # upstream plan that produced the pairs (for dedup_clusters that is the
+    # full MinHash pipeline — shingling, signatures, banding, verification)
+    # — turning an O(rounds · |E|) loop into O(rounds · corpus-scan).
     sym = (
         edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
         .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     lab = (
         sym.select(F.col("src").alias("node"))
