@@ -71,10 +71,29 @@ FROM events
 GROUP BY user_id
 """
 
+
+# Stream-stream interval join: finite-input append-mode inner join equals
+# the batch interval join. Same micros truncation as the stream source.
+STREAM_VIEW_PURCHASE_JOIN = f"""
+SELECT p.user_id,
+    p.event_id AS purchase_id,
+    p.tsu AS purchase_ts,
+    p.value AS purchase_value,
+    v.event_id AS view_id,
+    v.tsu AS view_ts
+FROM {_EV} p
+JOIN {_EV} v
+  ON v.user_id = p.user_id
+ AND v.tsu >= p.tsu - INTERVAL 30 MINUTE
+ AND v.tsu <= p.tsu
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
 STREAMING_ORACLES = {
     "stream_hourly_rollup": STREAM_HOURLY_ROLLUP,
     "stream_sliding_value": STREAM_SLIDING_VALUE,
     "stream_session_stats": STREAM_SESSION_STATS,
     "stream_dedup_events": STREAM_DEDUP_EVENTS,
     "stream_user_running_max": STREAM_USER_RUNNING_MAX,
+    "stream_view_purchase_join": STREAM_VIEW_PURCHASE_JOIN,
 }

@@ -92,6 +92,7 @@ from .streaming import (
     stream_session_stats,
     stream_sliding_value,
     stream_user_running_max,
+    stream_view_purchase_join,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -136,6 +137,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_stats": stream_session_stats,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_running_max": stream_user_running_max,
+    "stream_view_purchase_join": stream_view_purchase_join,
     "media_catalog": media_catalog,
     "frame_sample": frame_sample,
     "audio_chunks": audio_chunks,

@@ -4,6 +4,7 @@ from .events import (
     stream_session_stats,
     stream_sliding_value,
     stream_user_running_max,
+    stream_view_purchase_join,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "stream_session_stats",
     "stream_sliding_value",
     "stream_user_running_max",
+    "stream_view_purchase_join",
 ]

@@ -261,3 +261,59 @@ def stream_user_running_max(
         F.max("max_value").alias("max_value"),
         F.max("n_events").alias("n_events"),
     )
+
+
+def stream_view_purchase_join(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to every view by
+    the same user in the preceding 30 minutes (streaming attribution — the
+    continuous twin of the batch as-of/range joins in operators/temporal).
+
+    Both inputs are watermarked and the join predicate bounds view_ts to
+    [purchase_ts - 30 min, purchase_ts]; together those let Spark expire
+    buffered rows from the join state store (a view older than
+    watermark + 30 min can never match a future purchase). Without the
+    time-range conjunct the state grows without bound — THE classic
+    stream-stream join production bug; with it, state is O(events per
+    30-minute window), independent of stream length.
+
+    Append-mode inner interval joins over a finite stream emit exactly the
+    batch join result, so the sink is SQL-oracle-checkable.
+    """
+    views = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user
+            AND view_ts >= purchase_ts - INTERVAL 30 MINUTES
+            AND view_ts <= purchase_ts
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "view_id", "view_ts",
+    )
+    return run_to_memory(joined, "append")

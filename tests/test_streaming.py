@@ -92,3 +92,40 @@ def test_running_max_state_across_batches(spark, sf_small, split_events_dir):
     )
     keys = ["user_id", "max_value", "n_events"]
     assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_interval_join_across_batches(spark, sf_small, split_events_dir):
+    """Stream-stream interval join must buffer views in the state store
+    until matching purchases arrive in LATER micro-batches: the 4-file
+    one-per-trigger run must emit exactly the batch interval join."""
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_view_purchase_join,
+    )
+
+    streamed = stream_view_purchase_join(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    ev = load_events(spark, sf_small)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    expected = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    )
+    keys = [
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "view_id", "view_ts",
+    ]
+    assert _rows(streamed, keys) == _rows(expected, keys)
+    assert len(streamed.collect()) > 0
