@@ -1,0 +1,152 @@
+"""Corpus-curation operators: eval-set decontamination, repetition scoring,
+semi-structured (JSON) extraction.
+
+These close the loop between dataset assembly (operators/sampling) and the
+quality surface (operators/textops): before training, a pipeline must (a)
+strip training documents that leak the evaluation split — n-gram-overlap
+decontamination as popularized by the GPT-3/PaLM data cards — and (b) score
+intra-document repetition, the strongest cheap predictor of low-quality
+machine-generated text (Gopher's repetition filters). The JSON extractor
+covers the semi-structured column every event pipeline carries.
+
+All pure JVM built-ins, replicated verbatim in oracles/curation.py (keep in
+lockstep).
+
+Scale notes (100 TB):
+- decontaminate_eval_overlap shuffles (doc_id, shingle) pairs hashed on
+  shingle ONCE; the eval side is reduced to a DISTINCT shingle set first.
+  Joining against a distinct set means each train shingle matches at most
+  one row — no k² posting-list expansion, unlike pairwise Jaccard, so no
+  DF cap is needed. Eval benchmarks are orders of magnitude smaller than
+  training corpora, so the distinct eval-shingle set is broadcast; if an
+  eval set ever outgrows the broadcast threshold, drop the hint and the
+  same plan runs as a shuffle join.
+- doc_repetition is shuffle-FREE: token and bigram multiplicities are
+  computed with array expressions inside the scan projection (array sizes
+  vs array_distinct sizes), so it scales exactly like the parquet scan.
+  Deliberately omitted: the modal-bigram count — per-array frequency
+  tables are O(len²) interpreted per row, and an exact mode needs an
+  explode + two shuffles; the dup ratios carry the filtering signal.
+- event_props_extract is one map-side JSON projection + one groupBy on a
+  low-cardinality key with partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_events, load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .dedup import _shingle_arrays
+from .sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
+
+# A train doc sharing at least this fraction of its distinct 3-gram
+# shingles with the eval split is flagged (near-copies of eval docs sit
+# near 1.0; ambient vocabulary overlap on this corpus has median ~0.09).
+CONTAM_THRESHOLD = 0.5
+
+
+def decontaminate_eval_overlap(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-TRAIN-document overlap with the test split's shingle set:
+    (doc_id, n_shingles, n_overlap, overlap_ratio, is_contaminated).
+
+    Uses the same hash-stable split as dataset_split (bucket < 80 → train,
+    >= 90 → test) and the same distinct word-3-gram shingles as the dedup
+    ladder, so the three surfaces compose: split → decontaminate → dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    sh = _shingle_arrays(docs).withColumn("bucket", bucket)
+
+    eval_shingles = (
+        sh.where(F.col("bucket") >= VAL_UPTO)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train_sh = sh.where(F.col("bucket") < TRAIN_UPTO).select(
+        "doc_id",
+        F.array_size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train_docs = sh.where(F.col("bucket") < TRAIN_UPTO).select(
+        "doc_id", F.array_size("shingles").cast("long").alias("n_shingles")
+    )
+    ratio = F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_shingles")
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= CONTAM_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+def doc_repetition(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Intra-document repetition: duplicate-token and duplicate-bigram
+    fractions, computed entirely with array expressions (no shuffle).
+
+    dup ratio = 1 - distinct/total; 0.0 for degenerate docs (< 2 tokens
+    yield no bigrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # Positional bigrams via the same shifted-slice zip_with shape as the
+    # dedup shingler (higher-order transform(sequence...) is interpreted
+    # and indexed; this walks each array once).
+    n_bg = "greatest(size(toks) - 1, 0)"
+    bigrams = F.expr(
+        f"zip_with(slice(toks, 1, {n_bg}), slice(toks, 2, {n_bg}),"
+        f" (x, y) -> concat(x, ' ', y))"
+    )
+    with_arrays = toks.select("doc_id", "toks", bigrams.alias("bigrams"))
+    n_tokens = F.array_size("toks").cast("long")
+    n_dtok = F.array_size(F.array_distinct("toks")).cast("long")
+    n_bigrams = F.array_size("bigrams").cast("long")
+    n_dbg = F.array_size(F.array_distinct("bigrams")).cast("long")
+
+    def dup(total: F.Column, distinct: F.Column) -> F.Column:
+        return F.when(
+            total > 0, F.lit(1.0) - distinct.cast("double") / total
+        ).otherwise(F.lit(0.0))
+
+    return with_arrays.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_dtok.alias("n_distinct_tokens"),
+        dup(n_tokens, n_dtok).alias("dup_token_ratio"),
+        n_bigrams.alias("n_bigrams"),
+        n_dbg.alias("n_distinct_bigrams"),
+        dup(n_bigrams, n_dbg).alias("dup_bigram_ratio"),
+    )
+
+
+def event_props_extract(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Extract the JSON payload carried by every event (props = '{"k": N}')
+    and aggregate it per event type — the semi-structured projection +
+    rollup every event pipeline needs. get_json_object is a JVM-side path
+    expression (no Python); the cast pins the cross-engine dtype."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )

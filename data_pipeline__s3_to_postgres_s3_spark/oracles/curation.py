@@ -1,0 +1,83 @@
+"""DuckDB oracles for operators/curation.py — keep in lockstep.
+
+Reuses the dedup shingle CTE (same distinct word 3-grams) and the
+sampling module's multiplicative-hash split so the oracle composes the
+surfaces exactly the way the Spark side does.
+"""
+
+from ..operators.curation import CONTAM_THRESHOLD
+from ..operators.sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
+from .llmops import _SHINGLES
+
+_BUCKET = f"(doc_id * {HASH_MULT}) % {HASH_MOD} % {SPLIT_BUCKETS}"
+
+DECONTAMINATE_EVAL_OVERLAP = f"""
+WITH {_SHINGLES},
+split AS (SELECT doc_id, {_BUCKET} AS bucket FROM documents),
+ev AS (
+    SELECT DISTINCT shingle
+    FROM sh JOIN split USING (doc_id) WHERE bucket >= {VAL_UPTO}
+),
+tr AS (
+    SELECT sh.doc_id, sh.shingle
+    FROM sh JOIN split USING (doc_id) WHERE bucket < {TRAIN_UPTO}
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM tr JOIN ev USING (shingle) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id)
+SELECT t.doc_id,
+    t.n_shingles,
+    CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+    CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_ratio,
+    CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles
+        >= {CONTAM_THRESHOLD} AS is_contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+DOC_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+arr AS (
+    SELECT doc_id, t,
+        list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || ' ' || t[i + 1]) AS bg
+    FROM toks
+)
+SELECT doc_id,
+    len(t) AS n_tokens,
+    len(list_distinct(t)) AS n_distinct_tokens,
+    CASE WHEN len(t) > 0
+         THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS dup_token_ratio,
+    len(bg) AS n_bigrams,
+    len(list_distinct(bg)) AS n_distinct_bigrams,
+    CASE WHEN len(bg) > 0
+         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         ELSE 0.0 END AS dup_bigram_ratio
+FROM arr
+"""
+
+# SUM(BIGINT) is HUGEINT in DuckDB → float64 in pandas; cast back so the
+# value-hash compares int with int (same trap as events_sessionized).
+EVENT_PROPS_EXTRACT = """
+SELECT event_type,
+    COUNT(*) AS n_events,
+    COUNT(k) AS n_with_k,
+    CAST(SUM(k) AS BIGINT) AS sum_k,
+    MIN(k) AS min_k,
+    MAX(k) AS max_k,
+    CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM (
+    SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+CURATION_ORACLES = {
+    "decontaminate_eval_overlap": DECONTAMINATE_EVAL_OVERLAP,
+    "doc_repetition": DOC_REPETITION,
+    "event_props_extract": EVENT_PROPS_EXTRACT,
+}

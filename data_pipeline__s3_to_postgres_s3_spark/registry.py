@@ -29,6 +29,11 @@ from .operators.relational import (
     top_revenue_customers_per_region,
     value_percentiles,
 )
+from .operators.curation import (
+    decontaminate_eval_overlap,
+    doc_repetition,
+    event_props_extract,
+)
 from .operators.graph import dedup_clusters
 from .operators.dedup import (
     dedup_exact,
@@ -79,6 +84,7 @@ from .pipelines.sql_script import (
     sql_script_public_holiday,
     sql_script_shipments,
 )
+from .oracles.curation import CURATION_ORACLES
 from .oracles.extensions import EXTENSION_ORACLES
 from .oracles.llmops import LLMOPS_ORACLES
 from .oracles.parity import PARITY_ORACLES
@@ -151,6 +157,9 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_sample": mixture_sample,
     "purchase_last_view_asof": purchase_last_view_asof,
     "error_bursts_range": error_bursts_range,
+    "decontaminate_eval_overlap": decontaminate_eval_overlap,
+    "doc_repetition": doc_repetition,
+    "event_props_extract": event_props_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -161,6 +170,7 @@ ORACLES: dict[str, str] = {
     **MULTIMODAL_ORACLES,
     **SAMPLING_ORACLES,
     **TEMPORAL_ORACLES,
+    **CURATION_ORACLES,
     # The SQL-script path (S5) must agree with the DataFrame operators to
     # the bit — the script twins therefore reuse the parity oracles
     # verbatim: same semantics, same column names, same dtypes.

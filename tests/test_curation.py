@@ -1,0 +1,88 @@
+"""Semantic + plan pins for the curation operators (operators/curation.py).
+
+Oracle parity runs in test_correctness_oracle via the registry; these tests
+pin the properties the oracle can't see: which docs get flagged, the
+shuffle-free repetition plan, broadcast of the eval shingle set, and the
+split-composition invariant (decontamination only ever touches train docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline__s3_to_postgres_s3_spark import plans
+from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+    decontaminate_eval_overlap,
+    doc_repetition,
+    event_props_extract,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import dataset_split
+
+
+def test_decontaminate_only_train_docs_and_both_classes(spark, sf_dir):
+    out = decontaminate_eval_overlap(spark, sf_dir)
+    split = dataset_split(spark, sf_dir)
+    train_ids = {r["doc_id"] for r in split.where("split = 'train'").collect()}
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} <= train_ids
+    flags = {r["is_contaminated"] for r in rows}
+    assert flags == {True, False}
+    for r in rows:
+        assert 0.0 <= r["overlap_ratio"] <= 1.0
+        assert r["n_overlap"] <= r["n_shingles"]
+
+
+def test_decontaminate_flags_exact_copy_of_eval_doc(spark, sf_dir):
+    """A train doc whose text equals an eval doc's text must be flagged —
+    the core decontamination guarantee."""
+    out = decontaminate_eval_overlap(spark, sf_dir)
+    split = dataset_split(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    labeled = docs.join(split.select("doc_id", "split"), "doc_id")
+    dup_across = (
+        labeled.where("split = 'train'")
+        .select("doc_id", "text")
+        .join(
+            labeled.where("split = 'test'").select(F.col("text").alias("t2")),
+            F.col("text") == F.col("t2"),
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    copies = {r["doc_id"] for r in dup_across.collect()}
+    if copies:  # corpus-dependent; sf0.01 does contain cross-split dupes
+        flagged = {
+            r["doc_id"] for r in out.where("is_contaminated").collect()
+        }
+        assert copies <= flagged
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    df = decontaminate_eval_overlap(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_doc_repetition_is_shuffle_free(spark, sf_dir):
+    df = doc_repetition(spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+
+
+def test_doc_repetition_bounds_and_signal(spark, sf_dir):
+    rows = doc_repetition(spark, sf_dir).collect()
+    assert all(0.0 <= r["dup_token_ratio"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["dup_bigram_ratio"] <= 1.0 for r in rows)
+    # Bigram repetition is strictly rarer than token repetition per doc.
+    assert all(
+        r["dup_bigram_ratio"] <= r["dup_token_ratio"] + 1e-9 for r in rows
+    )
+    # The tiny-vocabulary corpus repeats tokens in every doc.
+    assert any(r["dup_token_ratio"] > 0.5 for r in rows)
+
+
+def test_event_props_extract_accounts_for_every_event(spark, sf_dir):
+    out = event_props_extract(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in out) == ev.count()
+    for r in out:
+        assert r["n_with_k"] == r["n_events"]  # every props has k
+        assert r["min_k"] <= r["avg_k"] <= r["max_k"]
