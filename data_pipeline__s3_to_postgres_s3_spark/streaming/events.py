@@ -316,4 +316,8 @@ def stream_view_purchase_join(
         "user_id", "purchase_id", "purchase_ts", "purchase_value",
         "view_id", "view_ts",
     )
-    return run_to_memory(joined, "append")
+    # Stream-stream joins keep TWO keyed state stores per partition; at
+    # harness scale 32 partitions are pure per-micro-batch overhead (same
+    # sizing rule as stream_user_running_max). A production deployment
+    # raises this with key cardinality.
+    return run_to_memory(joined, "append", state_partitions=8)
