@@ -303,3 +303,74 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= NEARDUP_COSINE)
     )
+
+
+# --- K-means (Lloyd's) over the embedding corpus --------------------------
+
+KMEANS_K = 8  # seeds = vec_id < KMEANS_K (deterministic, engine-portable)
+KMEANS_ITERS = 2  # fixed unrolled iterations (oracle replicates exactly)
+
+
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, d2): nearest centroid per vector; d2 rounded 1e-6 so
+    float-accumulation order can't flip a boundary decision, min over
+    (d2, cell) structs for a deterministic tie-break."""
+    d2 = portable_round(F.expr(_D2.format(a="embedding", b="centroid")), IVF_ROUND)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", F.col("cell"), d2.alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2"))
+    )
+
+
+def embedding_kmeans(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: KMEANS_ITERS
+    assign/recompute rounds from deterministic seeds, then a final
+    assignment — (vec_id, cluster, d2).
+
+    This is the 'training' step IVF delegates to the label column
+    (ivf_centroids docstring): the genuinely iterative path. Physical
+    shape per round: centroids BROADCAST against the corpus scan (k·d
+    doubles — index metadata, same justification as IVF), assignment is a
+    map-side min over k alternatives, recompute is one groupBy(cell, dim)
+    with map-side partial aggregation. The corpus is never shuffled; each
+    round's driver materialization is k·d doubles, independent of N.
+    Rounds are data-independent (fixed count), so the oracle unrolls the
+    same arithmetic; a production build would iterate to centroid
+    convergence instead — same loop body."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    cents = spark.createDataFrame(
+        [(r["cell"], r["centroid"]) for r in seeds.collect()],
+        "cell bigint, centroid array<double>",
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, cents)
+        flat = (
+            emb.join(assigned.select("vec_id", "cell"), "vec_id")
+            .select("cell", F.posexplode("embedding").alias("dim", "val"))
+        )
+        cent = flat.groupBy("cell", "dim").agg(
+            portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias("c")
+        )
+        rows = (
+            cent.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+            .select("cell", F.expr("transform(sc, x -> x.c)").alias("centroid"))
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["cell"], r["centroid"]) for r in rows],
+            "cell bigint, centroid array<double>",
+        )
+    return _kmeans_assign(emb, cents).select(
+        "vec_id", F.col("cell").alias("cluster"), "d2"
+    )

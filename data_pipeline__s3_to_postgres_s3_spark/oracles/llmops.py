@@ -24,6 +24,8 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import (
     IVF_NPROBE,
+    KMEANS_ITERS,
+    KMEANS_K,
     LSH_BITS,
     LSH_TABLES,
     NEARDUP_BITS,
@@ -484,6 +486,54 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size,
 FROM labeled l JOIN sizes s USING (cluster_id)
 """
 
+
+# --- K-means (generated: KMEANS_ITERS unrolled Lloyd rounds) --------------
+# Same parity recipe as IVF: centroid components AND squared distances
+# rounded floor(x·1e6+0.5)/1e6 so AVG/fold accumulation order cannot flip
+# an assignment; ROW_NUMBER tie-break (d2 ASC, cell ASC) == Spark's
+# min(struct(d2, cell)).
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        "flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,"
+        " generate_subscripts(embedding, 1) AS dim FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell,"
+        f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid"
+        f" FROM embeddings WHERE vec_id < {KMEANS_K})",
+    ]
+    d2 = (
+        "FLOOR((" + _D2_SQL.format(a="e.embedding", b="c.centroid")
+        + ") * 1000000 + 0.5) / 1000000"
+    )
+    for i in range(KMEANS_ITERS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.vec_id, c.cell, {d2} AS d2"
+            f" FROM embeddings e, c{i} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cell, d2 FROM ("
+            f" SELECT vec_id, cell, d2, ROW_NUMBER() OVER ("
+            f" PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM s{i})"
+            f" WHERE rn = 1)"
+        )
+        if i < KMEANS_ITERS:
+            ctes.append(
+                f"c{i + 1} AS (SELECT cell, list(c ORDER BY dim) AS centroid"
+                f" FROM (SELECT a.cell, f.dim,"
+                f" FLOOR(AVG(f.val) * 1000000 + 0.5) / 1000000 AS c"
+                f" FROM a{i} a JOIN flat f USING (vec_id)"
+                f" GROUP BY a.cell, f.dim) GROUP BY cell)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cell AS cluster, d2 FROM a{KMEANS_ITERS}"
+    )
+
+
+EMBEDDING_KMEANS = _kmeans_oracle()
+
+
 LLMOPS_ORACLES = {
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
@@ -498,4 +548,5 @@ LLMOPS_ORACLES = {
     "similarity_lsh_topk": SIMILARITY_LSH_TOPK,
     "similarity_ivf_topk": SIMILARITY_IVF_TOPK,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS,
+    "embedding_kmeans": EMBEDDING_KMEANS,
 }

@@ -42,6 +42,7 @@ from .operators.dedup import (
     dedup_simhash,
 )
 from .operators.similarity import (
+    embedding_kmeans,
     embedding_neardup_pairs,
     similarity_bruteforce_topk,
     similarity_ivf_topk,
@@ -138,6 +139,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_kmeans": embedding_kmeans,
     "stream_hourly_rollup": stream_hourly_rollup,
     "stream_sliding_value": stream_sliding_value,
     "stream_session_stats": stream_session_stats,

@@ -54,3 +54,46 @@ def test_approx_results_subset_of_exact_scores(spark, sf_dir):
     }
     for r in similarity_ivf_topk(spark, sf_dir).collect():
         assert r["sim"] <= exact_best[r["query_id"]]
+
+
+def test_kmeans_assignment_invariants(spark, sf_dir):
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        KMEANS_K,
+        embedding_kmeans,
+    )
+
+    rows = embedding_kmeans(spark, sf_dir).collect()
+    emb_count = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == emb_count  # every vector assigned exactly once
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(KMEANS_K))
+    assert len(clusters) > 1  # the corpus doesn't collapse to one cell
+    assert all(r["d2"] >= 0 for r in rows)
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
+    """Lloyd's guarantee: total within-cluster d2 after the iterated
+    centroids <= inertia of the raw seed assignment."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        KMEANS_K,
+        _kmeans_assign,
+        embedding_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    cents = spark.createDataFrame(
+        [(r["cell"], r["centroid"]) for r in seeds.collect()],
+        "cell bigint, centroid array<double>",
+    )
+    seed_inertia = _kmeans_assign(emb, cents).agg(F.sum("d2")).collect()[0][0]
+    final_inertia = (
+        embedding_kmeans(spark, sf_dir).agg(F.sum("d2")).collect()[0][0]
+    )
+    assert final_inertia <= seed_inertia
