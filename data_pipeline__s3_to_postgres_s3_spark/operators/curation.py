@@ -46,6 +46,23 @@ from .sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
 # near 1.0; ambient vocabulary overlap on this corpus has median ~0.09).
 CONTAM_THRESHOLD = 0.5
 
+# quality_gate thresholds, set at ~p95 of the corpus distributions so each
+# gate actually rejects documents (dup_bigram p90 ≈ 0.065, p99 ≈ 0.104;
+# stopword p90 ≈ 0.106, p99 ≈ 0.167 at sf0.01).
+QG_MAX_DUP_BIGRAM = 0.08
+QG_MAX_STOPWORD = 0.12
+
+
+def _bigrams_expr(toks: str = "toks") -> F.Column:
+    """Positional bigrams via the same shifted-slice zip_with shape as the
+    dedup shingler (higher-order transform(sequence...) is interpreted and
+    indexed; this walks each array once)."""
+    n_bg = f"greatest(size({toks}) - 1, 0)"
+    return F.expr(
+        f"zip_with(slice({toks}, 1, {n_bg}), slice({toks}, 2, {n_bg}),"
+        f" (x, y) -> concat(x, ' ', y))"
+    )
+
 
 def decontaminate_eval_overlap(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
@@ -99,15 +116,7 @@ def doc_repetition(
     yield no bigrams)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    # Positional bigrams via the same shifted-slice zip_with shape as the
-    # dedup shingler (higher-order transform(sequence...) is interpreted
-    # and indexed; this walks each array once).
-    n_bg = "greatest(size(toks) - 1, 0)"
-    bigrams = F.expr(
-        f"zip_with(slice(toks, 1, {n_bg}), slice(toks, 2, {n_bg}),"
-        f" (x, y) -> concat(x, ' ', y))"
-    )
-    with_arrays = toks.select("doc_id", "toks", bigrams.alias("bigrams"))
+    with_arrays = toks.select("doc_id", "toks", _bigrams_expr().alias("bigrams"))
     n_tokens = F.array_size("toks").cast("long")
     n_dtok = F.array_size(F.array_distinct("toks")).cast("long")
     n_bigrams = F.array_size("bigrams").cast("long")
@@ -149,4 +158,58 @@ def event_props_extract(
             F.max("k").alias("max_k"),
             (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
         )
+    )
+
+
+def quality_gate(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The curation funnel as ONE query: per-document keep/drop verdict with
+    per-gate reasons — language identified (lang_ok), low bigram repetition
+    (rep_ok), sane stopword density (stop_ok), exact-dup canonical
+    (canonical_ok); keep = all four.
+
+    Deliberately NOT a join of the component queries: that plan scans
+    documents once per component and shuffles full rows per join. Instead
+    every gate expression (shared with textops/curation via the
+    *_expr helpers) is computed in a single scan projection, and the only
+    exchange is the window over md5(text) that elects exact-dup canonicals
+    — one scan + one shuffle regardless of how many gates are added."""
+    from .textops import lang_score_cols, predicted_lang_expr, stopword_ratio_expr
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = _bigrams_expr("split(text, ' ')")
+    n_bg = F.array_size(bigrams)
+    dup_bigram = F.when(
+        n_bg > 0,
+        F.lit(1.0) - F.array_size(F.array_distinct(bigrams)).cast("double") / n_bg,
+    ).otherwise(F.lit(0.0))
+
+    m = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        stopword_ratio_expr().alias("stopword_ratio"),
+        dup_bigram.alias("dup_bigram_ratio"),
+        *lang_score_cols(),
+    ).select(
+        "doc_id",
+        "content_hash",
+        "stopword_ratio",
+        "dup_bigram_ratio",
+        predicted_lang_expr().alias("predicted_lang"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    gated = m.select(
+        "doc_id",
+        (F.col("predicted_lang") != "und").alias("lang_ok"),
+        (F.col("dup_bigram_ratio") <= QG_MAX_DUP_BIGRAM).alias("rep_ok"),
+        (F.col("stopword_ratio") <= QG_MAX_STOPWORD).alias("stop_ok"),
+        (F.col("doc_id") == canon).alias("canonical_ok"),
+    )
+    return gated.withColumn(
+        "keep",
+        F.col("lang_ok") & F.col("rep_ok") & F.col("stop_ok")
+        & F.col("canonical_ok"),
     )

@@ -34,6 +34,44 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
+def stopword_ratio_expr() -> F.Column:
+    """Fraction of whitespace tokens that are STOPWORDS (same expression in
+    text_quality and quality_gate — keep in lockstep with the oracles)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.array_size(
+        F.expr(f"filter(split(text, ' '), x -> x IN ({stop_list}))")
+    )
+    return n_stop.cast("double") / F.array_size(_tokens())
+
+
+def lang_score_cols() -> list[F.Column]:
+    """score_<lang> marker-hit counts (inputs to predicted_lang_expr)."""
+    return [
+        F.array_size(
+            F.expr(
+                "filter(split(text, ' '), x -> x IN ({}))".format(
+                    ", ".join(f"'{w}'" for w in markers)
+                )
+            )
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def predicted_lang_expr() -> F.Column:
+    """argmax over the score_<lang> columns: greatest + chained when with a
+    deterministic tie-break (first lang alphabetically wins), 'und' when no
+    marker hits."""
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
 def text_quality(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -77,30 +115,14 @@ def lang_id(
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
-        *[
-            F.array_size(
-                F.expr(
-                    "filter(split(text, ' '), x -> x IN ({}))".format(
-                        ", ".join(f"'{w}'" for w in markers)
-                    )
-                )
-            ).alias(f"score_{lang}")
-            for lang, markers in LANG_MARKERS.items()
-        ],
+        *lang_score_cols(),
     )
-    # argmax via greatest + chained when (deterministic tie-break: first
-    # lang in alphabetical order wins among ties).
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when(
-            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
-        ).otherwise(pred)
     return scored.select(
         "doc_id",
         "actual_lang",
-        pred.alias("predicted_lang"),
+        predicted_lang_expr().alias("predicted_lang"),
         best.alias("best_score"),
     )
 

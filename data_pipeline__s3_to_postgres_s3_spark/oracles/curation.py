@@ -81,3 +81,44 @@ CURATION_ORACLES = {
     "doc_repetition": DOC_REPETITION,
     "event_props_extract": EVENT_PROPS_EXTRACT,
 }
+
+# quality_gate: the same single-pass funnel — reuses llmops' lang-ID SQL
+# fragments (_SCORE_COLS/_BEST/_PRED) and the bigram shape above so every
+# gate stays in lockstep with its standalone oracle.
+from ..operators.curation import QG_MAX_DUP_BIGRAM, QG_MAX_STOPWORD
+from .llmops import _BEST, _PRED, _SCORE_COLS, _STOP_LIST
+
+QUALITY_GATE = f"""
+WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+ar AS (
+    SELECT doc_id, text, t,
+        list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || ' ' || t[i + 1]) AS bg
+    FROM tk
+),
+m AS (
+    SELECT doc_id, md5(text) AS content_hash,
+        CAST(len(list_filter(t, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+            / len(t) AS stopword_ratio,
+        CASE WHEN len(bg) > 0
+             THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             ELSE 0.0 END AS dup_bigram_ratio,
+        {_SCORE_COLS}
+    FROM ar
+),
+wb AS (SELECT *, {_BEST} AS best_score FROM m),
+p AS (SELECT *, {_PRED} AS predicted_lang FROM wb),
+c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS canon FROM p)
+SELECT doc_id,
+    predicted_lang <> 'und' AS lang_ok,
+    dup_bigram_ratio <= {QG_MAX_DUP_BIGRAM} AS rep_ok,
+    stopword_ratio <= {QG_MAX_STOPWORD} AS stop_ok,
+    doc_id = canon AS canonical_ok,
+    (predicted_lang <> 'und'
+     AND dup_bigram_ratio <= {QG_MAX_DUP_BIGRAM}
+     AND stopword_ratio <= {QG_MAX_STOPWORD}
+     AND doc_id = canon) AS keep
+FROM c
+"""
+
+CURATION_ORACLES["quality_gate"] = QUALITY_GATE

@@ -33,6 +33,7 @@ from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
+    quality_gate,
 )
 from .operators.graph import dedup_clusters
 from .operators.dedup import (
@@ -162,6 +163,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "doc_repetition": doc_repetition,
     "event_props_extract": event_props_extract,
+    "quality_gate": quality_gate,
 }
 
 ORACLES: dict[str, str] = {

@@ -86,3 +86,39 @@ def test_event_props_extract_accounts_for_every_event(spark, sf_dir):
     for r in out:
         assert r["n_with_k"] == r["n_events"]  # every props has k
         assert r["min_k"] <= r["avg_k"] <= r["max_k"]
+
+
+def test_quality_gate_single_exchange_and_consistency(spark, sf_dir):
+    """The funnel must stay one-scan-one-shuffle AND agree with each
+    standalone component query gate-for-gate."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        QG_MAX_DUP_BIGRAM,
+        quality_gate,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import dedup_exact
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import lang_id
+
+    df = quality_gate(spark, sf_dir)
+    assert plans.exchange_count(df) == 1
+
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert {r["keep"] for r in rows.values()} == {True, False}
+    for r in rows.values():
+        assert r["keep"] == (
+            r["lang_ok"] and r["rep_ok"] and r["stop_ok"] and r["canonical_ok"]
+        )
+
+    # lang gate == standalone lang_id verdict
+    for lr in lang_id(spark, sf_dir).collect():
+        assert rows[lr["doc_id"]]["lang_ok"] == (lr["predicted_lang"] != "und")
+    # rep gate == standalone doc_repetition threshold
+    for rr in doc_repetition(spark, sf_dir).collect():
+        assert rows[rr["doc_id"]]["rep_ok"] == (
+            rr["dup_bigram_ratio"] <= QG_MAX_DUP_BIGRAM
+        )
+    # canonical gate == dedup_exact's elected canonical per content hash
+    canonical_ids = {
+        r["canonical_doc_id"] for r in dedup_exact(spark, sf_dir).collect()
+    }
+    for doc_id, r in rows.items():
+        assert r["canonical_ok"] == (doc_id in canonical_ids)
