@@ -122,3 +122,25 @@ FROM c
 """
 
 CURATION_ORACLES["quality_gate"] = QUALITY_GATE
+
+# shard_manifest: the kept corpus (quality_gate nested verbatim) bucketed
+# with the same split arithmetic, per-(split, lang) accounting. SUM(BIGINT)
+# → HUGEINT in DuckDB, so cast back (same trap as sum_k above).
+SHARD_MANIFEST = f"""
+WITH qg AS ({QUALITY_GATE}),
+kept AS (
+    SELECT d.doc_id, d.lang, d.text,
+        CASE WHEN {_BUCKET.replace('doc_id', 'd.doc_id')} < {TRAIN_UPTO} THEN 'train'
+             WHEN {_BUCKET.replace('doc_id', 'd.doc_id')} < {VAL_UPTO} THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents d JOIN qg ON qg.doc_id = d.doc_id AND qg.keep
+)
+SELECT split, lang,
+    COUNT(*) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+    CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM kept
+GROUP BY split, lang
+"""
+
+CURATION_ORACLES["shard_manifest"] = SHARD_MANIFEST

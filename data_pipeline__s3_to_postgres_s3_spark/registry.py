@@ -81,6 +81,7 @@ from .operators.windows import (
     events_running_totals,
     events_sessionized,
 )
+from .pipelines.shards import shard_manifest
 from .pipelines.sql_script import (
     sql_script_best_product,
     sql_script_public_holiday,
@@ -164,6 +165,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": doc_repetition,
     "event_props_extract": event_props_extract,
     "quality_gate": quality_gate,
+    "shard_manifest": shard_manifest,
 }
 
 ORACLES: dict[str, str] = {

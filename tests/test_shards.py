@@ -1,0 +1,60 @@
+"""Training-shard writer (pipelines/shards.py): layout, bounds, ordering.
+
+shard_manifest's value-parity runs in test_correctness_oracle; these tests
+pin the SINK properties a training launcher depends on: hive-partitioned
+directories, per-file record caps, doc_id order inside every file, and
+agreement between what was written and what the manifest promised.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from data_pipeline__s3_to_postgres_s3_spark.pipelines.shards import (
+    shard_manifest,
+    write_training_shards,
+)
+
+
+def test_shard_layout_bounds_order_and_manifest_agreement(
+    spark, sf_dir, tmp_path
+):
+    out = str(tmp_path / "shards")
+    cap = 50
+    write_training_shards(spark, sf_dir, out, max_records_per_file=cap)
+
+    # Hive-partitioned split=/lang= layout.
+    part_dirs = sorted(
+        os.path.relpath(p, out)
+        for p in glob.glob(f"{out}/split=*/lang=*")
+    )
+    assert part_dirs and all(
+        d.startswith("split=") and "/lang=" in d for d in part_dirs
+    )
+
+    files = glob.glob(f"{out}/split=*/lang=*/*.parquet")
+    written = 0
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id"])
+        assert t.num_rows <= cap  # maxRecordsPerFile respected
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids)  # doc_id-ordered within the file
+        written += t.num_rows
+
+    manifest = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in shard_manifest(spark, sf_dir).collect()
+    }
+    assert written == sum(manifest.values())
+    # Directory set == manifest key set.
+    assert {
+        (d.split("/")[0][6:], d.split("/")[1][5:]) for d in part_dirs
+    } == set(manifest)
+
+    # Round-trip read: partition columns come back, corpus is the kept set.
+    back = spark.read.parquet(out)
+    assert back.count() == written
+    assert {"split", "lang", "doc_id", "text"} <= set(back.columns)
