@@ -88,3 +88,36 @@ def event_type_hourly(
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def scd2_user_event_history(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: each user's
+    event_type history as versioned validity intervals — (user_id,
+    event_type, version, valid_from, valid_to, is_current).
+
+    The warehouse pattern the reference's full-refresh dims sidestep
+    (SURVEY.md §2.1 S9): instead of overwriting a dimension, keep one row
+    per attribute VALUE EPISODE. Built from the raw log with two windows
+    over the same (user_id → ts, event_id) partitioning — detect change
+    points with lag(), then lead() the next change's start into valid_to
+    (NULL = still current). ONE shuffle on user_id; both windows and the
+    change filter share it, and user_id is high-cardinality so the
+    per-partition sorts stay bounded at 100 TB."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    )
+    points = ev.withColumn("is_change", changed).where("is_change")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return points.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wc).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )

@@ -161,6 +161,28 @@ FROM events
 GROUP BY event_type
 """
 
+
+# SCD2 from the event change log: change points via LAG over the same
+# (user_id -> tsu, event_id) order, LEAD(valid_from) closes each episode.
+SCD2_USER_EVENT_HISTORY = f"""
+WITH pts AS (
+    SELECT user_id, event_type, tsu, event_id,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS is_change
+    FROM {_EV}
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+)
+SELECT user_id, event_type,
+    CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+    tsu AS valid_from,
+    LEAD(tsu) OVER w2 AS valid_to,
+    LEAD(tsu) OVER w2 IS NULL AS is_current
+FROM pts
+WHERE is_change = 1
+WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -172,4 +194,5 @@ EXTENSION_ORACLES = {
     "events_running_totals": EVENTS_RUNNING_TOTALS,
     "event_type_hourly": EVENT_TYPE_HOURLY,
     "value_percentiles": VALUE_PERCENTILES,
+    "scd2_user_event_history": SCD2_USER_EVENT_HISTORY,
 }

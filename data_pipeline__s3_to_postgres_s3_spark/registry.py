@@ -80,6 +80,7 @@ from .operators.windows import (
     event_type_hourly,
     events_running_totals,
     events_sessionized,
+    scd2_user_event_history,
 )
 from .pipelines.shards import shard_manifest
 from .pipelines.sql_script import (
@@ -128,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionized": events_sessionized,
     "events_running_totals": events_running_totals,
     "event_type_hourly": event_type_hourly,
+    "scd2_user_event_history": scd2_user_event_history,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
