@@ -226,3 +226,54 @@ def approx_aggregates(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
     )
+
+
+ORDER_STATUSES = ("F", "O", "P")  # pinned pivot columns (schema stability)
+
+
+def order_status_pivot(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Monthly order totals pivoted BY STATUS — the relational pivot via the
+    DataFrame pivot API (groupBy().pivot(values=...).agg()), vs the
+    reference's hand-written 12-way conditional-SUM (agg_public_holiday).
+    Passing the value list pins the output schema (no extra distinct scan
+    to discover columns) — mandatory at scale AND for a stable driver
+    contract. One shuffle on the group key; cents-exact sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    pivoted = (
+        orders.select(month.alias("month"), "o_orderstatus",
+                      cents(F.col("o_totalprice")).alias("cents"))
+        .groupBy("month")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.sum("cents"))
+    )
+    out = pivoted.select(
+        "month",
+        *[
+            (F.coalesce(F.col(s), F.lit(0)) / 100.0).alias(f"total_{s}")
+            for s in ORDER_STATUSES
+        ],
+    )
+    return out
+
+
+def order_status_unpivot(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The inverse surface: melt the pivoted frame back to long form via
+    DataFrame.unpivot (ids=month, values=total_*) — round-tripping proves
+    both directions preserve values. Zero-valued cells are kept (the pivot
+    materialized them), so the long form is month × status dense."""
+    wide = order_status_pivot(spark, sf_dir, cfg)
+    return wide.unpivot(
+        ids=["month"],
+        values=[f"total_{s}" for s in ORDER_STATUSES],
+        variableColumnName="status_col",
+        valueColumnName="total",
+    ).select(
+        "month",
+        F.expr("substring(status_col, 7)").alias("o_orderstatus"),
+        "total",
+    )

@@ -183,6 +183,33 @@ WHERE is_change = 1
 WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
 """
 
+
+# Pivot/unpivot: conditional cents-sums per status; the unpivot oracle is
+# the dense month x status long form (zero for empty cells, like the
+# materialized pivot).
+_STATUS_TOTAL = (
+    "COALESCE(SUM(CASE WHEN o_orderstatus = '{s}' THEN "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END), 0) / 100.0"
+)
+
+ORDER_STATUS_PIVOT = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    {_STATUS_TOTAL.format(s='F')} AS total_F,
+    {_STATUS_TOTAL.format(s='O')} AS total_O,
+    {_STATUS_TOTAL.format(s='P')} AS total_P
+FROM orders
+GROUP BY month
+"""
+
+ORDER_STATUS_UNPIVOT = f"""
+WITH wide AS ({ORDER_STATUS_PIVOT})
+SELECT month, 'F' AS o_orderstatus, total_F AS total FROM wide
+UNION ALL
+SELECT month, 'O', total_O FROM wide
+UNION ALL
+SELECT month, 'P', total_P FROM wide
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -195,4 +222,6 @@ EXTENSION_ORACLES = {
     "event_type_hourly": EVENT_TYPE_HOURLY,
     "value_percentiles": VALUE_PERCENTILES,
     "scd2_user_event_history": SCD2_USER_EVENT_HISTORY,
+    "order_status_pivot": ORDER_STATUS_PIVOT,
+    "order_status_unpivot": ORDER_STATUS_UNPIVOT,
 }

@@ -21,6 +21,8 @@ from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
+    order_status_pivot,
+    order_status_unpivot,
     cube_orders,
     customer_set_ops,
     distinct_aggregates,
@@ -126,6 +128,8 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
     "distinct_aggregates": distinct_aggregates,
+    "order_status_pivot": order_status_pivot,
+    "order_status_unpivot": order_status_unpivot,
     "events_sessionized": events_sessionized,
     "events_running_totals": events_running_totals,
     "event_type_hourly": event_type_hourly,
