@@ -277,3 +277,86 @@ def order_status_unpivot(
         F.expr("substring(status_col, 7)").alias("o_orderstatus"),
         "total",
     )
+
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-10 unshipped orders by
+    discounted revenue for one market segment.
+
+    Plan shape at scale: the segment filter prunes customers BEFORE the
+    join (pushed to the scan); the customer join carries no hint — AQE
+    broadcasts it at harness scale and falls back to a shuffle join when a
+    whole segment outgrows the broadcast threshold. The orders⋈lineitem
+    join shuffles on orderkey with both date filters pushed down, and the
+    top-10 is a TakeOrdered — no global sort materializes. Revenue uses
+    1e-4-cents integer accumulation (order-independent across
+    partitions)."""
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(
+            orders.join(
+                customer.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_c) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: revenue from orders where the
+    supplier and customer share a nation, per nation of one region, one
+    order-date year.
+
+    The join graph is a star with one extra equality (c_nationkey =
+    s_nationkey): region→nation is pinned broadcast (5/25 rows at any
+    scale); customer and supplier joins carry NO hint — at harness scale
+    AQE broadcasts them, at 100 TB (where a region's customers no longer
+    fit) the same plan degrades gracefully to shuffle joins instead of
+    OOMing on a forced broadcast. The one unavoidable big shuffle is
+    orders⋈lineitem on orderkey."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == F.col("c_custkey"))
+        .join(
+            supplier,
+            (li["l_suppkey"] == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev_c) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

@@ -210,6 +210,39 @@ UNION ALL
 SELECT month, 'P', total_P FROM wide
 """
 
+
+_REV = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+SHIPPING_PRIORITY = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+    SUM({_REV}) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-01'
+  AND l.l_shipdate > DATE '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n.n_name,
+    SUM({_REV}) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -222,6 +255,8 @@ EXTENSION_ORACLES = {
     "event_type_hourly": EVENT_TYPE_HOURLY,
     "value_percentiles": VALUE_PERCENTILES,
     "scd2_user_event_history": SCD2_USER_EVENT_HISTORY,
+    "shipping_priority": SHIPPING_PRIORITY,
+    "local_supplier_volume": LOCAL_SUPPLIER_VOLUME,
     "order_status_pivot": ORDER_STATUS_PIVOT,
     "order_status_unpivot": ORDER_STATUS_UNPIVOT,
 }

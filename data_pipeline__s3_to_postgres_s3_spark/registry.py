@@ -21,8 +21,10 @@ from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
+    local_supplier_volume,
     order_status_pivot,
     order_status_unpivot,
+    shipping_priority,
     cube_orders,
     customer_set_ops,
     distinct_aggregates,
@@ -128,6 +130,8 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
     "distinct_aggregates": distinct_aggregates,
+    "shipping_priority": shipping_priority,
+    "local_supplier_volume": local_supplier_volume,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
     "events_sessionized": events_sessionized,

@@ -80,3 +80,24 @@ def test_dedup_simhash_single_pass(spark, sf_dir):
     # Fallback tier contributes at most one join (SMJ statically; AQE may
     # demote it to broadcast once it sees the below-cap side is empty).
     assert plans.sortmerge_join_count(df) + plans.broadcast_join_count(df) <= 1
+
+
+def test_shipping_priority_pushdown_and_takeordered(spark, sf_dir):
+    df = QUERIES["shipping_priority"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "c_mktsegment" in pushed
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+    # top-10 must be TakeOrdered (no global sort materialization)
+    assert "TakeOrdered" in plans.simple_plan(df)
+
+
+def test_local_supplier_volume_prunes_and_pushes(spark, sf_dir):
+    df = QUERIES["local_supplier_volume"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "r_name" in pushed
+    assert "o_orderdate" in pushed
+    # region/nation stay broadcast; no lineitem column beyond the 4 needed
+    schemas = [s for s in plans.read_schemas(df) if "l_orderkey" in s]
+    assert schemas and all(s.count(":") == 4 for s in schemas)
+    assert plans.broadcast_join_count(df) >= 1
