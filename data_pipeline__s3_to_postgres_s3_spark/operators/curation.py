@@ -82,25 +82,28 @@ def decontaminate_eval_overlap(
         sh.where(F.col("bucket") >= VAL_UPTO)
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
+        .select("shingle", F.lit(1).alias("hit"))
     )
     train_sh = sh.where(F.col("bucket") < TRAIN_UPTO).select(
-        "doc_id",
-        F.array_size("shingles").cast("long").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+        "doc_id", F.explode("shingles").alias("shingle")
     )
-    hits = (
-        train_sh.join(F.broadcast(eval_shingles), "shingle")
+    # LEFT broadcast join + one aggregation: per-doc totals (shingles are
+    # already distinct per doc) and overlap counts fall out of the SAME
+    # pass — no separate hits join plus join-back, which would evaluate
+    # the shingling subtree a third time and shuffle doc_id twice.
+    counted = (
+        train_sh.join(F.broadcast(eval_shingles), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
     )
-    train_docs = sh.where(F.col("bucket") < TRAIN_UPTO).select(
-        "doc_id", F.array_size("shingles").cast("long").alias("n_shingles")
-    )
-    ratio = F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_shingles")
-    return train_docs.join(hits, "doc_id", "left").select(
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return counted.select(
         "doc_id",
         "n_shingles",
-        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        "n_overlap",
         ratio.alias("overlap_ratio"),
         (ratio >= CONTAM_THRESHOLD).alias("is_contaminated"),
     )
