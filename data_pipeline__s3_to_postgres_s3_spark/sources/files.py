@@ -81,3 +81,27 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     export — never do that at scale; default leaves parallelism alone."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_records_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ceil(n / target) files; returns the file count written.
+
+    The maintenance job every long-running ingest needs — streaming and
+    per-batch appends accrete tiny files whose open/footer overhead
+    eventually dominates scans. One count (metadata-cheap), one
+    repartition (round-robin, balanced output), one write. Partitioned
+    layouts should compact per partition directory instead so partition
+    pruning is preserved."""
+    import math
+
+    df = spark.read.parquet(in_dir)
+    n = df.count()
+    files = max(1, math.ceil(n / target_records_per_file))
+    df.repartition(files).write.mode("overwrite").parquet(out_dir)
+    return files

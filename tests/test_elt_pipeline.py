@@ -171,3 +171,19 @@ def test_incremental_slice_is_pushed_predicate(spark, sf_small):
         src, "o_orderkey", 1000
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(o_orderkey,1000" in plan
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from data_pipeline__s3_to_postgres_s3_spark.sources.files import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(frag)  # 40 tiny files
+    assert len(glob.glob(f"{frag}/*.parquet")) == 40
+    n_files = compact_parquet(spark, frag, out, target_records_per_file=4000)
+    assert n_files == 3
+    assert len(glob.glob(f"{out}/*.parquet")) == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
