@@ -360,3 +360,43 @@ def local_supplier_volume(
         .agg((F.sum(rev_c) / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def customer_churn_reconciliation(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """FULL OUTER reconciliation of customer activity between two periods:
+    every customer active in either year, classified retained / churned /
+    new with per-period order counts (zero-filled).
+
+    The outer-join surface the rest of the engine doesn't exercise —
+    reconciliation is its canonical production use (which keys exist on
+    which side). Both inputs pre-aggregate to one row per customer BEFORE
+    the join, so the full-outer shuffles |customers| rows, not |orders|;
+    date filters push to the orders scans."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def per_customer(year: int, alias: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            )
+            .groupBy(F.col("o_custkey").alias(f"{alias}_key"))
+            .agg(F.count(F.lit(1)).alias(f"n_{alias}"))
+        )
+
+    early = per_customer(1996, "early")
+    late = per_customer(2000, "late")
+    joined = early.join(
+        late, early["early_key"] == late["late_key"], "full_outer"
+    )
+    return joined.select(
+        F.coalesce("early_key", "late_key").alias("customer_key"),
+        F.coalesce("n_early", F.lit(0)).alias("n_early"),
+        F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        F.when(F.col("early_key").isNull(), "new")
+        .when(F.col("late_key").isNull(), "churned")
+        .otherwise("retained")
+        .alias("status"),
+    )

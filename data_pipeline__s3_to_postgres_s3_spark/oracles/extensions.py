@@ -243,6 +243,29 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name ASC
 """
 
+
+CUSTOMER_CHURN_RECONCILIATION = """
+WITH early AS (
+    SELECT o_custkey AS early_key, COUNT(*) AS n_early
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_custkey
+),
+late AS (
+    SELECT o_custkey AS late_key, COUNT(*) AS n_late
+    FROM orders
+    WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2001-01-01'
+    GROUP BY o_custkey
+)
+SELECT COALESCE(early_key, late_key) AS customer_key,
+    CAST(COALESCE(n_early, 0) AS BIGINT) AS n_early,
+    CAST(COALESCE(n_late, 0) AS BIGINT) AS n_late,
+    CASE WHEN early_key IS NULL THEN 'new'
+         WHEN late_key IS NULL THEN 'churned'
+         ELSE 'retained' END AS status
+FROM early FULL OUTER JOIN late ON early_key = late_key
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -255,6 +278,7 @@ EXTENSION_ORACLES = {
     "event_type_hourly": EVENT_TYPE_HOURLY,
     "value_percentiles": VALUE_PERCENTILES,
     "scd2_user_event_history": SCD2_USER_EVENT_HISTORY,
+    "customer_churn_reconciliation": CUSTOMER_CHURN_RECONCILIATION,
     "shipping_priority": SHIPPING_PRIORITY,
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME,
     "order_status_pivot": ORDER_STATUS_PIVOT,

@@ -21,6 +21,7 @@ from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
+    customer_churn_reconciliation,
     local_supplier_volume,
     order_status_pivot,
     order_status_unpivot,
@@ -130,6 +131,7 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
     "distinct_aggregates": distinct_aggregates,
+    "customer_churn_reconciliation": customer_churn_reconciliation,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
     "order_status_pivot": order_status_pivot,

@@ -37,3 +37,35 @@ def test_unpivot_round_trip_preserves_totals(spark, sf_dir):
     # dense long form: every (month, status) cell present
     n_months = long.select("month").distinct().count()
     assert long.count() == n_months * len(ORDER_STATUSES)
+
+
+def test_churn_reconciliation_accounts_for_all_active_customers(spark, sf_dir):
+    """Full-outer semantics: every customer active in either period appears
+    exactly once, statuses partition the keys, zero-fill is side-correct."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.relational import (
+        customer_churn_reconciliation,
+    )
+
+    rows = customer_churn_reconciliation(spark, sf_dir).collect()
+    keys = [r["customer_key"] for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows:
+        if r["status"] == "new":
+            assert r["n_early"] == 0 and r["n_late"] > 0
+        elif r["status"] == "churned":
+            assert r["n_early"] > 0 and r["n_late"] == 0
+        else:
+            assert r["status"] == "retained"
+            assert r["n_early"] > 0 and r["n_late"] > 0
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    active = (
+        orders.where(
+            "(o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01')"
+            " OR (o_orderdate >= '2000-01-01' AND o_orderdate < '2001-01-01')"
+        )
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == active
