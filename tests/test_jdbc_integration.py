@@ -86,3 +86,65 @@ def test_read_watermark_rejects_bad_identifiers(spark, tmp_path):
     target = _target(tmp_path, "t; DROP TABLE x")
     with pytest.raises(ValueError, match="identifier"):
         read_watermark(spark, target, "order_id")
+
+
+def test_stream_upsert_foreachbatch_merge(spark, tmp_path):
+    """Streaming update-mode aggregation upserted into Derby via
+    foreachBatch staging+MERGE: final table == batch aggregate, and
+    replaying the whole stream (fresh checkpoint) is idempotent."""
+    import tempfile
+
+    from data_pipeline__s3_to_postgres_s3_spark.streaming.events import (
+        read_events_stream,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.streaming.sinks import (
+        jdbc_upsert_writer,
+    )
+
+    sf_small = "/root/testdata/sf0.001"
+    target = _target(tmp_path, "user_counts")
+    staging = _target(tmp_path, "user_counts_stg")
+
+    agg = (
+        read_events_stream(spark, sf_small)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    # Pre-create the target with the right (quoted) schema, empty.
+    empty = agg.sparkSession.createDataFrame(
+        [], "user_id bigint, n_events bigint, max_value double"
+    )
+    empty.write.format("jdbc").options(**target.options()).mode("overwrite").save()
+
+    def run_once():
+        with tempfile.TemporaryDirectory(prefix="ckpt_up_") as ckpt:
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(jdbc_upsert_writer(target, staging, "user_id"))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_once()
+    got = spark.read.format("jdbc").options(**target.options()).load()
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+
+    want = (
+        load_events(spark, sf_small)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+    key = lambda df: sorted(
+        (r["user_id"], r["n_events"], r["max_value"]) for r in df.collect()
+    )
+    assert key(got) == key(want)
+
+    # Replay from scratch: MERGE makes it idempotent (no dup keys, same rows)
+    run_once()
+    got2 = spark.read.format("jdbc").options(**target.options()).load()
+    assert key(got2) == key(want)
