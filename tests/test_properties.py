@@ -145,3 +145,41 @@ def test_watermark_filter_idempotent(spark, ids, wm):
     assert sorted(r["pk"] for r in twice.collect()) == sorted(
         i for i in ids if i > wm
     )
+
+
+@PROP_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed CC == a trivial sequential union-find on the same edge
+    list (random small graphs incl. self-loops, dupes, both orientations)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for node in parent:
+        root = find(node)
+        want.setdefault(root, set()).add(node)
+    # canonical labeling: min member of each component
+    want_label = {n: min(members) for members in want.values() for n in members}
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want_label
