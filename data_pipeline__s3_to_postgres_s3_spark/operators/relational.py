@@ -362,6 +362,127 @@ def local_supplier_volume(
     )
 
 
+LARGE_ORDER_QTY = 250  # sum(l_quantity) threshold (p99-ish at any sf)
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: aggregate lineitem quantities
+    per order, keep orders above a fixed threshold, join back to orders and
+    customer for the descriptive columns.
+
+    The aggregate-filter-join-back pattern: the HAVING on the aggregated
+    frame makes the join-back side tiny (p99 tail), so AQE broadcasts it
+    against orders/customer at any scale — the plan never shuffles orders
+    on a speculative key. Quantities accumulate as integer cents
+    (order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_c"))
+        .where(F.col("qty_c") > LARGE_ORDER_QTY * 100)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(
+            customer.select("c_custkey", "c_name"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("total_price"),
+            (F.col("qty_c") / 100.0).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+
+
+def nation_trade_volume(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    nations (both directions), per supplier-nation / customer-nation pair
+    and ship year.
+
+    Join graph: lineitem⋈orders shuffles on orderkey (the one big
+    shuffle); supplier and customer carry their nation names in via
+    broadcast nation; the nation-pair predicate prunes after both small
+    joins, BEFORE the big one, so only the two nations' rows reach the
+    orderkey shuffle. year() is a cast-free date part both engines agree
+    on."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(TRADE_NATION_A, TRADE_NATION_B)
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(supplier, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(rev_c) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+PART_SIZES = (1, 5, 9, 14, 20, 28, 36, 45)  # pinned size buckets
+
+
+def parts_supplier_stats(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity per part attribute: how many
+    distinct suppliers ship each (brand, type, size) bucket, excluding one
+    brand and one type family.
+
+    The part-side filters are pushed to the part scan (brand/type/size are
+    plain predicates); the join with lineitem shuffles on partkey with no
+    broadcast hint — part is ~1/7 of lineitem at every scale, so a forced
+    broadcast would OOM at 100 TB while AQE still elects one at harness
+    scale. COUNT(DISTINCT) runs as Spark's two-phase partial-distinct
+    aggregate."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(*PART_SIZES)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
 def customer_churn_reconciliation(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -192,6 +192,112 @@ def winnow_fingerprints(
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-document top-k terms by TF·IDF (idf = ln(N/df)).
+
+    Shape at scale: terms explode map-side; ONE shuffle on (doc_id, term)
+    for tf, ONE on term for df. The vocabulary table (term → df) is tiny
+    relative to the corpus (Heaps' law), so the tf⋈df join is
+    AQE-broadcast; N arrives as a literal (1-row count scalar, same
+    precedent as the watermark reads). Ranking ties break (score DESC,
+    term ASC); scores round to 1e-6 BEFORE ranking so the cross-engine
+    order is identical despite last-ulp ln() differences (the proven
+    k-means/IVF parity recipe)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    score = F.floor(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6 + 0.5
+    ) / 1e6
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+BIGRAM_TOP_K = 10
+
+
+def top_bigrams_per_lang(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Top-10 word bigrams per language by corpus frequency — the n-gram
+    statistics pass a corpus-analysis pipeline runs before mixture design.
+
+    Bigrams are built array-side (zip_with over two slices — no
+    self-join), explode map-side, then ONE shuffle on (lang, bigram) and a
+    top-k window on the post-aggregate frame (|langs| × |vocab²∩corpus|
+    rows, far smaller than the corpus). Pure integer counts — bit-stable
+    across engines — with (count DESC, bigram ASC) tie-break."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split("text", " ").alias("t"))
+    n_bi = "greatest(size(t) - 1, 0)"
+    bigrams = F.expr(
+        f"zip_with(slice(t, 1, {n_bi}), slice(t, 2, {n_bi}),"
+        f" (x, y) -> concat(x, ' ', y))"
+    )
+    counted = (
+        toks.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BIGRAM_TOP_K)
+        .select("lang", "rank", "bigram", "n")
+    )
+
+
+def normalize_text(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics,
+    collapse runs of whitespace, trim — the cleanup pass upstream of exact
+    dedup (doc_fingerprint's normalized_hash uses the lighter variant).
+
+    Pure regexp_replace chain — whole-stage codegen, no shuffle at all
+    (the narrowest possible plan: scan → project). The token recount
+    guards the empty-string edge (split('') yields [''], not [])."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.when(norm == "", 0)
+        .otherwise(F.array_size(F.split(norm, " ")))
+        .alias("n_tokens_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
 def doc_fingerprint(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

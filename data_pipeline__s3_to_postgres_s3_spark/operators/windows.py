@@ -18,9 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_events
+from ..catalog import load_events, load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..functions.numeric import cents
+from ..functions.numeric import cents, portable_round
 
 SESSION_GAP_MINUTES = 30
 
@@ -87,6 +87,40 @@ def event_type_hourly(
             (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+def monthly_revenue_growth(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Month-over-month revenue: lag() for the previous month's total,
+    growth percentage, and a trailing 3-month moving average — the
+    lag/lead + frame-spec window surface over a calendar series.
+
+    Scale note: the window is UNPARTITIONED by design — it runs on the
+    POST-AGGREGATE frame (one row per month, dozens of rows at any data
+    scale), so the single-partition sort is a constant-size driver of the
+    plan, not a bottleneck. The heavy input (orders) is reduced by the
+    groupBy's map-side partial aggregation first; revenue accumulates as
+    integer cents so the doubles that reach the window are exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    w = Window.orderBy("month")
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    prev = F.lag("rev_c").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        (prev / 100.0).alias("prev_revenue"),
+        portable_round(
+            (F.col("rev_c") - prev) * 100.0 / prev, 4
+        ).alias("growth_pct"),
+        portable_round(
+            F.sum("rev_c").over(frame3) / F.count(F.lit(1)).over(frame3) / 100.0,
+            2,
+        ).alias("trailing_3mo_avg"),
     )
 
 

@@ -266,6 +266,74 @@ SELECT COALESCE(early_key, late_key) AS customer_key,
 FROM early FULL OUTER JOIN late ON early_key = late_key
 """
 
+LARGE_VOLUME_ORDERS = """
+WITH big AS (
+    SELECT l_orderkey,
+           SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_c
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING qty_c > 25000
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+    o_totalprice AS total_price,
+    qty_c / 100.0 AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+NATION_TRADE_VOLUME = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INT) AS l_year,
+    SUM({_REV}) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+PARTS_SUPPLIER_STATS = """
+SELECT p_brand, p_type, p_size,
+    COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+# growth_pct uses the same floor(x*f + 0.5)/f formula on BOTH sides — for
+# negative growth that's round-half-toward-+inf, which is fine for parity
+# because the formulas are identical.
+MONTHLY_REVENUE_GROWTH = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+    FROM orders
+    GROUP BY month
+)
+SELECT month,
+    rev_c / 100.0 AS revenue,
+    LAG(rev_c) OVER w / 100.0 AS prev_revenue,
+    FLOOR((rev_c - LAG(rev_c) OVER w) * 100.0 / LAG(rev_c) OVER w
+          * 10000 + 0.5) / 10000 AS growth_pct,
+    FLOOR(CAST(SUM(rev_c) OVER f AS DOUBLE) / COUNT(*) OVER f
+          / 100.0 * 100 + 0.5) / 100 AS trailing_3mo_avg
+FROM monthly
+WINDOW w AS (ORDER BY month),
+       f AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -283,4 +351,8 @@ EXTENSION_ORACLES = {
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME,
     "order_status_pivot": ORDER_STATUS_PIVOT,
     "order_status_unpivot": ORDER_STATUS_UNPIVOT,
+    "large_volume_orders": LARGE_VOLUME_ORDERS,
+    "nation_trade_volume": NATION_TRADE_VOLUME,
+    "parts_supplier_stats": PARTS_SUPPLIER_STATS,
+    "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH,
 }

@@ -534,6 +534,75 @@ def _kmeans_oracle() -> str:
 EMBEDDING_KMEANS = _kmeans_oracle()
 
 
+# TF·IDF: score rounded to 1e-6 BEFORE ranking on both sides so last-ulp
+# ln() differences between DuckDB and the JVM can't flip the top-k order
+# (the proven k-means/IVF parity recipe).
+TFIDF_TOP_TERMS = """
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, tf, df,
+        FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+            / 1000000 AS tfidf
+    FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+"""
+
+TOP_BIGRAMS_PER_LANG = """
+WITH toks AS (
+    SELECT lang, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+    SELECT lang,
+        unnest([t[i] || ' ' || t[i + 1]
+                FOR i IN range(1, greatest(len(t), 1))]) AS bigram
+    FROM toks
+),
+counted AS (
+    SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram
+)
+SELECT lang, CAST(rank AS INT) AS rank, bigram, CAST(n AS BIGINT) AS n
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY n DESC, bigram ASC
+    ) AS rank
+    FROM counted
+)
+WHERE rank <= 10
+"""
+
+NORMALIZE_TEXT = """
+WITH norm AS (
+    SELECT doc_id, text,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+             'g'), ' +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+    CASE WHEN norm_text = '' THEN 0
+         ELSE CAST(len(string_split(norm_text, ' ')) AS INT) END
+        AS n_tokens_norm,
+    norm_text <> text AS changed
+FROM norm
+"""
+
 LLMOPS_ORACLES = {
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
@@ -549,4 +618,7 @@ LLMOPS_ORACLES = {
     "similarity_ivf_topk": SIMILARITY_IVF_TOPK,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS,
     "embedding_kmeans": EMBEDDING_KMEANS,
+    "tfidf_top_terms": TFIDF_TOP_TERMS,
+    "top_bigrams_per_lang": TOP_BIGRAMS_PER_LANG,
+    "normalize_text": NORMALIZE_TEXT,
 }

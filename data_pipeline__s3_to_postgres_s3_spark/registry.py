@@ -22,9 +22,12 @@ from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
     customer_churn_reconciliation,
+    large_volume_orders,
     local_supplier_volume,
+    nation_trade_volume,
     order_status_pivot,
     order_status_unpivot,
+    parts_supplier_stats,
     shipping_priority,
     cube_orders,
     customer_set_ops,
@@ -73,7 +76,10 @@ from .operators.temporal import (
 from .operators.textops import (
     doc_fingerprint,
     lang_id,
+    normalize_text,
     text_quality,
+    tfidf_top_terms,
+    top_bigrams_per_lang,
     winnow_fingerprints,
 )
 from .operators.watermark import (
@@ -85,6 +91,7 @@ from .operators.windows import (
     event_type_hourly,
     events_running_totals,
     events_sessionized,
+    monthly_revenue_growth,
     scd2_user_event_history,
 )
 from .pipelines.shards import shard_manifest
@@ -134,6 +141,10 @@ QUERIES: dict[str, QueryFn] = {
     "customer_churn_reconciliation": customer_churn_reconciliation,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
+    "large_volume_orders": large_volume_orders,
+    "nation_trade_volume": nation_trade_volume,
+    "parts_supplier_stats": parts_supplier_stats,
+    "monthly_revenue_growth": monthly_revenue_growth,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
     "events_sessionized": events_sessionized,
@@ -142,6 +153,9 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_user_event_history": scd2_user_event_history,
     "text_quality": text_quality,
     "lang_id": lang_id,
+    "tfidf_top_terms": tfidf_top_terms,
+    "top_bigrams_per_lang": top_bigrams_per_lang,
+    "normalize_text": normalize_text,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
     "dedup_exact": dedup_exact,

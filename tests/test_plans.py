@@ -101,3 +101,37 @@ def test_local_supplier_volume_prunes_and_pushes(spark, sf_dir):
     schemas = [s for s in plans.read_schemas(df) if "l_orderkey" in s]
     assert schemas and all(s.count(":") == 4 for s in schemas)
     assert plans.broadcast_join_count(df) >= 1
+
+
+def test_normalize_text_is_shuffle_free(spark, sf_dir):
+    """Canonicalization is scan→project — ANY exchange here is a bug."""
+    df = QUERIES["normalize_text"](spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+    schemas = plans.read_schemas(df)
+    assert schemas and all("lang" not in s for s in schemas)  # pruned
+
+
+def test_large_volume_orders_joins_back_small(spark, sf_dir):
+    """Q18 shape: ONE shuffle (the per-order agg); the join-back of the
+    HAVING tail must not shuffle orders/customer on a speculative key."""
+    df = QUERIES["large_volume_orders"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
+    assert "TakeOrdered" in plans.simple_plan(df)
+
+
+def test_nation_trade_volume_prunes_nations_before_big_shuffle(spark, sf_dir):
+    """Q7 shape: the nation-pair predicate reaches the nation scan, and the
+    supplier/customer enrichments stay broadcast — only the two trading
+    nations' rows enter the orderkey shuffle."""
+    df = QUERIES["nation_trade_volume"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "n_name" in pushed
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_monthly_revenue_growth_window_after_aggregate(spark, sf_dir):
+    """The unpartitioned window must consume the POST-aggregate frame: one
+    shuffle for the monthly groupBy + one single-partition exchange for
+    the calendar window — never a whole-table global sort."""
+    df = QUERIES["monthly_revenue_growth"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
