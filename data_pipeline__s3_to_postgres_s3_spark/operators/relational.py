@@ -483,6 +483,72 @@ def parts_supplier_stats(
     )
 
 
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: average yearly revenue lost
+    if orders below 20% of a part's average quantity were no longer taken.
+
+    The correlated-scalar-subquery shape (per-part AVG threshold)
+    decorrelated into aggregate + join-back — the rewrite Catalyst itself
+    applies to correlated subqueries, made explicit. The threshold compare
+    is INTEGER algebra (5·qty·cnt < sum_qty in cents) — no float division
+    anywhere near the filter, so the row set is bit-stable across engines
+    and partition orders. One shuffle on partkey for the AVG; the join-back
+    reuses that partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    price_c = cents(F.col("l_extendedprice"))
+    return (
+        li.join(per_part, li["l_partkey"] == F.col("avg_key"))
+        # l_quantity < 0.2 * avg  ⟺  5·qty_c·cnt < sum_qty_c  (exact ints)
+        .where(5 * cents(F.col("l_quantity")) * F.col("cnt") < F.col("sum_qty_c"))
+        .agg(
+            portable_round(F.sum(price_c) / 100.0 / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+HISTOGRAM_BUCKET_WIDTH = 5.0
+
+
+def value_histogram(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Fixed-width histogram of event values per event type — the
+    distribution profile a quality dashboard reads.
+
+    bucket = floor(value / width): one double division + floor, identical
+    IEEE ops in both engines, then a plain integer groupBy — ONE shuffle
+    on (event_type, bucket), map-side combined. The alternative (ntile
+    over the raw stream) would global-sort the fact table; bucketing by
+    value keeps the plan scan→partial-agg→exchange→agg at any scale."""
+    from ..catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / HISTOGRAM_BUCKET_WIDTH)
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * HISTOGRAM_BUCKET_WIDTH).alias("bucket_low"),
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def customer_churn_reconciliation(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

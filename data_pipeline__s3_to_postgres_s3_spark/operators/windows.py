@@ -124,6 +124,84 @@ def monthly_revenue_growth(
     )
 
 
+N_DECILES = 10
+
+
+def customer_revenue_deciles(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-nation customer revenue deciles via ntile(): each nation's
+    customers ranked by lifetime revenue and cut into 10 equal buckets,
+    then per-bucket accounting (count, revenue range).
+
+    Scale posture: ntile is PARTITIONED by nation — the global-ntile
+    alternative is a single-partition sort of every customer and is
+    exactly what this query avoids. Revenue pre-aggregates per customer
+    before the window (|customers| rows, not |orders|), and the final
+    per-bucket rollup reuses the window's nation partitioning. Ties break
+    (revenue DESC, custkey ASC) so bucket assignment is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev_c")
+    )
+    enriched = per_cust.join(
+        customer.select("c_custkey", "c_nationkey"),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_c"), F.asc("c_custkey")
+    )
+    return (
+        enriched.withColumn("decile", F.ntile(N_DECILES).over(w))
+        .groupBy("n_name", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.max("rev_c") / 100.0).alias("max_revenue"),
+            (F.min("rev_c") / 100.0).alias("min_revenue"),
+            (F.sum("rev_c") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+SLIDE_WINDOW_SEC = 3600
+SLIDE_STEP_SEC = 900
+
+
+def events_sliding_value(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Batch twin of the streaming sliding-window aggregate: 1-hour windows
+    every 15 minutes per event type (each event lands in exactly
+    window/slide = 4 windows).
+
+    Uses F.window(ts, '1 hour', '15 minutes') — Spark expands the slide
+    assignment map-side (a 4-way explode of (window, value)), then ONE
+    shuffle on (window, event_type). Window starts align to the epoch in
+    both engines, so the oracle reconstructs the same 4 starts with
+    integer floor arithmetic."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def scd2_user_event_history(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -334,6 +334,77 @@ WINDOW w AS (ORDER BY month),
        f AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
+SMALL_QUANTITY_REVENUE = """
+WITH per_part AS (
+    SELECT l_partkey AS avg_key,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_qty_c,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT
+    FLOOR((CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) / 100.0 / 7.0) * 100 + 0.5) / 100 AS avg_yearly,
+    COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN per_part ON l_partkey = avg_key
+WHERE 5 * CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * cnt < sum_qty_c
+"""
+
+VALUE_HISTOGRAM = """
+SELECT event_type,
+    CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+    CAST(FLOOR(value / 5.0) AS BIGINT) * 5.0 AS bucket_low,
+    COUNT(*) AS n,
+    MIN(value) AS min_value,
+    MAX(value) AS max_value
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 5.0) AS BIGINT)
+"""
+
+CUSTOMER_REVENUE_DECILES = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders
+    GROUP BY o_custkey
+),
+ranked AS (
+    SELECT n_name, rev_c,
+           NTILE(10) OVER (
+               PARTITION BY n_name ORDER BY rev_c DESC, c_custkey ASC
+           ) AS decile
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, decile,
+    COUNT(*) AS n_customers,
+    MAX(rev_c) / 100.0 AS max_revenue,
+    MIN(rev_c) / 100.0 AS min_revenue,
+    CAST(SUM(rev_c) AS BIGINT) / 100.0 AS total_revenue
+FROM ranked
+GROUP BY n_name, decile
+"""
+
+# Batch twin of the streaming sliding window: 1-hour windows sliding every
+# 15 minutes — each event contributes to exactly 4 aligned window starts.
+EVENTS_SLIDING_VALUE = f"""
+WITH contrib AS (
+    SELECT time_bucket(INTERVAL 15 MINUTE, tsu)
+               - k * INTERVAL 15 MINUTE AS window_start,
+           event_type, value
+    FROM {_EV}, (SELECT UNNEST([0, 1, 2, 3]) AS k)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM contrib
+GROUP BY window_start, event_type
+"""
+
 EXTENSION_ORACLES = {
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
@@ -355,4 +426,8 @@ EXTENSION_ORACLES = {
     "nation_trade_volume": NATION_TRADE_VOLUME,
     "parts_supplier_stats": PARTS_SUPPLIER_STATS,
     "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH,
+    "small_quantity_revenue": SMALL_QUANTITY_REVENUE,
+    "value_histogram": VALUE_HISTOGRAM,
+    "customer_revenue_deciles": CUSTOMER_REVENUE_DECILES,
+    "events_sliding_value": EVENTS_SLIDING_VALUE,
 }

@@ -29,6 +29,8 @@ from .operators.relational import (
     order_status_unpivot,
     parts_supplier_stats,
     shipping_priority,
+    small_quantity_revenue,
+    value_histogram,
     cube_orders,
     customer_set_ops,
     distinct_aggregates,
@@ -88,7 +90,9 @@ from .operators.watermark import (
     orders_without_lineitems_anti,
 )
 from .operators.windows import (
+    customer_revenue_deciles,
     event_type_hourly,
+    events_sliding_value,
     events_running_totals,
     events_sessionized,
     monthly_revenue_growth,
@@ -145,6 +149,10 @@ QUERIES: dict[str, QueryFn] = {
     "nation_trade_volume": nation_trade_volume,
     "parts_supplier_stats": parts_supplier_stats,
     "monthly_revenue_growth": monthly_revenue_growth,
+    "small_quantity_revenue": small_quantity_revenue,
+    "value_histogram": value_histogram,
+    "customer_revenue_deciles": customer_revenue_deciles,
+    "events_sliding_value": events_sliding_value,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
     "events_sessionized": events_sessionized,
