@@ -549,6 +549,146 @@ def value_histogram(
     )
 
 
+def order_priority_lateness(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q4-shaped priority check: orders in one quarter that had at
+    least one lineitem shipped >30 days after the order date, counted per
+    priority class. (The synthetic lineitem has no commit/receipt dates, so
+    lateness is l_shipdate > o_orderdate + 30 days.)
+
+    The EXISTS subquery is a LEFT SEMI join with a cross-table residual
+    predicate — Spark dedupes order keys inside the join, so no DISTINCT
+    pass. The quarter filter prunes orders BEFORE the shuffle, and only
+    (l_orderkey, l_shipdate) is read from the fact table."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: orders per
+    customer (urgent orders excluded INSIDE the outer join so zero-order
+    customers survive), then the histogram of those counts.
+
+    Two aggregations, each map-side combined: the first shuffles
+    |customers| keys, the second shuffles the ~dozens of distinct counts.
+    The left join keeps customers with no qualifying orders (c_count=0) —
+    the row the inner-join rewrite would silently drop."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q21-shaped blame query: on finished multi-supplier orders,
+    the supplier who was the ONLY late one (ship >30 days after order),
+    counted per supplier.
+
+    The classic EXISTS/NOT-EXISTS pair over the fact table decorrelates
+    into ONE grouped pass per order: distinct-supplier count, distinct-late
+    count, and (via the n_late=1 filter) the unique late supplier — three
+    correlated subqueries collapsed into one shuffle on l_orderkey. The
+    supplier/nation joins run on the tiny filtered tail, dims left to
+    AQE's broadcast decision."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late"),
+            F.max("late_supp").alias("blame_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.join(supplier, F.col("blame_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def dormant_high_value_customers(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q22-shaped dormancy scan: customers whose balance exceeds the
+    global positive-balance average but placed no orders since 2000-06-01,
+    rolled up per nation. (The synthetic set has no order-less customers,
+    so the classic "no orders ever" becomes a recency cutoff — the shape a
+    churn-risk report actually runs.)
+
+    The scalar subquery is a 1-row aggregate CROSS-JOIN-broadcast into the
+    filter — no collect(), no driver round-trip, and the compare is exact
+    integer algebra (bal_c·n > sum_c). The NOT EXISTS is a LEFT ANTI join
+    against the date-pruned orders projection."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    bal_c = cents(F.col("c_acctbal"))
+    pos = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal_c).alias("sum_c"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-06-01"))
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(pos))
+        .where(bal_c * F.col("n_pos") > F.col("sum_c"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_c) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
 def customer_churn_reconciliation(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

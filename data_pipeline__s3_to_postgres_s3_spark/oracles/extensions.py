@@ -389,6 +389,73 @@ FROM ranked
 GROUP BY n_name, decile
 """
 
+ORDER_PRIORITY_LATENESS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+SUPPLIERS_KEPT_WAITING = """
+WITH per_order AS (
+    SELECT l_orderkey,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                            THEN l_suppkey END) AS n_late,
+        MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                 THEN l_suppkey END) AS blame_supp
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON blame_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+"""
+
+DORMANT_HIGH_VALUE_CUSTOMERS = """
+WITH pos AS (
+    SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_c,
+           COUNT(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, COUNT(*) AS numcust,
+    CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+        AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey, pos
+WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * n_pos > sum_c
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY n_name
+"""
+
 # Batch twin of the streaming sliding window: 1-hour windows sliding every
 # 15 minutes — each event contributes to exactly 4 aligned window starts.
 EVENTS_SLIDING_VALUE = f"""
@@ -430,4 +497,8 @@ EXTENSION_ORACLES = {
     "value_histogram": VALUE_HISTOGRAM,
     "customer_revenue_deciles": CUSTOMER_REVENUE_DECILES,
     "events_sliding_value": EVENTS_SLIDING_VALUE,
+    "order_priority_lateness": ORDER_PRIORITY_LATENESS,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION,
+    "suppliers_kept_waiting": SUPPLIERS_KEPT_WAITING,
+    "dormant_high_value_customers": DORMANT_HIGH_VALUE_CUSTOMERS,
 }

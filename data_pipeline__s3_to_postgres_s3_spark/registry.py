@@ -22,6 +22,8 @@ from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
     customer_churn_reconciliation,
+    customer_order_distribution,
+    dormant_high_value_customers,
     large_volume_orders,
     local_supplier_volume,
     nation_trade_volume,
@@ -30,6 +32,8 @@ from .operators.relational import (
     parts_supplier_stats,
     shipping_priority,
     small_quantity_revenue,
+    order_priority_lateness,
+    suppliers_kept_waiting,
     value_histogram,
     cube_orders,
     customer_set_ops,
@@ -153,6 +157,10 @@ QUERIES: dict[str, QueryFn] = {
     "value_histogram": value_histogram,
     "customer_revenue_deciles": customer_revenue_deciles,
     "events_sliding_value": events_sliding_value,
+    "order_priority_lateness": order_priority_lateness,
+    "customer_order_distribution": customer_order_distribution,
+    "suppliers_kept_waiting": suppliers_kept_waiting,
+    "dormant_high_value_customers": dormant_high_value_customers,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
     "events_sessionized": events_sessionized,
