@@ -603,6 +603,33 @@ SELECT doc_id, norm_text,
 FROM norm
 """
 
+# PII scrub: the IDENTICAL patterns (common Java-regex/RE2 subset) applied
+# via DuckDB's RE2 — 'g' flag to match Spark's replace-all semantics.
+from ..operators.pii import PII_PATTERNS  # noqa: E402
+
+
+def _pii_sql() -> str:
+    clean = "text"
+    for _, pattern, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pattern}', '{token}', 'g')"
+    counts = ",\n        ".join(
+        f"len(regexp_extract_all(text, '{pattern}')) AS n_{name}"
+        for name, pattern, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH scrubbed AS (
+    SELECT doc_id,
+        {clean} AS clean_text,
+        {counts}
+    FROM documents
+)
+SELECT *, ({total}) > 0 AS has_pii FROM scrubbed
+"""
+
+
+PII_SCRUB = _pii_sql()
+
 LLMOPS_ORACLES = {
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
@@ -621,4 +648,5 @@ LLMOPS_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS,
     "top_bigrams_per_lang": TOP_BIGRAMS_PER_LANG,
     "normalize_text": NORMALIZE_TEXT,
+    "pii_scrub": PII_SCRUB,
 }

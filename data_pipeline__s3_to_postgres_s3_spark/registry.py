@@ -69,6 +69,7 @@ from .operators.multimodal import (
     media_catalog,
     media_features,
 )
+from .operators.pii import pii_scrub
 from .operators.sampling import (
     corpus_stats,
     dataset_split,
@@ -172,6 +173,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": tfidf_top_terms,
     "top_bigrams_per_lang": top_bigrams_per_lang,
     "normalize_text": normalize_text,
+    "pii_scrub": pii_scrub,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
     "dedup_exact": dedup_exact,
