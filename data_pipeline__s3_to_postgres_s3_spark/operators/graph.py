@@ -120,3 +120,41 @@ def dedup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Quality-aware cluster collapse: within each near-dup cluster keep
+    the BEST document (longest text, doc_id tie-break), not the smallest
+    id — the policy real curation uses, since near-dup members differ and
+    truncation is the usual defect. Emits the per-document keep decision
+    plus the kept doc each loser maps to (the redirect table a corpus
+    rewrite needs).
+
+    One window over cluster_id computes rank and winner together — the
+    sort is per-cluster (bounded by cluster size), reusing the clusters'
+    partitioning; no global sort, no extra shuffle beyond the n_chars
+    join-back."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir, cfg).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("kept_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "n_chars",
+            (F.col("rn") == 1).alias("keep"),
+            "kept_doc_id",
+        )
+    )

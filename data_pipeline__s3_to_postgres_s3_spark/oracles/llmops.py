@@ -487,6 +487,20 @@ FROM labeled l JOIN sizes s USING (cluster_id)
 """
 
 
+# Quality-aware cluster collapse: the full clusters oracle nested as a CTE,
+# winner = (n_chars DESC, doc_id ASC) per cluster — same window as Spark.
+DEDUP_KEEP_BEST = f"""
+WITH clusters AS ({DEDUP_CLUSTERS})
+SELECT c.doc_id, c.cluster_id, c.cluster_size, d.n_chars,
+    ROW_NUMBER() OVER w = 1 AS keep,
+    FIRST_VALUE(c.doc_id) OVER w AS kept_doc_id
+FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+WINDOW w AS (
+    PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id ASC
+)
+"""
+
+
 # --- K-means (generated: KMEANS_ITERS unrolled Lloyd rounds) --------------
 # Same parity recipe as IVF: centroid components AND squared distances
 # rounded floor(x·1e6+0.5)/1e6 so AVG/fold accumulation order cannot flip
@@ -640,6 +654,7 @@ LLMOPS_ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_clusters": DEDUP_CLUSTERS,
+    "dedup_keep_best": DEDUP_KEEP_BEST,
     "similarity_bruteforce_topk": SIMILARITY_BRUTEFORCE_TOPK,
     "similarity_lsh_topk": SIMILARITY_LSH_TOPK,
     "similarity_ivf_topk": SIMILARITY_IVF_TOPK,

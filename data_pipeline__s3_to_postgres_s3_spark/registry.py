@@ -49,7 +49,7 @@ from .operators.curation import (
     event_props_extract,
     quality_gate,
 )
-from .operators.graph import dedup_clusters
+from .operators.graph import dedup_clusters, dedup_keep_best
 from .operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
@@ -181,6 +181,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
