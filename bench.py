@@ -42,28 +42,39 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    per_query: dict[str, float] = {}
+    # Per-query fault isolation: a single failing query records an "err"
+    # entry instead of aborting the run — the bench must ALWAYS emit its
+    # JSON line (losing a whole round's numbers to one AnalysisException is
+    # a harness defect, not a measurement).
+    per_query: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in QUERIES.items():
         if name in EXCLUDE:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            msg = f"{type(exc).__name__}: {exc}"[:300]
+            per_query[name] = {"err": msg}
+            errors[name] = msg
+            print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": infer_sf(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": infer_sf(sf_dir),
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    print(json.dumps(out))
     spark.stop()
 
 

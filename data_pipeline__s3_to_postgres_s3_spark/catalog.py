@@ -58,19 +58,37 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with a proper TIMESTAMP ``ts``.
+def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-timestamp column to TIMESTAMP (LTZ) regardless of
+    the encoding the producer wrote — external data arrives in whatever
+    layout the source chose (cf. the reference's S7 ingestion contract,
+    tripdata_monthly_metrics.py:54-87):
 
-    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark only
-    reads via the nanosAsLong legacy conf; nanos are truncated to micros
-    (matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncation).
+    - ``bigint``: parquet TIMESTAMP(NANOS) read under the nanosAsLong legacy
+      conf. Truncated to micros with integer DIV (int64 nanos exceed the
+      double mantissa; matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+    - ``timestamp_ntz``: parquet timestamp[us] with isAdjustedToUTC=false.
+      Cast to TIMESTAMP — wall-clock-preserving under the UTC session tz
+      pinned by ``_ensure_utc``, so results are oracle-identical.
+    - ``timestamp``: already LTZ; passthrough.
+
+    Every events consumer (batch AND streaming) goes through this one
+    helper so a driver-side re-encode of the testdata can never split the
+    engine into per-query behaviors again.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = load_table(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # Integer DIV, not float division — int64 nanos exceed double mantissa.
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    dt = dict(ev.dtypes)[col]
+    if dt == "bigint":
+        ev = ev.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        ev = ev.withColumn(col, F.col(col).cast("timestamp"))
     return ev
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a proper TIMESTAMP ``ts`` (see ``normalize_event_ts``
+    for the encodings accepted)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

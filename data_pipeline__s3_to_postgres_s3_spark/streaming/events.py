@@ -38,46 +38,70 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
+from ..catalog import normalize_event_ts
 from ..functions.numeric import cents
 
 SESSION_GAP = "30 minutes"
 _SINK_IDS = itertools.count()
 
-# Explicit stream schema (file streams cannot infer). ts is TIMESTAMP(NANOS)
-# in the driver parquet, readable only as long under the nanosAsLong legacy
-# conf — declared LongType here, truncated to micros below (identical to the
-# batch path in catalog.load_events).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+_TS_DTYPES: dict[str, DataType] = {
+    "bigint": LongType(),  # legacy TIMESTAMP(NANOS) under nanosAsLong
+    "timestamp_ntz": TimestampNTZType(),  # parquet timestamp[us], no tz
+    "timestamp": TimestampType(),  # parquet timestamp[us] UTC-adjusted
+}
+
+
+def events_stream_schema(ts_dtype: str) -> StructType:
+    """Explicit stream schema (file streams cannot infer). The physical
+    type of ``ts`` depends on how the producer encoded it, so the schema is
+    built from the encoding actually found on disk — see
+    ``read_events_stream``."""
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", _TS_DTYPES[ts_dtype], True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    """File-source events stream with ``ts`` normalized to TIMESTAMP (LTZ).
+
+    The encoding of ``ts`` is detected by a batch schema read first (a
+    parquet footer read — no data scan): declaring LongType against a
+    timestamp[us] file would reinterpret micros as nanos and silently shrink
+    every timestamp 1000×, so the stream schema MUST follow the file. The
+    same ``normalize_event_ts`` helper as the batch path then maps whatever
+    was found to TIMESTAMP, keeping batch and streaming consumers
+    encoding-identical by construction."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    glob = "events*.parquet"
+    ts_dtype = dict(
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).dtypes
+    )["ts"]
+    reader = spark.readStream.schema(events_stream_schema(ts_dtype))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # The file stream source requires a DIRECTORY basePath; select the one
     # events file (or a multi-file drop zone) via pathGlobFilter.
-    ev = reader.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ev = reader.option("pathGlobFilter", glob).parquet(sf_dir)
+    return normalize_event_ts(ev)
 
 
 def run_to_memory(
