@@ -1,0 +1,101 @@
+"""Timestamp-encoding invariance: every events consumer must return
+IDENTICAL results whatever physical layout the producer wrote for ``ts``.
+
+Round 3 post-mortem: the driver re-encoded events.parquet from
+TIMESTAMP(NANOS)-as-int64 to timestamp[us] (TIMESTAMP_NTZ to Spark) and six
+queries silently broke — the streaming reader's hardcoded LongType schema
+reinterpreted micros as nanos (every timestamp shrank 1000×) and
+``unix_micros`` rejected NTZ outright. This module rewrites the same 1000
+events in all three encodings and pins result equality across them for the
+batch AND streaming consumers, so a driver-side re-encode can never again
+split the engine into per-encoding behaviors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
+    error_bursts_range,
+    purchase_last_view_asof,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
+    event_type_hourly,
+    events_sessionized,
+)
+from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+    stream_hourly_rollup,
+    stream_user_running_max,
+)
+
+ENCODINGS = ("nanos_int64", "micros_ntz", "micros_utc")
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(spark, sf_small, tmp_path_factory):
+    """The sf0.001 events table re-encoded three ways, one directory each
+    (the queries take an sf_dir containing events.parquet)."""
+    # Read once via the engine loader (LTZ, UTC session) then down-convert.
+    pdf = load_events(spark, sf_small).toPandas()
+    # toPandas under a UTC session yields tz-naive datetime64[us] wall-clock
+    # values; treat them as UTC instants for the tz-adjusted variant.
+    naive = pdf["ts"]
+    dirs: dict[str, str] = {}
+    variants = {
+        "nanos_int64": pa.array(
+            naive.astype("datetime64[ns]").astype("int64"), type=pa.int64()
+        ),
+        "micros_ntz": pa.array(naive.astype("datetime64[us]")),
+        "micros_utc": pa.array(
+            naive.dt.tz_localize("UTC"), type=pa.timestamp("us", tz="UTC")
+        ),
+    }
+    base = tmp_path_factory.mktemp("ts_encodings")
+    for name, ts_arr in variants.items():
+        cols = {c: pa.array(pdf[c]) for c in pdf.columns if c != "ts"}
+        table = pa.table({**cols, "ts": ts_arr}).select(list(pdf.columns))
+        d = base / name
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+        dirs[name] = str(d)
+    return dirs
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(v) for v in row) for row in (r for r in df.collect())
+    )
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        load_events,
+        event_type_hourly,
+        events_sessionized,
+        error_bursts_range,
+        purchase_last_view_asof,
+        stream_hourly_rollup,
+        stream_user_running_max,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_encoding_invariance(spark, encoded_dirs, query):
+    results = {
+        name: _rows(query(spark, d)) for name, d in encoded_dirs.items()
+    }
+    ref = results["micros_ntz"]
+    assert len(ref) > 0
+    for name in ENCODINGS:
+        assert results[name] == ref, f"{query.__name__} differs under {name}"
+
+
+def test_loader_always_yields_ltz(spark, encoded_dirs):
+    """Every consumer downstream assumes TIMESTAMP (LTZ) — pin the dtype."""
+    for name, d in encoded_dirs.items():
+        dt = dict(load_events(spark, d).dtypes)["ts"]
+        assert dt == "timestamp", f"{name}: ts is {dt}, want timestamp"
