@@ -203,40 +203,65 @@ def similarity_ivf_topk(
     nlist, not hardware."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     # Materialize the centroid table (nlist × d doubles — index METADATA,
-    # built once, reused across queries in a real deployment). Leaving it
-    # lazy re-runs the posexplode+groupBy subtree in every branch that
-    # touches it: 7 shuffle exchanges instead of 3 (tools/plan_report.py).
-    cent_rows = ivf_centroids(emb).collect()
-    cents = spark.createDataFrame(
-        [(r["cell"], r["centroid"]) for r in cent_rows],
-        "cell int, centroid array<double>",
+    # built once, reused across queries in a real deployment; the build is
+    # one corpus pass whose groupBy partial-aggregates map-side to nlist·d
+    # rows). Inline it as a LITERAL array-of-structs: cell assignment and
+    # probe selection then become per-row array expressions — no crossJoin,
+    # no re-aggregation, no corpus self-join on vec_id. The old
+    # crossJoin+groupBy+join formulation paid 5 exchanges incl. an N×N
+    # sort-merge join; this plan's only exchange is the final top-k window
+    # (r02: 18.6 s → see BENCH_r04).
+    cent_rows = sorted(ivf_centroids(emb).collect(), key=lambda r: r["cell"])
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(r["cell"]).cast("int").alias("cell"),
+                F.array(*[F.lit(c) for c in r["centroid"]]).alias("centroid"),
+            )
+            for r in cent_rows
+        ]
     )
-    d2 = portable_round(F.expr(_D2.format(a="embedding", b="centroid")), IVF_ROUND)
 
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "norm", "cell", d2.alias("d2")
+    def cell_d2(s: F.Column) -> F.Column:
+        diff = F.zip_with(
+            F.col("embedding"),
+            s["centroid"],
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return portable_round(
+            F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), IVF_ROUND
+        )
+
+    # (d2, cell) structs per centroid; struct ordering = (d2 ASC, cell ASC),
+    # so array_min IS the deterministic nearest cell and array_sort+slice
+    # ARE the nprobe nearest cells — identical tie-breaks to the previous
+    # min-struct / row_number formulation, bit-identical d2 via the same
+    # portable rounding (the oracle replicates both).
+    dists = F.transform(
+        cents,
+        lambda s: F.struct(cell_d2(s).alias("d2"), s["cell"].alias("cell")),
     )
-    # nearest cell per corpus vector: min over (d2, cell) — deterministic.
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-        .join(emb, "vec_id")
+    scored = emb.withColumn("dists", dists)
+    assigned = scored.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.array_min("dists")["cell"].alias("cell"),
     )
     # each query probes its IVF_NPROBE nearest cells.
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (
         scored.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_embedding"),
             F.col("norm").alias("q_norm"),
-            "cell",
-            "d2",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort("dists"), 1, IVF_NPROBE),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
         )
-        .withColumn("cell_rank", F.row_number().over(wq))
-        .where(F.col("cell_rank") <= IVF_NPROBE)
-        .drop("d2", "cell_rank")
     )
     pairs = assigned.join(F.broadcast(probes), "cell").where(
         F.col("vec_id") != F.col("query_id")

@@ -143,14 +143,16 @@ def winnow_fingerprints(
     minimal hash — guarantees any shared substring of length ≥ w+k-1
     yields a shared fingerprint, with density ~2/(w+1) of all grams.
 
-    Execution shape: grams explode map-side; ONE window function (min over
-    a w-row frame, partitioned by doc, ordered by gram position) selects
-    the fingerprints; distinct compacts. The shuffle carries (doc_id,
-    hash, pos) longs only. The fingerprint table is what joins against a
-    corpus index for plagiarism/near-dup lookup at scale — selectivity is
-    tuned by w, independent of doc length."""
-    from pyspark.sql import Window
-
+    Execution shape: ZERO shuffles. Winnowing is doc-local (the window
+    never crosses a document), so the whole k-gram → hash → sliding-min →
+    distinct chain runs as array expressions inside one projection; only
+    the final (small, ~2/(w+1)-density) fingerprint set explodes into
+    rows. The earlier formulation posexploded every gram and paid an
+    exchange + sort for a window min plus a second exchange for distinct —
+    pure overhead for a per-doc computation (r02: 34.6 s → see BENCH_r04).
+    The fingerprint table is what joins against a corpus index for
+    plagiarism/near-dup lookup at scale — selectivity is tuned by w,
+    independent of doc length."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n_grams = f"greatest(size(t) - {WINNOW_K - 1}, 0)"
@@ -159,36 +161,27 @@ def winnow_fingerprints(
         f" (x, y) -> concat(x, ' ', y)), slice(t, 3, {n_grams}),"
         f" (x, y) -> concat(x, ' ', y))"
     )
-    hashed = (
-        toks.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select(
-            "doc_id",
-            "pos",
-            F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            (F.col("h") * WINNOW_POS_SPAN + F.col("pos")).alias("key"),
-        )
+    # Packed (hash, pos) sort keys, one per gram, in position order.
+    keys = F.transform(
+        grams,
+        lambda g, i: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
+        * WINNOW_POS_SPAN
+        + i.cast("long"),
     )
-    # Trailing positions see truncated (<w) windows — harmless extra
-    # fingerprints; the oracle uses the identical ROWS frame.
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
+    # Sliding min over the next w keys. Trailing positions see truncated
+    # (<w) windows — harmless extra fingerprints; the oracle uses the
+    # identical ROWS frame semantics.
+    with_keys = toks.select("doc_id", keys.alias("keys"))
+    mins = F.transform(
+        F.col("keys"),
+        lambda _, i: F.array_min(F.slice(F.col("keys"), i + 1, WINNOW_W)),
     )
-    return (
-        hashed.select("doc_id", F.min("key").over(w).alias("fp_key"))
-        .distinct()
-        .select(
-            "doc_id",
-            (F.col("fp_key") / WINNOW_POS_SPAN).cast("long").alias("fingerprint"),
-            (F.col("fp_key") % WINNOW_POS_SPAN).cast("long").alias("pos"),
-        )
+    return with_keys.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp_key")
+    ).select(
+        "doc_id",
+        (F.col("fp_key") / WINNOW_POS_SPAN).cast("long").alias("fingerprint"),
+        (F.col("fp_key") % WINNOW_POS_SPAN).cast("long").alias("pos"),
     )
 
 
