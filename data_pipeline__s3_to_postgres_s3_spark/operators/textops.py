@@ -227,6 +227,138 @@ def tfidf_top_terms(
     )
 
 
+# Shared-fingerprint pair mining over the winnowed index (the MOSS
+# pipeline's candidate stage): DF-capped so one boilerplate fingerprint
+# can't quadratically explode the self-join — same guard philosophy as
+# NGRAM_DF_CAP / SIMHASH_BUCKET_CAP in the dedup ladder.
+WINNOW_DUP_MIN_SHARED = 5
+WINNOW_DUP_DF_CAP = 64
+
+
+def winnow_dup_candidates(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Document pairs sharing ≥ WINNOW_DUP_MIN_SHARED winnowing
+    fingerprints — the candidate stage a plagiarism / near-dup pipeline
+    runs over the fingerprint index winnow_fingerprints builds (Schleimer
+    et al. 2003 §5: shared fingerprints ⇒ shared substrings of length
+    ≥ w+k-1).
+
+    Scale shape: the only expansion is the equi-join on fingerprint, and
+    every fingerprint is DF-capped first (fingerprints appearing in more
+    than WINNOW_DUP_DF_CAP docs are boilerplate — dropped, like the
+    dedup ladder's guards), so per-key candidate volume is ≤ cap² and
+    total work is Σ df² over surviving keys — bucketed, never |D|².
+    Distinct (doc, fingerprint) before the join: positions don't matter
+    for candidacy, and collapsing them first keeps the join input minimal."""
+    fps = (
+        winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") <= WINNOW_DUP_DF_CAP)
+        .select("fingerprint")
+    )
+    kept = fps.join(rare, "fingerprint")
+    pairs = kept.select("fingerprint", F.col("doc_id").alias("doc_a")).join(
+        kept.select("fingerprint", F.col("doc_id").alias("doc_b")),
+        "fingerprint",
+    ).where(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_DUP_MIN_SHARED)
+    )
+
+
+# Okapi BM25 (Robertson/Spärck Jones; the Lucene/Elasticsearch default
+# ranking function) — standard constants.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Fixed query workload over the synthetic corpus vocabulary (deterministic,
+# oracle-replicable — the same role the vec_id<8 query set plays for the
+# similarity operators).
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "join"),
+    1: ("window", "agg", "stream"),
+    2: ("vector", "scan"),
+    3: ("sort", "merge", "batch"),
+}
+
+
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Top-10 documents per query by Okapi BM25 — the lexical retrieval
+    primitive a curation pipeline uses for targeted corpus search and
+    nearest-neighbor-free decontamination sweeps.
+
+    Scale shape: the corpus scan filters to QUERY terms immediately after
+    the map-side explode (a few dozen terms), so every aggregate downstream
+    of the scan is tiny: tf is one shuffle of matched (doc, term) rows, df
+    reduces tf, and both the df table and the query map broadcast. Corpus
+    size enters only through the initial scan; N and avgdl arrive as
+    2-scalar literals (watermark-read precedent).
+
+    Determinism: each per-term score is rounded to integer MICRO-UNITS
+    (floor(x·1e6 + 0.5) as bigint) before the per-query SUM, making the
+    aggregate integer-exact and order-independent — the cents() recipe —
+    and insulating the ranking from cross-engine ln() ulps (the tfidf
+    precedent). Ties break (score DESC, doc_id ASC)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.array_size(F.split("text", " "))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q})
+    terms = docs.select(
+        "doc_id",
+        F.array_size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).where(F.col("term").isin(all_terms))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    micro = F.floor(idf * tf_part * 1e6 + F.lit(0.5)).cast("long")
+
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "query_id int, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(qmap), "term")
+        .select("query_id", "doc_id", micro.alias("micro"))
+        .groupBy("query_id", "doc_id")
+        .agg((F.sum("micro") / 1e6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 BIGRAM_TOP_K = 10
 
 

@@ -456,6 +456,30 @@ SELECT doc_id, fp_key // 1048576 AS fingerprint, fp_key % 1048576 AS pos
 FROM winnowed
 """
 
+def _winnow_dup_sql() -> str:
+    """Shared-fingerprint pairs over the winnow oracle, with the SAME
+    DF cap / min-shared constants as the Spark operator (imported, so the
+    two can never drift)."""
+    from ..operators.textops import WINNOW_DUP_DF_CAP, WINNOW_DUP_MIN_SHARED
+
+    return f"""
+WITH base AS ({WINNOW_FINGERPRINTS}),
+fps AS (SELECT DISTINCT doc_id, fingerprint FROM base),
+rare AS (
+    SELECT fingerprint FROM fps
+    GROUP BY fingerprint HAVING COUNT(*) <= {WINNOW_DUP_DF_CAP}
+),
+kept AS (SELECT doc_id, fingerprint FROM fps JOIN rare USING (fingerprint))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM kept a JOIN kept b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_DUP_MIN_SHARED}
+"""
+
+
+WINNOW_DUP_CANDIDATES = _winnow_dup_sql()
+
 # Near-dup clusters: transitive closure of the MinHash-LSH pairs. The
 # recursive CTE computes, for every node, the set of reachable nodes over
 # the symmetrized edge list (UNION gives set semantics, so it terminates);
@@ -644,11 +668,70 @@ SELECT *, ({total}) > 0 AS has_pii FROM scrubbed
 
 PII_SCRUB = _pii_sql()
 
+
+def _bm25_sql() -> str:
+    """BM25 oracle built from the SAME query workload constants as the
+    Spark operator (operators/textops.py BM25_QUERIES) so the two can
+    never drift. Arithmetic association mirrors the Spark expression tree
+    token-for-token; per-term scores quantize to integer micro-units
+    before the SUM, making the per-query aggregate order-independent."""
+    from ..operators.textops import BM25_B, BM25_K1, BM25_QUERIES, BM25_TOP_K
+
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+terms AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+    FROM terms
+    WHERE term IN ({in_list})
+    GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qmap(query_id, term) AS (VALUES {qvals}),
+scored AS (
+    SELECT query_id, doc_id,
+        SUM(CAST(FLOOR(
+            ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5))
+            * ((tf * ({BM25_K1} + 1)) /
+               (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)))
+            * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS score
+    FROM tf JOIN df USING (term) JOIN qmap USING (term), stats
+    GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= {BM25_TOP_K}
+"""
+
+
+BM25_TOPK = _bm25_sql()
+
 LLMOPS_ORACLES = {
+    "bm25_topk": BM25_TOPK,
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
     "doc_fingerprint": DOC_FINGERPRINT,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
+    "winnow_dup_candidates": WINNOW_DUP_CANDIDATES,
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,

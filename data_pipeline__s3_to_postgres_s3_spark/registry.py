@@ -81,12 +81,14 @@ from .operators.temporal import (
     purchase_last_view_asof,
 )
 from .operators.textops import (
+    bm25_topk,
     doc_fingerprint,
     lang_id,
     normalize_text,
     text_quality,
     tfidf_top_terms,
     top_bigrams_per_lang,
+    winnow_dup_candidates,
     winnow_fingerprints,
 )
 from .operators.watermark import (
@@ -187,6 +189,8 @@ QUERIES: dict[str, QueryFn] = {
     "normalize_text": normalize_text,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
+    "winnow_dup_candidates": winnow_dup_candidates,
+    "bm25_topk": bm25_topk,
     # -- sampling / packing -----------------------------------------------
     "dataset_split": dataset_split,
     "corpus_stats": corpus_stats,
@@ -200,8 +204,8 @@ QUERIES: dict[str, QueryFn] = {
     "shard_manifest": shard_manifest,
     # -- multimodal (filesystem-shaped plans) -----------------------------
     "media_catalog": media_catalog,
-    "frame_sample": frame_sample,
     # ===== ~50-entry driver-window boundary ==============================
+    "frame_sample": frame_sample,
     "audio_chunks": audio_chunks,
     "media_features": media_features,
     "pii_scrub": pii_scrub,
