@@ -182,10 +182,43 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-_D2 = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - y)"
-    " * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+def _inline_centroids(cent_rows: list, cell_type: str) -> F.Column:
+    """A collected centroid index as a LITERAL array<struct<cell, centroid>>
+    column (nlist × d doubles — index metadata). Inlining it makes every
+    per-vector centroid computation a row-local array expression: no
+    crossJoin against a centroid frame, no groupBy to pick a winner, no
+    join back to the corpus."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r["cell"]).cast(cell_type).alias("cell"),
+                F.array(*[F.lit(c) for c in r["centroid"]]).alias("centroid"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["cell"])
+        ]
+    )
+
+
+def _dist_structs(cents: F.Column, vec: str = "embedding") -> F.Column:
+    """(d2, cell) structs, one per centroid, for the row's vector. Struct
+    ordering = (d2 ASC, cell ASC): array_min IS the deterministic nearest
+    cell, array_sort + slice ARE the n nearest — identical tie-breaks to a
+    min-struct/row_number formulation, bit-identical d2 via the portable
+    rounding the oracles replicate."""
+
+    def cell_d2(s: F.Column) -> F.Column:
+        diff = F.zip_with(
+            F.col(vec),
+            s["centroid"],
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return portable_round(
+            F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), IVF_ROUND
+        )
+
+    return F.transform(
+        cents, lambda s: F.struct(cell_d2(s).alias("d2"), s["cell"].alias("cell"))
+    )
 
 
 def similarity_ivf_topk(
@@ -211,36 +244,7 @@ def similarity_ivf_topk(
     # crossJoin+groupBy+join formulation paid 5 exchanges incl. an N×N
     # sort-merge join; this plan's only exchange is the final top-k window
     # (r02: 18.6 s → see BENCH_r04).
-    cent_rows = sorted(ivf_centroids(emb).collect(), key=lambda r: r["cell"])
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(r["cell"]).cast("int").alias("cell"),
-                F.array(*[F.lit(c) for c in r["centroid"]]).alias("centroid"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def cell_d2(s: F.Column) -> F.Column:
-        diff = F.zip_with(
-            F.col("embedding"),
-            s["centroid"],
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-        return portable_round(
-            F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), IVF_ROUND
-        )
-
-    # (d2, cell) structs per centroid; struct ordering = (d2 ASC, cell ASC),
-    # so array_min IS the deterministic nearest cell and array_sort+slice
-    # ARE the nprobe nearest cells — identical tie-breaks to the previous
-    # min-struct / row_number formulation, bit-identical d2 via the same
-    # portable rounding (the oracle replicates both).
-    dists = F.transform(
-        cents,
-        lambda s: F.struct(cell_d2(s).alias("d2"), s["cell"].alias("cell")),
-    )
+    dists = _dist_structs(_inline_centroids(ivf_centroids(emb).collect(), "int"))
     scored = emb.withColumn("dists", dists)
     assigned = scored.select(
         "vec_id",
@@ -336,21 +340,6 @@ KMEANS_K = 8  # seeds = vec_id < KMEANS_K (deterministic, engine-portable)
 KMEANS_ITERS = 2  # fixed unrolled iterations (oracle replicates exactly)
 
 
-def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell, d2): nearest centroid per vector; d2 rounded 1e-6 so
-    float-accumulation order can't flip a boundary decision, min over
-    (d2, cell) structs for a deterministic tie-break."""
-    d2 = portable_round(F.expr(_D2.format(a="embedding", b="centroid")), IVF_ROUND)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", F.col("cell"), d2.alias("d2")
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2"))
-    )
-
-
 def embedding_kmeans(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -360,42 +349,44 @@ def embedding_kmeans(
 
     This is the 'training' step IVF delegates to the label column
     (ivf_centroids docstring): the genuinely iterative path. Physical
-    shape per round: centroids BROADCAST against the corpus scan (k·d
-    doubles — index metadata, same justification as IVF), assignment is a
-    map-side min over k alternatives, recompute is one groupBy(cell, dim)
-    with map-side partial aggregation. The corpus is never shuffled; each
-    round's driver materialization is k·d doubles, independent of N.
-    Rounds are data-independent (fixed count), so the oracle unrolls the
-    same arithmetic; a production build would iterate to centroid
-    convergence instead — same loop body."""
+    shape per round: the k·d-double centroid index is inlined as a literal
+    (same trick as similarity_ivf_topk), so assignment is a row-local
+    array_min — the recompute is ONE corpus scan feeding a
+    groupBy(cell, dim) whose partial aggregation reduces each partition to
+    k·d rows before the (only) exchange. The corpus is never shuffled and
+    never joined; each round's driver materialization is k·d doubles,
+    independent of N. Rounds are data-independent (fixed count), so the
+    oracle unrolls the same arithmetic; a production build would iterate
+    to centroid convergence instead — same loop body."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cell"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
-    )
-    cents = spark.createDataFrame(
-        [(r["cell"], r["centroid"]) for r in seeds.collect()],
-        "cell bigint, centroid array<double>",
+    cent_rows = (
+        emb.where(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "centroid"
+            ),
+        )
+        .collect()
     )
     for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(emb, cents)
-        flat = (
-            emb.join(assigned.select("vec_id", "cell"), "vec_id")
-            .select("cell", F.posexplode("embedding").alias("dim", "val"))
+        nearest = F.array_min(
+            _dist_structs(_inline_centroids(cent_rows, "bigint"))
+        )
+        flat = emb.select(
+            nearest["cell"].alias("cell"),
+            F.posexplode("embedding").alias("dim", "val"),
         )
         cent = flat.groupBy("cell", "dim").agg(
             portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias("c")
         )
-        rows = (
+        cent_rows = (
             cent.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
             .select("cell", F.expr("transform(sc, x -> x.c)").alias("centroid"))
             .collect()
         )
-        cents = spark.createDataFrame(
-            [(r["cell"], r["centroid"]) for r in rows],
-            "cell bigint, centroid array<double>",
-        )
-    return _kmeans_assign(emb, cents).select(
-        "vec_id", F.col("cell").alias("cluster"), "d2"
+    nearest = F.array_min(_dist_structs(_inline_centroids(cent_rows, "bigint")))
+    return emb.select(
+        "vec_id", nearest["cell"].alias("cluster"), nearest["d2"].alias("d2")
     )

@@ -135,3 +135,41 @@ def test_monthly_revenue_growth_window_after_aggregate(spark, sf_dir):
     the calendar window — never a whole-table global sort."""
     df = QUERIES["monthly_revenue_growth"](spark, sf_dir)
     assert plans.exchange_count(df) <= 2
+
+
+def test_winnow_fingerprints_is_shuffle_free(spark, sf_dir):
+    """Winnowing is doc-local (the sliding window never crosses a doc):
+    the whole gram→hash→min→distinct chain must stay inside one
+    projection — ANY exchange is a regression to the shuffled window
+    formulation."""
+    df = QUERIES["winnow_fingerprints"](spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+
+
+def test_similarity_ivf_topk_minimal_exchanges(spark, sf_dir):
+    """With the centroid index inlined as a literal, the only exchanges
+    are the probe-side broadcast and the final top-k window; the corpus
+    must never hit a sort-merge join."""
+    df = QUERIES["similarity_ivf_topk"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 3
+    assert plans.sortmerge_join_count(df) == 0
+
+
+def test_embedding_kmeans_final_assignment_shuffle_free(spark, sf_dir):
+    """The returned frame is the final assignment pass: a corpus scan with
+    a row-local array_min over the literal centroids — no exchange, no
+    join (each Lloyd round's recompute runs earlier, map-side-combined)."""
+    df = QUERIES["embedding_kmeans"](spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+    assert plans.sortmerge_join_count(df) == 0
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    """The query-term IN filter must sit between the explode and every
+    aggregate, so corpus size enters only via the scan; df and the query
+    map stay broadcast."""
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    p = plans.simple_plan(df).lower()
+    assert "in (agg" in p or "inset" in p  # query-term filter live at scan
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 2  # df table + query map

@@ -79,20 +79,26 @@ def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
     from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
     from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
         KMEANS_K,
-        _kmeans_assign,
+        _dist_structs,
+        _inline_centroids,
         embedding_kmeans,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cell"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    seed_rows = (
+        emb.where(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "centroid"
+            ),
+        )
+        .collect()
     )
-    cents = spark.createDataFrame(
-        [(r["cell"], r["centroid"]) for r in seeds.collect()],
-        "cell bigint, centroid array<double>",
+    nearest = F.array_min(_dist_structs(_inline_centroids(seed_rows, "bigint")))
+    seed_inertia = (
+        emb.select(nearest["d2"].alias("d2")).agg(F.sum("d2")).collect()[0][0]
     )
-    seed_inertia = _kmeans_assign(emb, cents).agg(F.sum("d2")).collect()[0][0]
     final_inertia = (
         embedding_kmeans(spark, sf_dir).agg(F.sum("d2")).collect()[0][0]
     )

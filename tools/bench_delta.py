@@ -45,8 +45,19 @@ def load(path: str) -> dict:
                 continue
     else:
         doc = json.loads(raw)
-    if "parsed" in doc:
+    if doc.get("parsed"):
         doc = doc["parsed"]
+    elif "tail" in doc:
+        # Driver wrapper whose own parse failed (tail truncated mid-JSON):
+        # recover whatever per-query numbers survive in the tail text.
+        queries = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z_0-9]+)":\s*([0-9.]+)', doc["tail"])
+            if m.group(1) not in ("value", "sf", "n_errors")
+        }
+        if not queries:
+            raise SystemExit(f"{path}: unrecoverable bench wrapper")
+        doc = {"queries": queries, "value": None}
     if "queries" not in doc:
         raise SystemExit(f"{path}: no 'queries' key — not a bench JSON")
     return doc
@@ -73,6 +84,12 @@ def main(argv: list[str]) -> int:
     rows = []
     for name in sorted(set(oq) | set(nq)):
         o, n = oq.get(name), nq.get(name)
+        # Fault-isolated bench runs record {"err": ...} for failed queries.
+        if isinstance(n, dict):
+            rows.append((float("inf"), name, o if not isinstance(o, dict) else None, None, "ERROR(new)"))
+            continue
+        if isinstance(o, dict):
+            o = None
         if o is None or n is None:
             rows.append((float("inf") if o is None else 0.0, name, o, n, "added" if o is None else "removed"))
             continue
@@ -92,9 +109,13 @@ def main(argv: list[str]) -> int:
         r = f"{ratio:7.2f}" if ratio != float("inf") else "    new"
         print(f"{name:<36} {fmt(o)} {fmt(n)} {r}  {flag}")
 
-    regressions = [name for _r, name, _o, _n, flag in rows if flag == "REGRESSION"]
+    regressions = [
+        name
+        for _r, name, _o, _n, flag in rows
+        if flag in ("REGRESSION", "ERROR(new)")
+    ]
     if regressions:
-        print(f"\n{len(regressions)} regression(s) > {THRESHOLD}x: {', '.join(regressions)}")
+        print(f"\n{len(regressions)} regression(s)/error(s): {', '.join(regressions)}")
         return 0 if warn_only else 1
     print(f"\nno regressions > {THRESHOLD}x")
     return 0
