@@ -340,6 +340,49 @@ KMEANS_K = 8  # seeds = vec_id < KMEANS_K (deterministic, engine-portable)
 KMEANS_ITERS = 2  # fixed unrolled iterations (oracle replicates exactly)
 
 
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, d2): nearest centroid per vector — d2
+    rounded 1e-6 so float-accumulation order can't flip a boundary
+    decision, min over (d2, cell) structs for a deterministic tie-break.
+    The embedding rides through the aggregate (any_value of identical
+    values) so the recompute step needs NO join back to the corpus.
+
+    Why a broadcast centroid FRAME here, not the literal-index trick the
+    IVF query uses: kmeans compiles 2·ITERS+1 fresh plans (one per round
+    per action), and a k·d-literal expression tree costs ~seconds of
+    driver-side analysis/codegen PER PLAN — measured 3 s → 17 s at
+    sf0.1 when inlined. The broadcast join keeps every round's plan small;
+    the IVF path compiles its literal once per query, where inlining wins."""
+    d2 = portable_round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        IVF_ROUND,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cell", d2.alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell")).alias("m"),
+            F.any_value("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("m.cell").alias("cell"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
 def embedding_kmeans(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -349,44 +392,42 @@ def embedding_kmeans(
 
     This is the 'training' step IVF delegates to the label column
     (ivf_centroids docstring): the genuinely iterative path. Physical
-    shape per round: the k·d-double centroid index is inlined as a literal
-    (same trick as similarity_ivf_topk), so assignment is a row-local
-    array_min — the recompute is ONE corpus scan feeding a
-    groupBy(cell, dim) whose partial aggregation reduces each partition to
-    k·d rows before the (only) exchange. The corpus is never shuffled and
-    never joined; each round's driver materialization is k·d doubles,
+    shape per round: centroids BROADCAST against the corpus scan (k·d
+    doubles — index metadata), assignment is a map-side min over k
+    alternatives whose partial aggregation collapses the k candidate rows
+    back to one per vector BEFORE the round's single exchange, and the
+    embedding rides that aggregate so the centroid recompute
+    (groupBy(cell, dim), map-side combined) needs no second pass over the
+    corpus. Each round's driver materialization is k·d doubles,
     independent of N. Rounds are data-independent (fixed count), so the
     oracle unrolls the same arithmetic; a production build would iterate
     to centroid convergence instead — same loop body."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = (
-        emb.where(F.col("vec_id") < KMEANS_K)
-        .select(
-            F.col("vec_id").alias("cell"),
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
-                "centroid"
-            ),
-        )
-        .collect()
+    seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    cents = spark.createDataFrame(
+        [(r["cell"], r["centroid"]) for r in seeds.collect()],
+        "cell bigint, centroid array<double>",
     )
     for _ in range(KMEANS_ITERS):
-        nearest = F.array_min(
-            _dist_structs(_inline_centroids(cent_rows, "bigint"))
-        )
-        flat = emb.select(
-            nearest["cell"].alias("cell"),
-            F.posexplode("embedding").alias("dim", "val"),
+        flat = _kmeans_assign(emb, cents).select(
+            "cell", F.posexplode("embedding").alias("dim", "val")
         )
         cent = flat.groupBy("cell", "dim").agg(
             portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias("c")
         )
-        cent_rows = (
+        rows = (
             cent.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
             .select("cell", F.expr("transform(sc, x -> x.c)").alias("centroid"))
             .collect()
         )
-    nearest = F.array_min(_dist_structs(_inline_centroids(cent_rows, "bigint")))
-    return emb.select(
-        "vec_id", nearest["cell"].alias("cluster"), nearest["d2"].alias("d2")
+        cents = spark.createDataFrame(
+            [(r["cell"], r["centroid"]) for r in rows],
+            "cell bigint, centroid array<double>",
+        )
+    return _kmeans_assign(emb, cents).select(
+        "vec_id", F.col("cell").alias("cluster"), "d2"
     )

@@ -472,7 +472,49 @@ FROM contrib
 GROUP BY window_start, event_type
 """
 
+def _cdc_merge_sql() -> str:
+    """MERGE-upsert oracle sharing the Spark operator's feed constants
+    (operators/cdc.py) so the synthetic CDC feed can never drift."""
+    from ..operators.cdc import CDC_DELETE_MOD, CDC_INSERT_MOD, CDC_UPDATE_MOD
+
+    return f"""
+WITH base AS (
+    SELECT c_custkey AS custkey, c_name AS name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           c_mktsegment AS mktsegment
+    FROM customer
+),
+deletes AS (SELECT custkey FROM base WHERE custkey % {CDC_DELETE_MOD} = 0),
+updates AS (
+    SELECT custkey, acctbal + 100.0 AS u_acctbal,
+           'REACTIVATED' AS u_mktsegment
+    FROM base
+    WHERE custkey % {CDC_UPDATE_MOD} = 0 AND custkey % {CDC_DELETE_MOD} <> 0
+),
+inserts AS (
+    SELECT -custkey AS custkey, 'NEW ' || name AS name, 0.0 AS acctbal,
+           mktsegment, 'inserted' AS cdc_op
+    FROM base WHERE custkey % {CDC_INSERT_MOD} = 0
+),
+survivors AS (
+    SELECT b.* FROM base b ANTI JOIN deletes d USING (custkey)
+),
+merged AS (
+    SELECT s.custkey, s.name,
+        COALESCE(u.u_acctbal, s.acctbal) AS acctbal,
+        COALESCE(u.u_mktsegment, s.mktsegment) AS mktsegment,
+        CASE WHEN u.u_acctbal IS NOT NULL THEN 'updated'
+             ELSE 'kept' END AS cdc_op
+    FROM survivors s LEFT JOIN updates u USING (custkey)
+)
+SELECT * FROM merged UNION ALL SELECT * FROM inserts
+"""
+
+
+CDC_MERGE_CUSTOMERS = _cdc_merge_sql()
+
 EXTENSION_ORACLES = {
+    "cdc_merge_customers": CDC_MERGE_CUSTOMERS,
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
     "customer_set_ops": CUSTOMER_SET_OPS,

@@ -43,6 +43,7 @@ from .operators.relational import (
     top_revenue_customers_per_region,
     value_percentiles,
 )
+from .operators.cdc import cdc_merge_customers
 from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
@@ -150,10 +151,11 @@ QUERIES: dict[str, QueryFn] = {
     "shipment_percentages": shipment_percentages,
     "best_performing_product": best_performing_product,
     "tripdata_monthly_metrics": tripdata_monthly_metrics,
-    # -- incremental-load / watermark (S3) --------------------------------
+    # -- incremental-load / watermark (S3) + CDC upsert -------------------
     "incremental_load_watermark": incremental_load_watermark,
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,
+    "cdc_merge_customers": cdc_merge_customers,
     # -- SQL-script executor (S5) — must agree with the operators ---------
     "sql_script_public_holiday": sql_script_public_holiday,
     "sql_script_shipments": sql_script_shipments,
@@ -201,10 +203,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": doc_repetition,
     "event_props_extract": event_props_extract,
     "quality_gate": quality_gate,
-    "shard_manifest": shard_manifest,
-    # -- multimodal (filesystem-shaped plans) -----------------------------
-    "media_catalog": media_catalog,
     # ===== ~50-entry driver-window boundary ==============================
+    # (shard_manifest/media_* are locally pinned: test_shards cross-checks
+    # the manifest against the split/gate operators, test_multimodal covers
+    # the media plans — cheapest rows to leave outside the sampled window.)
+    "shard_manifest": shard_manifest,
+    "media_catalog": media_catalog,
     "frame_sample": frame_sample,
     "audio_chunks": audio_chunks,
     "media_features": media_features,

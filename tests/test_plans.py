@@ -155,13 +155,15 @@ def test_similarity_ivf_topk_minimal_exchanges(spark, sf_dir):
     assert plans.sortmerge_join_count(df) == 0
 
 
-def test_embedding_kmeans_final_assignment_shuffle_free(spark, sf_dir):
-    """The returned frame is the final assignment pass: a corpus scan with
-    a row-local array_min over the literal centroids — no exchange, no
-    join (each Lloyd round's recompute runs earlier, map-side-combined)."""
+def test_embedding_kmeans_assignment_one_exchange(spark, sf_dir):
+    """The returned frame is the final assignment pass: centroids
+    broadcast against the corpus scan, candidates collapsed map-side —
+    exactly ONE exchange (the vec_id partial-agg), never a sort-merge
+    join of the corpus against itself."""
     df = QUERIES["embedding_kmeans"](spark, sf_dir)
-    assert plans.exchange_count(df) == 0
+    assert plans.exchange_count(df) <= 1
     assert plans.sortmerge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 1
 
 
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
