@@ -89,8 +89,27 @@ JOIN {_EV} v
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
+# Stream-static join + complete-mode rollup == the batch join + rollup.
+STREAM_STATIC_ENRICH = """
+WITH tiers AS (
+    -- tier computed BEFORE the join (as the Spark dim does): an unmatched
+    -- user must surface as NULL tier, never fall into the ELSE bucket.
+    SELECT c_custkey AS user_id,
+        CASE WHEN c_acctbal < 0 THEN 'delinquent'
+             WHEN c_acctbal < 5000 THEN 'standard'
+             ELSE 'premium' END AS tier
+    FROM customer
+)
+SELECT tier, event_type,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM events e LEFT JOIN tiers t USING (user_id)
+GROUP BY tier, event_type
+"""
+
 STREAMING_ORACLES = {
     "stream_hourly_rollup": STREAM_HOURLY_ROLLUP,
+    "stream_static_enrich": STREAM_STATIC_ENRICH,
     "stream_sliding_value": STREAM_SLIDING_VALUE,
     "stream_session_stats": STREAM_SESSION_STATS,
     "stream_dedup_events": STREAM_DEDUP_EVENTS,

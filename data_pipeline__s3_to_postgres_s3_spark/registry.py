@@ -122,6 +122,7 @@ from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
+    stream_static_enrich,
     stream_hourly_rollup,
     stream_session_stats,
     stream_sliding_value,
@@ -167,6 +168,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup_events": stream_dedup_events,
     "stream_user_running_max": stream_user_running_max,
     "stream_view_purchase_join": stream_view_purchase_join,
+    "stream_static_enrich": stream_static_enrich,
     # -- temporal joins (round-3 breakage class) --------------------------
     "purchase_last_view_asof": purchase_last_view_asof,
     "error_bursts_range": error_bursts_range,
@@ -201,9 +203,9 @@ QUERIES: dict[str, QueryFn] = {
     # -- curation ---------------------------------------------------------
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "doc_repetition": doc_repetition,
-    "event_props_extract": event_props_extract,
     "quality_gate": quality_gate,
     # ===== ~50-entry driver-window boundary ==============================
+    "event_props_extract": event_props_extract,
     # (shard_manifest/media_* are locally pinned: test_shards cross-checks
     # the manifest against the split/gate operators, test_multimodal covers
     # the media plans — cheapest rows to leave outside the sampled window.)

@@ -2,6 +2,7 @@ from .events import (
     stream_dedup_events,
     stream_hourly_rollup,
     stream_session_stats,
+    stream_static_enrich,
     stream_sliding_value,
     stream_user_running_max,
     stream_view_purchase_join,
@@ -11,6 +12,7 @@ __all__ = [
     "stream_dedup_events",
     "stream_hourly_rollup",
     "stream_session_stats",
+    "stream_static_enrich",
     "stream_sliding_value",
     "stream_user_running_max",
     "stream_view_purchase_join",

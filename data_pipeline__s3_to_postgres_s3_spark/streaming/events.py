@@ -211,6 +211,42 @@ def stream_session_stats(
     return run_to_memory(result, "complete")
 
 
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    dimension (customer account tier) then rolled up per (tier,
+    event_type) — the broadcast-dimension pattern every production
+    streaming pipeline runs (Spark re-reads/re-plans the static side per
+    micro-batch, so a dim refresh is picked up without restarting the
+    query; no state store is involved, unlike stream-stream joins).
+
+    LEFT join semantics: events from users absent in the dimension keep a
+    NULL tier rather than vanishing — at 100 TB/day you alert on that
+    bucket, not drop it. The tier expression is deterministic (acctbal
+    thresholds), so the batch twin is the exact oracle."""
+    from ..catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    tiers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+    result = (
+        ev.join(F.broadcast(tiers), "user_id", "left")
+        .withWatermark("ts", "1 hour")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+    return run_to_memory(result, "complete")
+
+
 def stream_dedup_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -53,6 +53,9 @@ def split_events_dir(spark, sf_small, tmp_path_factory):
         src = glob.glob(str(out / f"tmp_{b}" / "*.parquet"))[0]
         shutil.move(src, str(out / f"events-{b}.parquet"))
         shutil.rmtree(str(out / f"tmp_{b}"))
+    # Static dims ride along so stream-static joins resolve against the
+    # same directory (the events* glob keeps them out of the stream).
+    shutil.copy(f"{sf_small}/customer.parquet", str(out / "customer.parquet"))
     return str(out)
 
 
@@ -129,3 +132,34 @@ def test_interval_join_across_batches(spark, sf_small, split_events_dir):
     ]
     assert _rows(streamed, keys) == _rows(expected, keys)
     assert len(streamed.collect()) > 0
+
+
+def test_static_enrich_across_batches(spark, sf_small, split_events_dir):
+    """Stream-static join: every micro-batch must resolve against the
+    full static dim (no state involved) — the 4-file one-per-trigger run
+    equals the batch join + rollup."""
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.functions.numeric import cents
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_static_enrich,
+    )
+
+    streamed = stream_static_enrich(spark, split_events_dir, max_files_per_trigger=1)
+    ev = load_events(spark, sf_small)
+    tiers = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+    expected = (
+        ev.join(tiers, "user_id", "left")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+    keys = ["tier", "event_type", "n_events", "total_value"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
