@@ -122,6 +122,52 @@ def mixture_sample(
     ).where(b < rate)
 
 
+# Exact per-stratum quotas (percent of each language kept) — the
+# complement to mixture_sample's RATE-based keep: a rate gives each doc an
+# independent verdict (count only approximately targets rate·N); a QUOTA
+# ranks the stratum by salted hash and cuts at exactly floor(N·pct/100) —
+# what a budgeted mixture spec demands.
+STRATIFIED_SALT = 9_176_623
+STRATIFIED_QUOTA_PCT = {"en": 35, "de": 60, "fr": 55, "es": 50, "zh": 45}
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Exact-quota stratified sampling: per language, keep exactly
+    floor(N_lang · pct / 100) documents, selected by salted-hash rank —
+    deterministic, engine-portable, and leak-decorrelated from both the
+    split and the mixture decisions (different salt).
+
+    Scale shape: ONE shuffle on lang for the per-stratum window. Exact
+    quotas inherently rank within the stratum; Spark's window sort is
+    distributed per partition, and a skewed stratum ('en' at ~40%) is
+    bounded by that language's size, not the corpus — at larger scale the
+    same surface swaps to rate-keep + exact trim of the boundary bucket.
+    Row_number ties cannot occur: (hash, doc_id) is unique per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") + STRATIFIED_SALT) * HASH_MULT) % HASH_MOD
+    rank_w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    count_w = Window.partitionBy("lang")
+    pct = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(p))
+            for lang, p in sorted(STRATIFIED_QUOTA_PCT.items())
+        ],
+        F.lit(100),
+    )
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .withColumn(
+            "quota",
+            F.floor(F.count(F.lit(1)).over(count_w) * pct / 100).cast("long"),
+        )
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "source", F.col("rn").alias("sample_rank"))
+    )
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

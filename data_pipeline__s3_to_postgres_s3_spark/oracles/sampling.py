@@ -74,9 +74,38 @@ FROM documents
 WHERE {_MIX_BUCKET} < {_MIX_RATE}
 """
 
+def _stratified_sql() -> str:
+    from ..operators.sampling import STRATIFIED_QUOTA_PCT, STRATIFIED_SALT
+
+    h = f"(doc_id + {STRATIFIED_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    pct = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{lang}' THEN {p}"
+            for lang, p in sorted(STRATIFIED_QUOTA_PCT.items())
+        )
+        + " ELSE 100 END"
+    )
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n_lang,
+        {pct} AS pct
+    FROM documents
+)
+SELECT doc_id, lang, source, CAST(rn AS INT) AS sample_rank
+FROM ranked
+WHERE rn <= CAST(FLOOR(n_lang * pct / 100) AS BIGINT)
+"""
+
+
+STRATIFIED_SAMPLE = _stratified_sql()
+
 SAMPLING_ORACLES = {
     "dataset_split": DATASET_SPLIT,
     "corpus_stats": CORPUS_STATS,
     "pack_sequences": PACK_SEQUENCES,
     "mixture_sample": MIXTURE_SAMPLE,
+    "stratified_sample": STRATIFIED_SAMPLE,
 }

@@ -73,6 +73,7 @@ from .operators.multimodal import (
 from .operators.pii import pii_scrub
 from .operators.sampling import (
     corpus_stats,
+    stratified_sample,
     dataset_split,
     mixture_sample,
     pack_sequences,
@@ -200,11 +201,12 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_stats": corpus_stats,
     "pack_sequences": pack_sequences,
     "mixture_sample": mixture_sample,
+    "stratified_sample": stratified_sample,
     # -- curation ---------------------------------------------------------
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
-    "doc_repetition": doc_repetition,
     "quality_gate": quality_gate,
     # ===== ~50-entry driver-window boundary ==============================
+    "doc_repetition": doc_repetition,
     "event_props_extract": event_props_extract,
     # (shard_manifest/media_* are locally pinned: test_shards cross-checks
     # the manifest against the split/gate operators, test_multimodal covers

@@ -99,3 +99,37 @@ def test_loader_always_yields_ltz(spark, encoded_dirs):
     for name, d in encoded_dirs.items():
         dt = dict(load_events(spark, d).dtypes)["ts"]
         assert dt == "timestamp", f"{name}: ts is {dt}, want timestamp"
+
+
+# ---------------------------------------------------------------------------
+# Same philosophy for the embeddings table: the driver may re-encode
+# array<float> as array<double>; every similarity operator casts element-wise
+# before arithmetic, so results must be IDENTICAL... provided the float32
+# values are preserved exactly (float->double widening is lossless).
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_dtype_invariance(spark, sf_small, tmp_path):
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        embedding_kmeans,
+        similarity_bruteforce_topk,
+        similarity_ivf_topk,
+    )
+
+    src = f"{sf_small}/embeddings.parquet"
+    t = pq.read_table(src)
+    idx = t.schema.get_field_index("embedding")
+    widened = t.set_column(
+        idx,
+        "embedding",
+        t.column("embedding").cast(pa.list_(pa.float64())),
+    )
+    d = tmp_path / "emb64"
+    d.mkdir()
+    pq.write_table(widened, str(d / "embeddings.parquet"))
+
+    for query in (similarity_bruteforce_topk, similarity_ivf_topk, embedding_kmeans):
+        a = _rows(query(spark, sf_small))
+        b = _rows(query(spark, str(d)))
+        assert a == b, f"{query.__name__} differs under float64 embeddings"
+        assert len(a) > 0
