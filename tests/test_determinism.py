@@ -18,6 +18,10 @@ PRONE = [
     "top_revenue_customers_per_region",  # rank with revenue ties
     "dedup_simhash",              # bucket pair expansion order
     "similarity_ivf_topk",        # centroid AVG accumulation order
+    "bm25_topk",                  # summed per-term scores + rank window
+    "embedding_kmeans",           # per-round centroid AVG accumulation
+    "stratified_sample",          # per-stratum rank cut at the quota
+    "winnow_dup_candidates",      # pair counts over the fingerprint join
 ]
 
 
