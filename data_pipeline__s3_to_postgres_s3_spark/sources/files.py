@@ -40,6 +40,27 @@ def read_csv(
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> DataFrame:
+    """Schema-declared JSON-lines read with the same quarantine contract
+    as read_csv: malformed lines land in _corrupt_record instead of
+    failing the run or silently nulling fields. The declared schema (never
+    inference) is what makes the read a single pass at 100 TB — Spark's
+    JSON inference is an extra full scan of the data."""
+    full_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_corrupt_col, quarantined_rows).
 

@@ -158,6 +158,29 @@ def test_corrupt_rows_quarantined(spark, tmp_path):
     assert quarantined.collect()[0]["_corrupt_record"].startswith("oops")
 
 
+def test_corrupt_jsonl_quarantined(spark, tmp_path):
+    from data_pipeline__s3_to_postgres_s3_spark.sources.files import read_jsonl
+
+    p = tmp_path / "orders.jsonl"
+    p.write_text(
+        '{"order_id": 1, "customer_id": 10, "order_date": "2022-01-03",'
+        ' "product_id": 1, "unit_price": 100, "quantity": 2,'
+        ' "total_price": 200}\n'
+        "this is not json at all\n"
+        '{"order_id": 2, "customer_id": 11, "order_date": "2022-01-04",'
+        ' "product_id": 1, "unit_price": 100, "quantity": 1,'
+        ' "total_price": 100}\n'
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(p), schemas.ORDERS))
+    assert "_corrupt_record" not in clean.columns
+    assert sorted(r["order_id"] for r in clean.collect()) == [1, 2]
+    reject = str(tmp_path / "reject_jsonl")
+    quarantine(bad, reject)
+    quarantined = spark.read.parquet(reject)
+    assert quarantined.count() == 1
+    assert quarantined.collect()[0]["_corrupt_record"].startswith("this is")
+
+
 def test_incremental_slice_is_pushed_predicate(spark, sf_small):
     """The watermark filter must reach the scan as a pushed-down predicate
     (at 100 TB this is the difference between reading the delta and reading
