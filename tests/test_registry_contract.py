@@ -1,0 +1,60 @@
+"""Registry-contract pins: the properties of registry.py the grading
+driver depends on but nothing else would catch.
+
+The driver samples a ~50-entry PREFIX of QUERIES for its oracle
+differential (round-3 post-mortem: six silently-broken queries all sat
+outside the sampled window). These tests freeze the risk-ranked ordering
+contract so a refactor that reorders the dict — or registers a new
+high-risk family at the tail — fails here instead of going driver-blind.
+"""
+
+from __future__ import annotations
+
+from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
+
+WINDOW = 50
+# Families that have broken before or carry the most machinery; every
+# member must stay inside the sampled window.
+HIGH_RISK_PREFIXES = ("stream_", "sql_script_", "dedup_", "similarity_")
+HIGH_RISK_NAMES = {
+    "purchase_last_view_asof",
+    "error_bursts_range",
+    "embedding_kmeans",
+    "embedding_neardup_pairs",
+    "cdc_merge_customers",
+}
+# The only queries allowed to lack a DuckDB oracle, with the reason.
+ROWS_ONLY_ALLOWED = {
+    "media_features",  # mapInPandas decode stand-in — no SQL equivalent
+    "approx_aggregates",  # sketch outputs — no exact SQL twin by design
+}
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing == ROWS_ONLY_ALLOWED, (
+        f"unexpected rows-only queries: {missing - ROWS_ONLY_ALLOWED}; "
+        f"stale exemptions: {ROWS_ONLY_ALLOWED - missing}"
+    )
+
+
+def test_no_orphan_oracles():
+    orphans = set(ORACLES) - set(QUERIES)
+    assert not orphans, f"oracles without a registered query: {orphans}"
+
+
+def test_high_risk_families_inside_driver_window():
+    window = set(list(QUERIES)[:WINDOW])
+    out = [
+        n
+        for n in QUERIES
+        if (n.startswith(HIGH_RISK_PREFIXES) or n in HIGH_RISK_NAMES)
+        and n not in window
+    ]
+    assert not out, f"high-risk queries outside the ~{WINDOW}-entry window: {out}"
+
+
+def test_flagship_is_first_family():
+    names = list(QUERIES)
+    assert names[0] == "agg_public_holiday"
+    assert "best_performing_product" in names[:10]  # entry() runs this
