@@ -233,3 +233,57 @@ def scd2_user_event_history(
         F.lead("ts").over(wc).alias("valid_to"),
         F.lead("ts").over(wc).isNull().alias("is_current"),
     )
+
+
+ROLLING_WINDOW_ROWS = 20  # rolling frame: current row + 19 preceding
+ROLLING_MIN_N = 5  # below this the z-score is statistically meaningless
+
+
+def events_rolling_zscore(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-user rolling z-score of event value over the trailing
+    ROLLING_WINDOW_ROWS events — the online anomaly-scoring pass a
+    monitoring pipeline runs (|z| spikes = outliers vs the user's own
+    recent behavior).
+
+    Cross-engine exactness: engines disagree on STDDEV internals (Welford
+    vs naive accumulation), so no stddev function is used. The frame's
+    moments are INTEGER-EXACT — n, Σc, Σc² over integer cents — and mean/
+    variance/z are then derived in one double-precision formula written
+    token-identically in the oracle (IEEE ops on identical integer inputs
+    ⇒ identical doubles; sqrt is correctly rounded). The var>0 guard
+    compares n·Σc² > (Σc)² in exact integer arithmetic — no epsilon.
+
+    Scale shape: one shuffle on user_id; the frame is ROWS-bounded so
+    state per row is O(1) and the window never buffers a whole partition."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_WINDOW_ROWS - 1), 0)
+    )
+    c = cents(F.col("value"))
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(c).over(w)
+    s2 = F.sum(c * c).over(w)
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        c.alias("c"),
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).where(
+        (F.col("n") >= ROLLING_MIN_N)
+        & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1"))
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var = (s2d - s1d * s1d / nd) / (nd - 1)
+    z = (cd - s1d / nd) / F.sqrt(var)
+    return stats.select(
+        "user_id", "event_id", portable_round(z, 6).alias("zscore")
+    )

@@ -513,8 +513,45 @@ SELECT * FROM merged UNION ALL SELECT * FROM inserts
 
 CDC_MERGE_CUSTOMERS = _cdc_merge_sql()
 
+def _rolling_zscore_sql() -> str:
+    """Token-identical double formula over the same integer-exact frame
+    moments as the Spark operator (constants imported — no drift)."""
+    from ..operators.windows import ROLLING_MIN_N, ROLLING_WINDOW_ROWS
+
+    return f"""
+WITH c AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+    FROM events
+),
+win AS (
+    SELECT user_id, event_id, c,
+        COUNT(*) OVER w AS n,
+        SUM(c) OVER w AS s1,
+        SUM(c * c) OVER w AS s2
+    FROM c
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY tsu, event_id
+        ROWS BETWEEN {ROLLING_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
+    )
+)
+SELECT user_id, event_id,
+    FLOOR(
+        (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        / sqrt((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1))
+        * 1000000 + 0.5) / 1000000 AS zscore
+FROM win
+WHERE n >= {ROLLING_MIN_N} AND s2 * n > s1 * s1
+"""
+
+
+EVENTS_ROLLING_ZSCORE = _rolling_zscore_sql()
+
 EXTENSION_ORACLES = {
     "cdc_merge_customers": CDC_MERGE_CUSTOMERS,
+    "events_rolling_zscore": EVENTS_ROLLING_ZSCORE,
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
     "customer_set_ops": CUSTOMER_SET_OPS,

@@ -100,6 +100,7 @@ from .operators.watermark import (
 )
 from .operators.windows import (
     customer_revenue_deciles,
+    events_rolling_zscore,
     event_type_hourly,
     events_sliding_value,
     events_running_totals,
@@ -173,6 +174,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- temporal joins (round-3 breakage class) --------------------------
     "purchase_last_view_asof": purchase_last_view_asof,
     "error_bursts_range": error_bursts_range,
+    "events_rolling_zscore": events_rolling_zscore,
     # -- similarity / embeddings ------------------------------------------
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
@@ -204,8 +206,8 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": stratified_sample,
     # -- curation ---------------------------------------------------------
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
-    "quality_gate": quality_gate,
     # ===== ~50-entry driver-window boundary ==============================
+    "quality_gate": quality_gate,
     "doc_repetition": doc_repetition,
     "event_props_extract": event_props_extract,
     # (shard_manifest/media_* are locally pinned: test_shards cross-checks

@@ -19,6 +19,7 @@ HIGH_RISK_PREFIXES = ("stream_", "sql_script_", "dedup_", "similarity_")
 HIGH_RISK_NAMES = {
     "purchase_last_view_asof",
     "error_bursts_range",
+    "events_rolling_zscore",
     "embedding_kmeans",
     "embedding_neardup_pairs",
     "cdc_merge_customers",
