@@ -549,9 +549,29 @@ WHERE n >= {ROLLING_MIN_N} AND s2 * n > s1 * s1
 
 EVENTS_ROLLING_ZSCORE = _rolling_zscore_sql()
 
+def _profile_orders_sql() -> str:
+    """One aggregate subquery + per-column UNION ALL unpivot — same single
+    scan, same exact distincts, columns pinned to the operator's list."""
+    from ..operators.profiling import PROFILE_ORDERS_COLS
+
+    aggs = ["COUNT(*) AS n_rows"]
+    for c in PROFILE_ORDERS_COLS:
+        aggs.append(f"COUNT({c}) AS nn_{c}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nonnull,"
+        f" nd_{c} AS n_distinct FROM s"
+        for c in PROFILE_ORDERS_COLS
+    )
+    return f"WITH s AS (SELECT {', '.join(aggs)} FROM orders)\n{arms}"
+
+
+PROFILE_ORDERS = _profile_orders_sql()
+
 EXTENSION_ORACLES = {
     "cdc_merge_customers": CDC_MERGE_CUSTOMERS,
     "events_rolling_zscore": EVENTS_ROLLING_ZSCORE,
+    "profile_orders": PROFILE_ORDERS,
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
     "customer_set_ops": CUSTOMER_SET_OPS,

@@ -71,6 +71,7 @@ from .operators.multimodal import (
     media_features,
 )
 from .operators.pii import pii_scrub
+from .operators.profiling import profile_orders
 from .operators.sampling import (
     corpus_stats,
     stratified_sample,
@@ -159,6 +160,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,
     "cdc_merge_customers": cdc_merge_customers,
+    "profile_orders": profile_orders,
     # -- SQL-script executor (S5) — must agree with the operators ---------
     "sql_script_public_holiday": sql_script_public_holiday,
     "sql_script_shipments": sql_script_shipments,
@@ -205,8 +207,8 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_sample": mixture_sample,
     "stratified_sample": stratified_sample,
     # -- curation ---------------------------------------------------------
-    "decontaminate_eval_overlap": decontaminate_eval_overlap,
     # ===== ~50-entry driver-window boundary ==============================
+    "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "quality_gate": quality_gate,
     "doc_repetition": doc_repetition,
     "event_props_extract": event_props_extract,
