@@ -13,6 +13,8 @@ split the engine into per-encoding behaviors.
 
 from __future__ import annotations
 
+import shutil
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -28,8 +30,11 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
     events_sessionized,
 )
 from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+    stream_dedup_events,
     stream_hourly_rollup,
+    stream_static_enrich,
     stream_user_running_max,
+    stream_view_purchase_join,
 )
 
 ENCODINGS = ("nanos_int64", "micros_ntz", "micros_utc")
@@ -61,6 +66,9 @@ def encoded_dirs(spark, sf_small, tmp_path_factory):
         d = base / name
         d.mkdir()
         pq.write_table(table, str(d / "events.parquet"))
+        # static dims alongside, for stream-static joins (the events* glob
+        # keeps them out of the stream source).
+        shutil.copy(f"{sf_small}/customer.parquet", str(d / "customer.parquet"))
         dirs[name] = str(d)
     return dirs
 
@@ -81,6 +89,9 @@ def _rows(df):
         purchase_last_view_asof,
         stream_hourly_rollup,
         stream_user_running_max,
+        stream_dedup_events,
+        stream_view_purchase_join,
+        stream_static_enrich,
     ],
     ids=lambda f: f.__name__,
 )
