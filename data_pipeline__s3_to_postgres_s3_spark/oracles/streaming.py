@@ -107,7 +107,13 @@ FROM events e LEFT JOIN tiers t USING (user_id)
 GROUP BY tier, event_type
 """
 
+# Streaming rolling z-score: append-mode per-event emission over a finite
+# stream == the batch rolling z-score (same formula, same integer-exact
+# moments) — reuse its oracle verbatim.
+from .extensions import EVENTS_ROLLING_ZSCORE as _BATCH_ROLLING_ZSCORE
+
 STREAMING_ORACLES = {
+    "stream_rolling_zscore": _BATCH_ROLLING_ZSCORE,
     "stream_hourly_rollup": STREAM_HOURLY_ROLLUP,
     "stream_static_enrich": STREAM_STATIC_ENRICH,
     "stream_sliding_value": STREAM_SLIDING_VALUE,

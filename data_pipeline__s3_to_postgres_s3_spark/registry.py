@@ -125,6 +125,7 @@ from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
+    stream_rolling_zscore,
     stream_static_enrich,
     stream_hourly_rollup,
     stream_session_stats,
@@ -173,6 +174,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_user_running_max": stream_user_running_max,
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_static_enrich": stream_static_enrich,
+    "stream_rolling_zscore": stream_rolling_zscore,
     # -- temporal joins (round-3 breakage class) --------------------------
     "purchase_last_view_asof": purchase_last_view_asof,
     "error_bursts_range": error_bursts_range,
@@ -208,6 +210,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": stratified_sample,
     # -- curation ---------------------------------------------------------
     # ===== ~50-entry driver-window boundary ==============================
+    "stratified_sample": stratified_sample,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "quality_gate": quality_gate,
     "doc_repetition": doc_repetition,

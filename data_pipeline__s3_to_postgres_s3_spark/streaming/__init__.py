@@ -1,6 +1,7 @@
 from .events import (
     stream_dedup_events,
     stream_hourly_rollup,
+    stream_rolling_zscore,
     stream_session_stats,
     stream_static_enrich,
     stream_sliding_value,
@@ -11,6 +12,7 @@ from .events import (
 __all__ = [
     "stream_dedup_events",
     "stream_hourly_rollup",
+    "stream_rolling_zscore",
     "stream_session_stats",
     "stream_static_enrich",
     "stream_sliding_value",

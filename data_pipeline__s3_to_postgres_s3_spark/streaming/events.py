@@ -37,7 +37,9 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DataType,
     DoubleType,
     LongType,
@@ -302,8 +304,6 @@ def stream_user_running_max(
     max + event count, emitted once per micro-batch in update mode. The final state is
     recovered from the sink by a monotone max — n_events/max_value only grow,
     so the per-user max over all emitted rows IS the final state."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     updates = (
         ev.withWatermark("ts", "1 hour")
@@ -321,6 +321,90 @@ def stream_user_running_max(
         F.max("max_value").alias("max_value"),
         F.max("n_events").alias("n_events"),
     )
+
+
+ROLLING_Z_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("zscore", DoubleType(), True),
+    ]
+)
+ROLLING_Z_STATE = StructType(
+    [StructField("ring", ArrayType(LongType()), True)]
+)
+
+
+def _rolling_z_fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
+    """Per-user ring buffer of the trailing window's integer cents. Events
+    are processed in (ts, event_id) order within the batch; the buffer
+    carries across micro-batches, so each event's z-score is computed over
+    exactly the same trailing window as the batch operator. All float math
+    mirrors the batch/oracle formula op-for-op (Python floats ARE IEEE
+    doubles), so the emitted scores are bit-identical."""
+    import math
+
+    import pandas as pd
+
+    from ..operators.windows import ROLLING_MIN_N, ROLLING_WINDOW_ROWS
+
+    keep = ROLLING_WINDOW_ROWS - 1
+    ring = list(state.get[0]) if state.exists else []
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out_event: list[int] = []
+    out_z: list[float] = []
+    for ev_id, c in zip(rows["event_id"], rows["c"]):
+        c = int(c)
+        window = ring[-keep:] + [c] if keep else [c]
+        n = len(window)
+        if n >= ROLLING_MIN_N:
+            s1 = sum(window)
+            s2 = sum(x * x for x in window)
+            if s2 * n > s1 * s1:
+                nd, s1d, s2d = float(n), float(s1), float(s2)
+                var = (s2d - s1d * s1d / nd) / (nd - 1.0)
+                z = (float(c) - s1d / nd) / math.sqrt(var)
+                out_event.append(int(ev_id))
+                out_z.append(math.floor(z * 1e6 + 0.5) / 1e6)
+        ring.append(c)
+    state.update((ring[-keep:],))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_event),
+            "event_id": out_event,
+            "zscore": out_z,
+        }
+    )
+
+
+def stream_rolling_zscore(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of operators/windows.events_rolling_zscore: per-user
+    online anomaly scores via applyInPandasWithState with ARRAY-typed state
+    (the trailing window's cents as a ring buffer — O(window) longs per
+    key, the realistic shape for custom numeric state, vs running_max's
+    O(1) scalars).
+
+    Append-mode per-event emission: each input event yields at most one
+    score row exactly once, so the full sink equals the batch operator —
+    a complete value-level oracle, unusual for a custom stateful op."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    keyed = ev.select(
+        "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
+    )
+    scored = (
+        keyed.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rolling_z_fn,
+            ROLLING_Z_OUTPUT,
+            ROLLING_Z_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(scored, "append", state_partitions=8)
 
 
 def stream_view_purchase_join(

@@ -163,3 +163,23 @@ def test_static_enrich_across_batches(spark, sf_small, split_events_dir):
     )
     keys = ["tier", "event_type", "n_events", "total_value"]
     assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_rolling_zscore_ring_buffer_across_batches(spark, sf_small, split_events_dir):
+    """The per-user ring buffer must carry the trailing window across all
+    4 micro-batches: a window spanning a batch boundary must score
+    exactly like the batch operator (which sees the whole history)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
+        events_rolling_zscore,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_rolling_zscore,
+    )
+
+    streamed = stream_rolling_zscore(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    expected = events_rolling_zscore(spark, sf_small)
+    keys = ["user_id", "event_id", "zscore"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
+    assert len(streamed.collect()) > 0
