@@ -168,6 +168,56 @@ def stratified_sample(
     )
 
 
+# Uniform / per-group k-samples — the remaining two sampling shapes
+# (alongside split, rate-mixture, and exact-quota stratified): a global
+# k-document sample and a fixed k per group. Hash-rank-then-cut is the
+# distributed equivalent of reservoir sampling: under the hash's
+# uniformity every document is equally likely, but the result is
+# deterministic, engine-portable, and re-runnable (true reservoirs are
+# order-dependent and irreproducible across engines).
+UNIFORM_SAMPLE_SALT = 4_481_249
+UNIFORM_SAMPLE_K = 100
+GROUP_SAMPLE_K = 20
+
+
+def _sample_hash(salt: int) -> F.Column:
+    return ((F.col("doc_id") + salt) * HASH_MULT) % HASH_MOD
+
+
+def uniform_sample_k(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Global uniform k-sample without replacement: the k smallest salted
+    hashes. Plan: TakeOrderedAndProject — each partition contributes its
+    local top-k and only k rows merge at the driver side; no full sort,
+    no full shuffle, scales to any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", "source", _sample_hash(UNIFORM_SAMPLE_SALT).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(UNIFORM_SAMPLE_K)
+    )
+
+
+def sample_k_per_group(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Exactly GROUP_SAMPLE_K docs per language (fewer if the stratum is
+    smaller) by salted-hash rank — the per-group twin of uniform_sample_k;
+    one shuffle on lang for the rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _sample_hash(UNIFORM_SAMPLE_SALT)
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("doc_id", "lang", "source", F.col("rn").alias("sample_rank"))
+    )
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -102,7 +102,40 @@ WHERE rn <= CAST(FLOOR(n_lang * pct / 100) AS BIGINT)
 
 STRATIFIED_SAMPLE = _stratified_sql()
 
+
+def _uniform_sample_sql() -> str:
+    from ..operators.sampling import UNIFORM_SAMPLE_K, UNIFORM_SAMPLE_SALT
+
+    h = f"(doc_id + {UNIFORM_SAMPLE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    return f"""
+SELECT doc_id, lang, source, {h} AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT {UNIFORM_SAMPLE_K}
+"""
+
+
+def _group_sample_sql() -> str:
+    from ..operators.sampling import GROUP_SAMPLE_K, UNIFORM_SAMPLE_SALT
+
+    h = f"(doc_id + {UNIFORM_SAMPLE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    return f"""
+SELECT doc_id, lang, source, CAST(rn AS INT) AS sample_rank
+FROM (
+    SELECT doc_id, lang, source,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {GROUP_SAMPLE_K}
+"""
+
+
+UNIFORM_SAMPLE_K_SQL = _uniform_sample_sql()
+SAMPLE_K_PER_GROUP_SQL = _group_sample_sql()
+
 SAMPLING_ORACLES = {
+    "uniform_sample_k": UNIFORM_SAMPLE_K_SQL,
+    "sample_k_per_group": SAMPLE_K_PER_GROUP_SQL,
     "dataset_split": DATASET_SPLIT,
     "corpus_stats": CORPUS_STATS,
     "pack_sequences": PACK_SEQUENCES,

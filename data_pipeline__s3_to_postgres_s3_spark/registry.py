@@ -74,7 +74,9 @@ from .operators.pii import pii_scrub
 from .operators.profiling import profile_orders
 from .operators.sampling import (
     corpus_stats,
+    sample_k_per_group,
     stratified_sample,
+    uniform_sample_k,
     dataset_split,
     mixture_sample,
     pack_sequences,
@@ -205,12 +207,13 @@ QUERIES: dict[str, QueryFn] = {
     # -- sampling / packing -----------------------------------------------
     "dataset_split": dataset_split,
     "corpus_stats": corpus_stats,
-    "pack_sequences": pack_sequences,
-    "mixture_sample": mixture_sample,
+    "uniform_sample_k": uniform_sample_k,
+    "sample_k_per_group": sample_k_per_group,
     "stratified_sample": stratified_sample,
     # -- curation ---------------------------------------------------------
     # ===== ~50-entry driver-window boundary ==============================
-    "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "mixture_sample": mixture_sample,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "quality_gate": quality_gate,
     "doc_repetition": doc_repetition,

@@ -175,3 +175,11 @@ def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     assert "in (agg" in p or "inset" in p  # query-term filter live at scan
     assert plans.sortmerge_join_count(df) == 0
     assert plans.broadcast_join_count(df) >= 2  # df table + query map
+
+
+def test_uniform_sample_k_is_takeordered(spark, sf_dir):
+    """The global k-sample must plan as TakeOrderedAndProject — each
+    partition contributes a local top-k and only k rows merge; a full
+    global sort here would be a scale regression."""
+    df = QUERIES["uniform_sample_k"](spark, sf_dir)
+    assert "TakeOrdered" in plans.simple_plan(df)
