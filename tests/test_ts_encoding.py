@@ -144,3 +144,45 @@ def test_embedding_dtype_invariance(spark, sf_small, tmp_path):
         b = _rows(query(spark, str(d)))
         assert a == b, f"{query.__name__} differs under float64 embeddings"
         assert len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Third drift domain: the documents table. A producer may narrow integer
+# columns (int32) or use arrow large_string for text; operator VALUES must
+# not change (output dtypes follow the input, which is fine — the driver
+# reads both sides from the same file).
+# ---------------------------------------------------------------------------
+
+
+def test_documents_dtype_invariance(spark, sf_small, tmp_path):
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        dedup_exact,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        dataset_split,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        text_quality,
+        winnow_fingerprints,
+    )
+
+    t = pq.read_table(f"{sf_small}/documents.parquet")
+    narrowed = t
+    for name, typ in (
+        ("doc_id", pa.int32()),
+        ("n_chars", pa.int32()),
+        ("text", pa.large_string()),
+    ):
+        idx = narrowed.schema.get_field_index(name)
+        narrowed = narrowed.set_column(
+            idx, name, narrowed.column(name).cast(typ)
+        )
+    d = tmp_path / "docs_narrow"
+    d.mkdir()
+    pq.write_table(narrowed, str(d / "documents.parquet"))
+
+    for query in (dataset_split, dedup_exact, text_quality, winnow_fingerprints):
+        a = _rows(query(spark, sf_small))
+        b = _rows(query(spark, str(d)))
+        assert a == b, f"{query.__name__} differs under narrowed documents"
+        assert len(a) > 0
