@@ -152,6 +152,9 @@ WHERE CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
 
 
 DEDUP_NGRAM_JACCARD = dedup_ngram_jaccard_sql()
+# Prefix-filtering variant is EXACT (no DF cap): the uncapped index SQL is
+# its oracle — prefix filtering is candidate pruning, never result pruning.
+DEDUP_JACCARD_PREFIX = dedup_ngram_jaccard_sql(df_cap=10**9)
 
 DEDUP_MINHASH_LSH = f"""
 WITH {_SHINGLES},
@@ -734,6 +737,7 @@ LLMOPS_ORACLES = {
     "winnow_dup_candidates": WINNOW_DUP_CANDIDATES,
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
+    "dedup_jaccard_prefix": DEDUP_JACCARD_PREFIX,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_clusters": DEDUP_CLUSTERS,

@@ -53,6 +53,7 @@ from .operators.curation import (
 from .operators.graph import dedup_clusters, dedup_keep_best
 from .operators.dedup import (
     dedup_exact,
+    dedup_jaccard_prefix,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
@@ -190,6 +191,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- dedup ladder + cluster collapse ----------------------------------
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
@@ -208,10 +210,10 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_split": dataset_split,
     "corpus_stats": corpus_stats,
     "uniform_sample_k": uniform_sample_k,
-    "sample_k_per_group": sample_k_per_group,
     "stratified_sample": stratified_sample,
     # -- curation ---------------------------------------------------------
     # ===== ~50-entry driver-window boundary ==============================
+    "sample_k_per_group": sample_k_per_group,
     "pack_sequences": pack_sequences,
     "mixture_sample": mixture_sample,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
