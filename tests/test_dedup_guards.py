@@ -161,3 +161,20 @@ def test_jaccard_low_entropy_completes(spark, tmp_path):
     audit = ngram_df_report(spark, sf, df_cap=16).collect()[0]
     assert audit.dropped_shingles > 0
     assert audit.max_df == 300
+
+
+def test_prefix_filter_is_lossless_vs_inverted_index(spark, sf_dir):
+    """The PPJoin prefix-filter theorem in CI: dedup_jaccard_prefix must
+    return EXACTLY dedup_ngram_jaccard's pairs wherever the DF cap is
+    inactive (it is at sf0.01 — max df ≈ 25 « 256). A lost pair here
+    means the prefix-length arithmetic or the global shingle order
+    regressed; an extra pair means verification loosened."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        dedup_jaccard_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    a = sorted(map(tuple, dedup_jaccard_prefix(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) > 0
