@@ -170,7 +170,17 @@ def dedup_jaccard_prefix(
     posting expansion on prefixes only, then exact verification by
     array_intersect over the full (distinct) shingle arrays. Verification
     uses the same jaccard expression as dedup_ngram_jaccard, so the two
-    operators agree bit-for-bit wherever the DF cap is inactive."""
+    operators agree bit-for-bit wherever the DF cap is inactive
+    (pinned in test_dedup_guards).
+
+    Crossover note (measured at sf0.1, 5k docs, max df 25): the prefix
+    variant is ~2.4× SLOWER here (7.9 s vs 3.2 s) — the df-join + rank
+    window are fixed costs, and at this scale the quadratic expansion
+    they exist to shrink is already tiny. The variant earns its keep when
+    Σdf² dominates (large corpora, boilerplate-heavy shingle
+    distributions) — exactly where the capped index must start dropping
+    postings to survive. Keep both: inverted index for small/clean,
+    prefix filter for scale."""
     docs = load_table(spark, sf_dir, "documents")
     arrays = _shingle_arrays(docs)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
