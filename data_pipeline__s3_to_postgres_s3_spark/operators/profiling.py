@@ -55,9 +55,32 @@ def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     ).select("column_name", "n_rows", "n_nonnull", "n_distinct")
 
 
+PROFILE_DOCUMENTS_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+PROFILE_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
 def profile_orders(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Profile of the orders feed — the registry-exposed instance."""
     o = load_table(spark, sf_dir, "orders").select(*PROFILE_ORDERS_COLS)
     return profile_table(o, PROFILE_ORDERS_COLS)
+
+
+def profile_documents(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Profile of the documents corpus feed."""
+    d = load_table(spark, sf_dir, "documents").select(*PROFILE_DOCUMENTS_COLS)
+    return profile_table(d, PROFILE_DOCUMENTS_COLS)
+
+
+def profile_events(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Profile of the events feed (ts normalized first, so the profile is
+    encoding-invariant like every other events consumer)."""
+    from ..catalog import load_events
+
+    ev = load_events(spark, sf_dir).select(*PROFILE_EVENTS_COLS)
+    return profile_table(ev, PROFILE_EVENTS_COLS)

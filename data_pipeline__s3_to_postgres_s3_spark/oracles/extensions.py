@@ -549,29 +549,45 @@ WHERE n >= {ROLLING_MIN_N} AND s2 * n > s1 * s1
 
 EVENTS_ROLLING_ZSCORE = _rolling_zscore_sql()
 
-def _profile_orders_sql() -> str:
+def _profile_sql(table: str, cols: tuple, source_sql: str | None = None) -> str:
     """One aggregate subquery + per-column UNION ALL unpivot — same single
     scan, same exact distincts, columns pinned to the operator's list."""
-    from ..operators.profiling import PROFILE_ORDERS_COLS
-
     aggs = ["COUNT(*) AS n_rows"]
-    for c in PROFILE_ORDERS_COLS:
+    for c in cols:
         aggs.append(f"COUNT({c}) AS nn_{c}")
         aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
     arms = "\nUNION ALL\n".join(
         f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nonnull,"
         f" nd_{c} AS n_distinct FROM s"
-        for c in PROFILE_ORDERS_COLS
+        for c in cols
     )
-    return f"WITH s AS (SELECT {', '.join(aggs)} FROM orders)\n{arms}"
+    src = source_sql or table
+    return f"WITH s AS (SELECT {', '.join(aggs)} FROM {src})\n{arms}"
 
 
-PROFILE_ORDERS = _profile_orders_sql()
+def _profile_oracles() -> dict:
+    from ..operators.profiling import (
+        PROFILE_DOCUMENTS_COLS,
+        PROFILE_EVENTS_COLS,
+        PROFILE_ORDERS_COLS,
+    )
+
+    return {
+        "profile_orders": _profile_sql("orders", PROFILE_ORDERS_COLS),
+        "profile_documents": _profile_sql("documents", PROFILE_DOCUMENTS_COLS),
+        # ts distinct counts are identical across encodings after micros
+        # truncation (the testdata is micros-precision everywhere), so the
+        # raw events table is the faithful twin of the normalized loader.
+        "profile_events": _profile_sql("events", PROFILE_EVENTS_COLS),
+    }
+
+
+PROFILE_ORDERS = _profile_oracles()["profile_orders"]
 
 EXTENSION_ORACLES = {
     "cdc_merge_customers": CDC_MERGE_CUSTOMERS,
     "events_rolling_zscore": EVENTS_ROLLING_ZSCORE,
-    "profile_orders": PROFILE_ORDERS,
+    **_profile_oracles(),
     "pricing_summary": PRICING_SUMMARY,
     "top_revenue_customers_per_region": TOP_REVENUE_CUSTOMERS_PER_REGION,
     "customer_set_ops": CUSTOMER_SET_OPS,

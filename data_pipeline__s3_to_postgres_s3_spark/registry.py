@@ -72,7 +72,11 @@ from .operators.multimodal import (
     media_features,
 )
 from .operators.pii import pii_scrub
-from .operators.profiling import profile_orders
+from .operators.profiling import (
+    profile_documents,
+    profile_events,
+    profile_orders,
+)
 from .operators.sampling import (
     corpus_stats,
     sample_k_per_group,
@@ -224,6 +228,8 @@ QUERIES: dict[str, QueryFn] = {
     # the manifest against the split/gate operators, test_multimodal covers
     # the media plans — cheapest rows to leave outside the sampled window.)
     "shard_manifest": shard_manifest,
+    "profile_documents": profile_documents,
+    "profile_events": profile_events,
     "media_catalog": media_catalog,
     "frame_sample": frame_sample,
     "audio_chunks": audio_chunks,
