@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import portable_round
 
 # Knuth multiplicative hash: exact bigint arithmetic in Spark and DuckDB,
 # so the assignment is engine-portable (no engine-specific hash function).
@@ -80,15 +81,18 @@ def corpus_stats(
     toks = F.array_size(F.split(F.col("text"), " "))
     per_doc = docs.select("lang", toks.alias("n_tokens"), F.length("text").alias("n_chars"))
     n = F.count(F.lit(1))
+    # Doubles are portable_round-ed at scale 6 on both sides (CLAUDE.md
+    # float rule) so interpolated-percentile ulps can never flip a hash;
+    # the oracle twin casts its HUGEINT sums back to BIGINT.
     return (
         per_doc.groupBy("lang")
         .agg(
             n.alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
-            (F.sum("n_tokens").cast("double") / n).alias("mean_tokens"),
-            F.percentile("n_tokens", F.lit(0.5)).alias("p50_tokens"),
-            F.percentile("n_tokens", F.lit(0.9)).alias("p90_tokens"),
+            portable_round(F.sum("n_tokens").cast("double") / n, 6).alias("mean_tokens"),
+            portable_round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+            portable_round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
         )
     )
 

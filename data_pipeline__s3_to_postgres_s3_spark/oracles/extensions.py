@@ -355,7 +355,10 @@ WHERE 5 * CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * cnt < sum_qty_c
 VALUE_HISTOGRAM = """
 SELECT event_type,
     CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
-    CAST(FLOOR(value / 5.0) AS BIGINT) * 5.0 AS bucket_low,
+    -- CAST the width to DOUBLE: a bare 5.0 literal is DECIMAL(2,1) in
+    -- DuckDB, so BIGINT * 5.0 types as DECIMAL(21,1) — pandas-lossy
+    -- (driver hashes the pandas form; Spark emits DOUBLE).
+    CAST(FLOOR(value / 5.0) AS BIGINT) * CAST(5.0 AS DOUBLE) AS bucket_low,
     COUNT(*) AS n,
     MIN(value) AS min_value,
     MAX(value) AS max_value

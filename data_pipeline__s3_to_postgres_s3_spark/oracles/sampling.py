@@ -1,6 +1,7 @@
 """DuckDB oracle SQL for the dataset-assembly operators
 (operators/sampling.py — keep constants and arithmetic in lockstep)."""
 
+from ..functions.numeric import portable_round_sql
 from ..operators.sampling import (
     HASH_MOD,
     HASH_MULT,
@@ -24,7 +25,14 @@ SELECT doc_id, lang, source,
 FROM documents
 """
 
-CORPUS_STATS = """
+# DuckDB SUM(BIGINT) yields HUGEINT (int128), which pandas/Arrow
+# materializes as float64 while Spark emits int64 — the driver hashes the
+# pandas form, so every integer SUM in an OUTPUT column must be cast back
+# to BIGINT (round-4 driver-red on corpus_stats; same trap as
+# events_sessionized / oracles/curation.py). The doubles are
+# portable_round-ed at scale 6 on BOTH sides so interpolated percentiles
+# can never hash-diverge on future data.
+CORPUS_STATS = f"""
 WITH per_doc AS (
     SELECT lang,
         len(string_split(text, ' ')) AS n_tokens,
@@ -33,11 +41,11 @@ WITH per_doc AS (
 )
 SELECT lang,
     COUNT(*) AS n_docs,
-    SUM(n_tokens) AS total_tokens,
-    SUM(n_chars) AS total_chars,
-    CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
-    quantile_cont(n_tokens, 0.5) AS p50_tokens,
-    quantile_cont(n_tokens, 0.9) AS p90_tokens
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    {portable_round_sql('CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)', 6)} AS mean_tokens,
+    {portable_round_sql('quantile_cont(n_tokens, 0.5)', 6)} AS p50_tokens,
+    {portable_round_sql('quantile_cont(n_tokens, 0.9)', 6)} AS p90_tokens
 FROM per_doc
 GROUP BY lang
 """
@@ -50,7 +58,7 @@ WITH per_doc AS (
     FROM documents
 )
 SELECT doc_id, lang, shard, n_tokens,
-    SUM(n_tokens) OVER w AS cum_tokens,
+    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
     CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / {SEQ_LEN}) AS BIGINT)
         AS bin
 FROM per_doc

@@ -48,6 +48,44 @@ def _sort_key(row):
     )
 
 
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOATING = {"float", "double"}
+
+
+def dtype_mismatches(spark_df, oracle_pdf) -> list[str]:
+    """Driver-faithful dtype check (round-4 lesson: corpus_stats).
+
+    The grading driver value-hashes the pandas/Arrow materialization of
+    BOTH results, so an oracle column pandas widens — DuckDB SUM(BIGINT)
+    is HUGEINT → float64 — hash-diverges from Spark's int64 even though
+    fetchall() returns exact Python ints and every value compares equal
+    (3549 == 3549.0). Comparing fetchall() tuples alone is therefore NOT
+    driver-faithful; this checks the materialized dtypes too.
+
+    Narrow, high-signal rules (others skipped to avoid false alarms):
+    - Spark integral column → oracle pandas kind must be integer, unless
+      the column contains nulls (null-widening to float64 happens to the
+      Spark side's toPandas too, so the driver sees float on both sides).
+    - Spark float/double column → oracle pandas kind must be floating.
+    """
+    bad = []
+    spark_types = {f.name.lower(): f.dataType.simpleString() for f in spark_df.schema.fields}
+    for col in oracle_pdf.columns:
+        st = spark_types.get(col.lower())
+        if st is None:
+            continue
+        kind = oracle_pdf[col].dtype.kind
+        if st in _SPARK_INTEGRAL:
+            if kind in "iu":
+                continue
+            if kind == "f" and oracle_pdf[col].isna().any():
+                continue  # null-widening, symmetric on the Spark side
+            bad.append(f"{col}: spark {st} vs oracle pandas kind '{kind}'")
+        elif st in _SPARK_FLOATING and kind != "f":
+            bad.append(f"{col}: spark {st} vs oracle pandas kind '{kind}'")
+    return bad
+
+
 def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> dict:
     """Returns a report dict; report['ok'] is the verdict."""
     spark_cols = [c.lower() for c in spark_df.columns]
@@ -56,16 +94,23 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> dict:
     res = con.execute(sql)
     oracle_cols = [d[0].lower() for d in res.description]
     oracle_rows = [tuple(_norm(v) for v in r) for r in res.fetchall()]
+    # Re-execute through the pandas path for the dtype check — values are
+    # compared from fetchall() (exact ints), dtypes from what the driver
+    # actually hashes.
+    dtype_bad = dtype_mismatches(spark_df, con.execute(sql).df())
 
     report = {
         "ok": False,
         "spark_rows": len(spark_rows),
         "oracle_rows": len(oracle_rows),
         "cols_match": None,
+        "dtype_match": not dtype_bad,
         "exact": None,
         "near": None,
-        "detail": "",
+        "detail": "; ".join(dtype_bad),
     }
+    if dtype_bad:
+        return report
     # Compare on common column order: sort columns by name like the driver.
     if sorted(spark_cols) != sorted(oracle_cols):
         report["cols_match"] = False
