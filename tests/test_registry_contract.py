@@ -29,6 +29,19 @@ ROWS_ONLY_ALLOWED = {
     "media_features",  # mapInPandas decode stand-in — no SQL equivalent
     "approx_aggregates",  # sketch outputs — no exact SQL twin by design
 }
+# Round-5 rotation: never-driver-hashed entries moved into the strict
+# 50-entry prefix (corpus_stats/pack_sequences additionally prove the
+# round-4 HUGEINT oracle fix under the driver's own hash; stratified_sample
+# sat at position 51 — outside a strict 50-prefix — through round 4).
+ROTATED_IN = {
+    "corpus_stats",
+    "stratified_sample",
+    "pack_sequences",
+    "mixture_sample",
+    "sample_k_per_group",
+    "events_sessionized",
+    "customer_churn_reconciliation",
+}
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -53,6 +66,23 @@ def test_high_risk_families_inside_driver_window():
         and n not in window
     ]
     assert not out, f"high-risk queries outside the ~{WINDOW}-entry window: {out}"
+
+
+def test_rotated_in_entries_inside_strict_window():
+    window = set(list(QUERIES)[:WINDOW])
+    out = ROTATED_IN - window
+    assert not out, f"rotated-in entries fell outside the strict 50-prefix: {out}"
+
+
+def test_window_boundary_comment_is_exact():
+    # ADVICE r4: placement, comment, and the 50-entry contract must agree.
+    # The first entry after the boundary is the head of the rotated-out
+    # block; if someone inserts above it, this catches the drift.
+    names = list(QUERIES)
+    assert names[WINDOW] == "dataset_split", (
+        f"entry #{WINDOW + 1} is {names[WINDOW]!r}; the boundary comment in "
+        "registry.py no longer sits at the strict 50-entry line"
+    )
 
 
 def test_flagship_is_first_family():
