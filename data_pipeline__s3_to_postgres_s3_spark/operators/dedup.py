@@ -143,6 +143,26 @@ def dedup_ngram_jaccard(
     )
 
 
+def _ceil_threshold_mult(threshold: float) -> F.Column:
+    """⌈threshold·n⌉ over column ``n`` in EXACT integer arithmetic.
+
+    IEEE ``ceil(t*n)`` over-counts when t·n is a true integer whose float
+    product lands just above it (0.3*10 = 3.0000000000000004 → ceil 4),
+    silently SHORTENING the prefix and losing pairs — the lossless
+    candidate rule depends on this bound being exact. The threshold is
+    rationalized (Fraction.limit_denominator reproduces the intended
+    decimal for any sanely-specified t), then
+    ⌈num·n/den⌉ = (x − x%den)/den with x = num·n + den − 1 — all long ops
+    except one exact final division (x − x%den is an exact multiple ≤2^53,
+    IEEE division of exact ratios is exact)."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    x = F.col("n") * F.lit(num) + F.lit(den - 1)
+    return ((x - x % den) / den).cast("long")
+
+
 def dedup_jaccard_prefix(
     spark: SparkSession,
     sf_dir: str,
@@ -194,10 +214,7 @@ def dedup_jaccard_prefix(
         sh.join(dfreq, "shingle")
         .join(arrays.select("doc_id", n.alias("n")), "doc_id")
         .withColumn("pos", F.row_number().over(w))
-        .where(
-            F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-        )
+        .where(F.col("pos") <= F.col("n") - _ceil_threshold_mult(threshold) + 1)
         .select("shingle", "doc_id")
     )
     cand = (

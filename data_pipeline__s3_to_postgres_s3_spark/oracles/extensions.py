@@ -578,10 +578,17 @@ def _profile_oracles() -> dict:
     return {
         "profile_orders": _profile_sql("orders", PROFILE_ORDERS_COLS),
         "profile_documents": _profile_sql("documents", PROFILE_DOCUMENTS_COLS),
-        # ts distinct counts are identical across encodings after micros
-        # truncation (the testdata is micros-precision everywhere), so the
-        # raw events table is the faithful twin of the normalized loader.
-        "profile_events": _profile_sql("events", PROFILE_EVENTS_COLS),
+        # Profile the micros-TRUNCATED ts, not the raw encoding: the Spark
+        # side profiles the normalize_event_ts output, and a driver
+        # re-encode with true sub-microsecond nanos (the round-3 drift
+        # class) would otherwise split n_distinct between the two.
+        # CAST(ts AS TIMESTAMP) truncates TIMESTAMP_NS → micros and is a
+        # no-op on timestamp[us]; * REPLACE keeps the column name 'ts'.
+        "profile_events": _profile_sql(
+            "events",
+            PROFILE_EVENTS_COLS,
+            "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)",
+        ),
     }
 
 

@@ -331,7 +331,16 @@ ROLLING_Z_OUTPUT = StructType(
     ]
 )
 ROLLING_Z_STATE = StructType(
-    [StructField("ring", ArrayType(LongType()), True)]
+    [
+        StructField("ring", ArrayType(LongType()), True),
+        # Per-key (ts µs, event_id) high-watermark: the trailing-window
+        # semantics assume non-decreasing arrival ACROSS micro-batches,
+        # not just within one (rows are only sorted per batch). A row
+        # regressing behind this mark would score against the wrong
+        # window with no error — it is DROPPED explicitly instead.
+        StructField("last_us", LongType(), True),
+        StructField("last_id", LongType(), True),
+    ]
 )
 
 
@@ -341,7 +350,16 @@ def _rolling_z_fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
     carries across micro-batches, so each event's z-score is computed over
     exactly the same trailing window as the batch operator. All float math
     mirrors the batch/oracle formula op-for-op (Python floats ARE IEEE
-    doubles), so the emitted scores are bit-identical."""
+    doubles), so the emitted scores are bit-identical.
+
+    PRECONDITION (ADVICE r4): batch-equality requires events to arrive in
+    non-decreasing (ts, event_id) order across micro-batches — true for
+    the replayed file source here, NOT guaranteed for an out-of-order file
+    drop or late data (the 1-hour watermark bounds state, it does not
+    reorder). A per-key high-watermark is carried in state; rows at or
+    behind it are dropped (emit nothing) rather than silently scored
+    against the wrong trailing window. Dropped rows are visible as absent
+    event_ids in the sink — an explicit, testable policy."""
     import math
 
     import pandas as pd
@@ -349,11 +367,19 @@ def _rolling_z_fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
     from ..operators.windows import ROLLING_MIN_N, ROLLING_WINDOW_ROWS
 
     keep = ROLLING_WINDOW_ROWS - 1
-    ring = list(state.get[0]) if state.exists else []
+    if state.exists:
+        ring0, last_us, last_id = state.get
+        ring = list(ring0)
+    else:
+        ring, last_us, last_id = [], None, None
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     out_event: list[int] = []
     out_z: list[float] = []
-    for ev_id, c in zip(rows["event_id"], rows["c"]):
+    for ev_id, ts, c in zip(rows["event_id"], rows["ts"], rows["c"]):
+        us = pd.Timestamp(ts).value // 1000
+        ev_id = int(ev_id)
+        if last_us is not None and (us, ev_id) <= (last_us, last_id):
+            continue  # regressed behind the high-watermark: drop explicitly
         c = int(c)
         window = ring[-keep:] + [c] if keep else [c]
         n = len(window)
@@ -364,10 +390,11 @@ def _rolling_z_fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
                 nd, s1d, s2d = float(n), float(s1), float(s2)
                 var = (s2d - s1d * s1d / nd) / (nd - 1.0)
                 z = (float(c) - s1d / nd) / math.sqrt(var)
-                out_event.append(int(ev_id))
+                out_event.append(ev_id)
                 out_z.append(math.floor(z * 1e6 + 0.5) / 1e6)
         ring.append(c)
-    state.update((ring[-keep:],))
+        last_us, last_id = us, ev_id
+    state.update((ring[-keep:], last_us, last_id))
     yield pd.DataFrame(
         {
             "user_id": [key[0]] * len(out_event),

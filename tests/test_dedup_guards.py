@@ -178,3 +178,30 @@ def test_prefix_filter_is_lossless_vs_inverted_index(spark, sf_dir):
     b = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_ceil_threshold_mult_exact_arithmetic(spark):
+    """ADVICE r4: IEEE ceil(t*n) over-counts when t*n is a true integer
+    (0.3*10 -> 3.0000000000000004 -> ceil 4), shortening the prefix and
+    silently losing pairs. Pin the rational-arithmetic bound against
+    Python's exact Fraction math over a threshold x n grid that includes
+    every integer-product hazard."""
+    from fractions import Fraction
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        _ceil_threshold_mult,
+    )
+
+    ns = list(range(1, 41))
+    ndf = spark.createDataFrame([(n,) for n in ns], "n long")
+    for t in (0.3, 0.5, 0.7, 0.8, 0.25, 0.75, 0.9, 0.6, 0.1):
+        frac = Fraction(t).limit_denominator(1_000_000)
+        got = {
+            r.n: r.c
+            for r in ndf.select(
+                "n", _ceil_threshold_mult(t).alias("c")
+            ).collect()
+        }
+        for n in ns:
+            want = -((-frac.numerator * n) // frac.denominator)  # exact ceil
+            assert got[n] == want, f"t={t} n={n}: {got[n]} != {want}"

@@ -183,3 +183,51 @@ def test_rolling_zscore_ring_buffer_across_batches(spark, sf_small, split_events
     keys = ["user_id", "event_id", "zscore"]
     assert _rows(streamed, keys) == _rows(expected, keys)
     assert len(streamed.collect()) > 0
+
+
+def test_rolling_zscore_drops_regressing_rows(spark, sf_small, tmp_path):
+    """Out-of-order arrival policy (ADVICE r4): a file drop whose rows
+    regress behind a user's carried (ts, event_id) high-watermark must be
+    DROPPED explicitly — absent from the sink — not silently scored
+    against the wrong trailing window. Batch 1 delivers the LATER half of
+    every user's events; batch 2 delivers the earlier half, all of which
+    regresses. The sink must equal the batch operator run on the
+    later-half data alone."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
+        events_rolling_zscore,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_rolling_zscore,
+    )
+
+    ev = (
+        load_events(spark, sf_small)
+        .withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt_w = Window.partitionBy("user_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "half", F.col("rn") > F.count(F.lit(1)).over(cnt_w) / 2
+    )
+    later = ranked.where(F.col("half")).drop("rn", "half")
+    earlier = ranked.where(~F.col("half")).drop("rn", "half")
+
+    stream_dir = tmp_path / "stream"
+    later_dir = tmp_path / "later_only"
+    stream_dir.mkdir()
+    later_dir.mkdir()
+    for i, part in enumerate((later, earlier)):  # later arrives FIRST
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"t{i}"))
+        src = glob.glob(str(tmp_path / f"t{i}" / "*.parquet"))[0]
+        shutil.copy(src, str(stream_dir / f"events-{i}.parquet"))
+        if i == 0:
+            shutil.copy(src, str(later_dir / "events.parquet"))
+
+    streamed = stream_rolling_zscore(spark, str(stream_dir), max_files_per_trigger=1)
+    expected = events_rolling_zscore(spark, str(later_dir))
+    keys = ("user_id", "event_id", "zscore")
+    assert _rows(streamed, keys) == _rows(expected, keys)
+    assert streamed.count() > 0
+    # And the regressing half really is absent, not rescored.
+    early_ids = {r.event_id for r in earlier.select("event_id").collect()}
+    assert not early_ids & {r.event_id for r in streamed.collect()}

@@ -25,6 +25,9 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
     error_bursts_range,
     purchase_last_view_asof,
 )
+from data_pipeline__s3_to_postgres_s3_spark.operators.profiling import (
+    profile_events,
+)
 from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
     event_type_hourly,
     events_sessionized,
@@ -85,6 +88,7 @@ def _rows(df):
         load_events,
         event_type_hourly,
         events_sessionized,
+        profile_events,
         error_bursts_range,
         purchase_last_view_asof,
         stream_hourly_rollup,
