@@ -164,6 +164,41 @@ def event_props_extract(
     )
 
 
+def per_source_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-source curation dashboard: the table a mixture decision reads —
+    doc/token volume, language spread, and exact-dup rate for every
+    source feed. ONE scan + one groupBy(source); the two exact distincts
+    (lang, content hash) expand via Spark's EXPAND the same way
+    profiling's do — at 100 TB swap to approx_count_distinct with the
+    same column surface (documented trade, cf. operators/profiling.py).
+
+    Dtype lockstep with oracles/curation.py:PER_SOURCE_REPORT: integer
+    SUMs cast back to BIGINT there (HUGEINT trap), mean portable_round-ed
+    at scale 6 on both sides."""
+    from ..functions.numeric import portable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_size(F.split(F.col("text"), " "))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("content_hash"),
+        toks.alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (n - F.countDistinct("content_hash")).alias("n_exact_dups"),
+        portable_round(F.sum("n_tokens").cast("double") / n, 6).alias(
+            "mean_tokens"
+        ),
+    )
+
+
 def quality_gate(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -434,6 +434,72 @@ def dedup_minhash_lsh(
     )
 
 
+# Incremental split: the top decile of doc_id plays the "fresh crawl
+# increment"; everything below is the standing (already-deduped) corpus.
+# Integer arithmetic (max·9)//10 so Spark and the oracle agree exactly.
+INCREMENTAL_NEW_FRAC_NUM = 9
+INCREMENTAL_NEW_FRAC_DEN = 10
+
+
+def incremental_dedup_minhash(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Incremental (new-vs-corpus) MinHash dedup — the production shape of
+    LSH dedup: a fresh increment is checked against the standing corpus
+    and only NEW×CORPUS candidate pairs expand; corpus×corpus pairs (the
+    quadratic bulk, already deduped by prior runs) never form, and
+    new×new pairs are deferred to the next run's corpus (one-sided
+    semantics, documented).
+
+    Scale shape: the standing corpus's band keys are precomputable and
+    persistable, so the recurring cost is hashing the increment plus ONE
+    bucket-local candidate expansion. Here both sides' bands tag through
+    a single groupBy(band, band_key) over one tagged frame — one
+    consumer, so nothing recomputes per branch (the dedup_simhash lesson)
+    — and buckets hold only near-identical docs, so the expansion is
+    skew-bounded exactly like dedup_minhash_lsh's. Verification is the
+    same array_intersect over shingle arrays; no shingle-level shuffle.
+
+    The increment boundary is (max(doc_id)·9)//10 — a stand-in for the
+    daily partition key; the 1-row max() is a sanctioned scalar
+    aggregate (cf. the JDBC watermark, sources/jdbc.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    thr = (int(m) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
+    arrays = _shingle_arrays(docs)
+    bands = minhash_band_keys(arrays).withColumn(
+        "is_new", F.col("doc_id") >= thr
+    )
+    cand = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct("doc_id", "is_new")).alias("ms"))
+        .select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .where((~F.col("a.is_new")) & F.col("b.is_new"))
+        .select(
+            F.col("a.doc_id").alias("corpus_doc_id"),
+            F.col("b.doc_id").alias("new_doc_id"),
+        )
+        .distinct()
+    )
+    aa = arrays.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_a")
+    )
+    ab = arrays.select(
+        F.col("doc_id").alias("new_doc_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.array_size("sh_a") + F.array_size("sh_b") - inter
+    )
+    return (
+        cand.join(aa, "corpus_doc_id")
+        .join(ab, "new_doc_id")
+        .select("new_doc_id", "corpus_doc_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def simhash_signatures(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

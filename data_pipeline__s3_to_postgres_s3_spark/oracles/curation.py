@@ -76,10 +76,28 @@ FROM (
 GROUP BY event_type
 """
 
+# Integer SUMs cast back to BIGINT (HUGEINT → float64 pandas trap); the
+# mean is portable_round-ed at scale 6 on both sides.
+from ..functions.numeric import portable_round_sql
+
+PER_SOURCE_REPORT = f"""
+SELECT source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+    COUNT(DISTINCT lang) AS n_langs,
+    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+    {portable_round_sql(
+        "CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)", 6
+    )} AS mean_tokens
+FROM documents
+GROUP BY source
+"""
+
 CURATION_ORACLES = {
     "decontaminate_eval_overlap": DECONTAMINATE_EVAL_OVERLAP,
     "doc_repetition": DOC_REPETITION,
     "event_props_extract": EVENT_PROPS_EXTRACT,
+    "per_source_report": PER_SOURCE_REPORT,
 }
 
 # quality_gate: the same single-pass funnel — reuses llmops' lang-ID SQL

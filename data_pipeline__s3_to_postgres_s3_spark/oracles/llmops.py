@@ -197,6 +197,62 @@ WHERE CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
       >= {JACCARD_THRESHOLD}
 """
 
+def _incremental_minhash_sql() -> str:
+    from ..operators.dedup import (
+        INCREMENTAL_NEW_FRAC_DEN,
+        INCREMENTAL_NEW_FRAC_NUM,
+    )
+
+    return f"""
+WITH {_SHINGLES},
+thr AS (
+    SELECT (MAX(doc_id) * {INCREMENTAL_NEW_FRAC_NUM})
+           // {INCREMENTAL_NEW_FRAC_DEN} AS t
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {_HEX7_TO_INT} AS h
+    FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+),
+mh AS (
+    SELECT doc_id, p,
+        MIN((({_A_LIST})[p + 1] * h + ({_B_LIST})[p + 1])
+            % {MINHASH_PRIME}) AS minhash
+    FROM hashed, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS t(p)
+    GROUP BY doc_id, p
+),
+bands AS (
+    SELECT doc_id, p // {MINHASH_BAND_ROWS} AS band,
+        md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY p)) AS band_key
+    FROM mh GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS corpus_doc_id, b.doc_id AS new_doc_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    CROSS JOIN thr
+    WHERE a.doc_id < thr.t AND b.doc_id >= thr.t
+),
+inter AS (
+    SELECT corpus_doc_id, new_doc_id, COUNT(*) AS n_inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = corpus_doc_id
+    JOIN sh sb ON sb.doc_id = new_doc_id AND sb.shingle = sa.shingle
+    GROUP BY corpus_doc_id, new_doc_id
+)
+SELECT new_doc_id, corpus_doc_id,
+    CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+        AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = corpus_doc_id
+JOIN cnt cb ON cb.doc_id = new_doc_id
+WHERE CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+INCREMENTAL_DEDUP_MINHASH = _incremental_minhash_sql()
+
 # --- SimHash (generated SQL: 64 bit-votes from md5 nibbles) ---------------
 
 _NIB = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
@@ -739,6 +795,7 @@ LLMOPS_ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_prefix": DEDUP_JACCARD_PREFIX,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
+    "incremental_dedup_minhash": INCREMENTAL_DEDUP_MINHASH,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_clusters": DEDUP_CLUSTERS,
     "dedup_keep_best": DEDUP_KEEP_BEST,

@@ -48,6 +48,7 @@ from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
+    per_source_report,
     quality_gate,
 )
 from .operators.graph import dedup_clusters, dedup_keep_best
@@ -57,6 +58,7 @@ from .operators.dedup import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    incremental_dedup_minhash,
 )
 from .operators.similarity import (
     embedding_kmeans,
@@ -215,13 +217,16 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_stats": corpus_stats,
     "stratified_sample": stratified_sample,  # was #51 — outside a strict 50-prefix
     "pack_sequences": pack_sequences,
-    "mixture_sample": mixture_sample,
-    "sample_k_per_group": sample_k_per_group,
     "events_sessionized": events_sessionized,
     "customer_churn_reconciliation": customer_churn_reconciliation,
+    # New in round 5 — brand-new oracles belong under the driver's hash:
+    "incremental_dedup_minhash": incremental_dedup_minhash,
+    "per_source_report": per_source_report,
     # ===== 50-entry driver-window boundary (entries above are 1..50) =====
     # Rotated out in round 5 — every one hash-green in round 4 AND pinned
     # by dedicated local tests (zero-shuffle scans / pure hash arithmetic):
+    "mixture_sample": mixture_sample,
+    "sample_k_per_group": sample_k_per_group,
     "dataset_split": dataset_split,
     "uniform_sample_k": uniform_sample_k,
     "text_quality": text_quality,

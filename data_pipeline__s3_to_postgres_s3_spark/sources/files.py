@@ -61,6 +61,31 @@ def read_jsonl(
     )
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """ORC read (columnar, self-describing — the warehouse interchange
+    format besides parquet; Hive-ecosystem feeds commonly arrive as ORC).
+    Schema declaration here is a PROJECTION contract, not a parse recipe:
+    ORC files carry their own types, so unlike CSV/JSONL there is no
+    malformed-row quarantine — a type mismatch fails loudly at read, which
+    is the correct behavior for a self-describing format. Passing a schema
+    prunes the scan to the declared columns (column pruning at the reader,
+    same as parquet)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink with snappy compression (Spark's default codec choice for
+    ORC is zlib; snappy matches the parquet sink's speed/size trade)."""
+    df.write.mode(mode).option("compression", "snappy").orc(path)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_corrupt_col, quarantined_rows).
 

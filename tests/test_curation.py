@@ -122,3 +122,28 @@ def test_quality_gate_single_exchange_and_consistency(spark, sf_dir):
     }
     for doc_id, r in rows.items():
         assert r["canonical_ok"] == (doc_id in canonical_ids)
+
+
+def test_per_source_report_totals_reconcile(spark, sf_dir):
+    """The source-axis accounting must reconcile with the lang-axis
+    accounting (corpus_stats): same corpus, two groupings, identical
+    grand totals — the invariant a mixture dashboard relies on."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        per_source_report,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        corpus_stats,
+    )
+
+    by_source = per_source_report(spark, sf_dir)
+    by_lang = corpus_stats(spark, sf_dir)
+    s = by_source.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    l = by_lang.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    assert (s.docs, s.toks) == (l.docs, l.toks)
+    assert by_source.count() > 1
+    dup_sanity = by_source.where(F.col("n_exact_dups") < 0).count()
+    assert dup_sanity == 0

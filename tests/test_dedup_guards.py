@@ -228,3 +228,35 @@ def test_jaccard_auto_facade_both_branches(spark, sf_small):
         map(tuple, dedup_jaccard(spark, sf_small, expansion_budget=0).collect())
     )
     assert via_inverted == via_prefix
+
+
+def test_incremental_dedup_is_cross_boundary_slice_of_lsh(spark, sf_dir):
+    """One-sided semantics, exactly: incremental_dedup_minhash must equal
+    dedup_minhash_lsh's pair set restricted to pairs straddling the
+    increment boundary (doc_a < thr <= doc_b) — same bands, same verify,
+    no corpus x corpus or new x new pairs, nothing else lost."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        INCREMENTAL_NEW_FRAC_DEN,
+        INCREMENTAL_NEW_FRAC_NUM,
+        dedup_minhash_lsh,
+        incremental_dedup_minhash,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+
+    m = load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    thr = (int(m) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
+
+    inc = sorted(
+        (r.corpus_doc_id, r.new_doc_id, r.jaccard)
+        for r in incremental_dedup_minhash(spark, sf_dir).collect()
+    )
+    full = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if r.doc_a < thr <= r.doc_b
+    )
+    assert inc == full
+    for corpus_id, new_id, _ in inc:
+        assert corpus_id < thr <= new_id

@@ -210,3 +210,38 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_orc_roundtrip_preserves_rows_and_schema(spark, sf_small, tmp_path):
+    """ORC source/sink parity: write the documents table to ORC, read it
+    back (with and without a declared projection schema) — identical rows,
+    identical dtypes. ORC is self-describing, so unlike CSV/JSONL there is
+    no quarantine column; the declared schema acts as reader-side column
+    pruning only."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+
+    back = read_orc(spark, out)
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+    proj_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    proj = read_orc(spark, out, proj_schema)
+    assert proj.columns == ["doc_id", "lang"]
+    assert proj.count() == docs.count()

@@ -37,10 +37,11 @@ ROTATED_IN = {
     "corpus_stats",
     "stratified_sample",
     "pack_sequences",
-    "mixture_sample",
-    "sample_k_per_group",
     "events_sessionized",
     "customer_churn_reconciliation",
+    # Brand-new in round 5 — new oracles belong under the driver's hash:
+    "incremental_dedup_minhash",
+    "per_source_report",
 }
 
 
@@ -79,7 +80,7 @@ def test_window_boundary_comment_is_exact():
     # The first entry after the boundary is the head of the rotated-out
     # block; if someone inserts above it, this catches the drift.
     names = list(QUERIES)
-    assert names[WINDOW] == "dataset_split", (
+    assert names[WINDOW] == "mixture_sample", (
         f"entry #{WINDOW + 1} is {names[WINDOW]!r}; the boundary comment in "
         "registry.py no longer sits at the strict 50-entry line"
     )
