@@ -293,6 +293,87 @@ def _jaccard_variant(sum_df2: int | None, budget: int) -> str:
     return "prefix" if sum_df2 is not None and sum_df2 > budget else "inverted"
 
 
+# Containment threshold: |A∩B|/|A| ≥ 0.55 flags doc A as (near-)contained
+# in doc B. Deliberately below the Jaccard threshold — containment exists
+# to catch the SUBSET case Jaccard misses: a snippet quoted inside a much
+# larger page has high containment but low Jaccard (the big doc inflates
+# the union), so a symmetric threshold tuned for resemblance would never
+# fire on it.
+CONTAINMENT_THRESHOLD = 0.55
+
+
+def dedup_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    df_cap: int = NGRAM_DF_CAP,
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: directed pairs (inner_doc,
+    outer_doc) where |shingles(inner) ∩ shingles(outer)| / |shingles(inner)|
+    ≥ threshold — i.e. inner_doc is (nearly) a subset of outer_doc. The
+    subset-dup detector of the dedup ladder (Broder's containment
+    coefficient): quoted snippets, boilerplate-wrapped copies, and
+    truncated mirrors that Jaccard's symmetric union denominator dilutes
+    below its threshold.
+
+    Physical shape — identical to dedup_ngram_jaccard's inverted index
+    (one shuffle on shingle, DF-capped posting expansion, audited by
+    ngram_df_report): the UNDIRECTED intersection count is computed once
+    per (a<b) pair, then both directed verdicts are emitted from that one
+    row via an inline 2-struct explode — no union of two branches, so the
+    intersection subtree executes once (CLAUDE.md: static exchange reuse
+    does not fire across union branches).
+
+    containment = n_inter/n_inner is a single int/int IEEE division —
+    deterministic across engines (CLAUDE.md float rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(docs)
+    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+    counts = arrays.select(
+        "doc_id", F.array_size("shingles").cast("long").alias("n_shingles")
+    )
+    inter = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where(F.array_size("docs").between(2, df_cap))
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b")
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("inner_doc"),
+                F.col("doc_b").alias("outer_doc"),
+                c_ab.alias("containment"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("inner_doc"),
+                F.col("doc_a").alias("outer_doc"),
+                c_ba.alias("containment"),
+            ),
+        )
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(directed.alias("e"))
+        .select("e.*")
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def ngram_df_report(
     spark: SparkSession,
     sf_dir: str,

@@ -222,6 +222,71 @@ def sample_k_per_group(
     )
 
 
+# Temperature-weighted source rebalancing: quotas ∝ N_src^(1/2), i.e. the
+# standard temperature-sampling exponent α = 1/τ with τ = 2 that
+# multilingual/multi-source training mixes use to up-weight small sources
+# without letting the head source dominate. α = 1/2 specifically so the
+# weight is an EXACT integer sqrt — quotas stay engine-portable integer
+# arithmetic with no float pow/sum whose association could differ.
+TEMPERATURE_SALT = 13_371_337
+TEMPERATURE_TARGET = 120  # total docs in the resampled mixture
+
+
+def _isqrt_col(n: F.Column) -> F.Column:
+    """⌊√n⌋ exactly: FLOOR(sqrt(double)) can land one off on either side
+    near perfect squares (sqrt rounds to nearest ulp), so correct the
+    candidate by exact integer comparison — identical CASE form in the
+    oracle, so both engines agree on every n."""
+    s = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    return (
+        s
+        + F.when((s + 1) * (s + 1) <= n, F.lit(1)).otherwise(F.lit(0))
+        - F.when(s * s > n, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def temperature_resample(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Exact-quota temperature resampling across sources: source s gets
+    quota_s = ⌊TARGET · √N_s / Σ_t √N_t⌋ documents, selected by salted-hash
+    rank within the source — the α=1/2 temperature flattening that keeps
+    head sources from dominating a training mix while small feeds keep
+    presence proportional to √size.
+
+    Everything that decides membership is EXACT integer arithmetic:
+    integer sqrt (corrected FLOOR — see _isqrt_col), integer Σ, and
+    ⌊w·T/Σ⌋ computed as (x − x mod Σ)/Σ (x − x%Σ is an exact multiple, and
+    IEEE division of exact ratios is exact) — so Spark and the oracle land
+    on identical quotas with no float pow/sum association hazard.
+
+    Scale shape: source stats are a groupBy the size of the source list;
+    the grand total is a 1-row aggregate broadcast back (scalar-injection
+    crossJoin, cf. relational.py); ranked membership is ONE shuffle on
+    source for the rank window — same shape as stratified_sample, same
+    skew bound (a stratum's window is its own size, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .select("source", _isqrt_col(F.col("n_src")).alias("w"))
+    )
+    total = weights.agg(F.sum("w").alias("t"))
+    x = F.col("w") * TEMPERATURE_TARGET
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        "source", ((x - x % F.col("t")) / F.col("t")).cast("long").alias("quota")
+    )
+    h = ((F.col("doc_id") + TEMPERATURE_SALT) * HASH_MULT) % HASH_MOD
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "source", F.col("rn").alias("sample_rank"))
+    )
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

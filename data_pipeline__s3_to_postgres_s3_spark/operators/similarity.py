@@ -431,3 +431,70 @@ def embedding_kmeans(
     return _kmeans_assign(emb, cents).select(
         "vec_id", F.col("cell").alias("cluster"), "d2"
     )
+
+
+# --- Semantic dedup (SemDeDup-style) --------------------------------------
+
+# Within-cluster cosine above which the higher-id vector is a semantic
+# duplicate. Lower than NEARDUP_COSINE: semantic dedup prunes
+# same-meaning-different-words redundancy, not just near-copies.
+SEMDEDUP_COSINE = 0.35
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas et al. 2023, public):
+    partition the embedding corpus into clusters, compare pairs ONLY
+    within a cluster, and drop every vector with a lower-id semantic
+    twin (cosine ≥ SEMDEDUP_COSINE). Output: (vec_id, cluster, keep).
+
+    Clustering reuses the corpus's pretrained partitioner (the label
+    column), exactly as similarity_ivf_topk's docstring sanctions for
+    one-shot queries — the genuinely iterative path is embedding_kmeans.
+    Keep rule: a vector is dropped iff SOME lower-id vector in its
+    cluster clears the threshold (deterministic, stable under corpus
+    growth for existing ids); the min-id member of every semantic group
+    always survives. This is the paper's greedy keep-one rule with vec_id
+    as the priority order.
+
+    Scale shape: the pair space is Σ_c |c|² — the whole point of
+    clustering first (k grows with the corpus, so |c| stays bounded and
+    the quadratic term never sees N²). Physically: one self equi-join on
+    cluster (each side one shuffle of (id, vec)), exact cosine verified
+    inline, then the drop set comes back to the corpus as a broadcast-able
+    semi-join side. Cosines are portable_round-ed at 1e-4 (like
+    embedding_neardup_pairs) so float fold order can't flip a verdict."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("label").cast("long").alias("cluster"), "embedding", "norm"
+    )
+    a = emb.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = portable_round(
+        F.expr(_DOT.format(a="emb_a", b="emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        4,
+    )
+    losers = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= SEMDEDUP_COSINE)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return emb.join(losers, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+    )

@@ -423,6 +423,48 @@ def normalize_text(
     )
 
 
+def token_budget_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Token-budget cross-tab per (lang, source): doc count, whitespace and
+    BPE-ish token totals, and each cell's share of the global BPE budget —
+    the table a mixture spec reads when budgets are counted in TOKENS, not
+    documents (corpus_stats is per-lang, per_source_report per-source;
+    mixture quotas need the full cross-tab).
+
+    ONE scan + one groupBy(lang, source) with map-side combine; the global
+    total is a 1-row aggregate of the cell frame injected back by
+    broadcast crossJoin (the scalar-injection idiom, cf. relational.py) —
+    no single-partition global window, so a long tail of sources never
+    serializes. The cell frame feeds both the total and the output, so it
+    is localCheckpoint-ed (exchange reuse does not fire across the two
+    consumers — CLAUDE.md, dedup_simhash lesson). share_pct is an
+    exact-int / exact-int division, portable_round-ed at 1e-6 on both
+    sides (CLAUDE.md float rule); integer SUMs are cast back to BIGINT in
+    the oracle (HUGEINT trap, oracles/llmops.py)."""
+    from ..functions.numeric import portable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.array_size(F.split(F.col("text"), " "))
+    bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
+    per_cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+    ).localCheckpoint(eager=False)
+    total = per_cell.agg(F.sum("bpe_tokens").alias("t"))
+    return per_cell.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        portable_round(
+            F.col("bpe_tokens") * F.lit(100).cast("double") / F.col("t"), 6
+        ).alias("share_pct"),
+    )
+
+
 def doc_fingerprint(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -10,7 +10,9 @@ Portability rules used here:
   ordering/thresholding, matching the Spark side.
 """
 
+from ..functions.numeric import portable_round_sql
 from ..operators.dedup import (
+    CONTAINMENT_THRESHOLD,
     JACCARD_THRESHOLD,
     MINHASH_A,
     MINHASH_B,
@@ -32,6 +34,7 @@ from ..operators.similarity import (
     NEARDUP_TABLES,
     N_QUERIES,
     NEARDUP_COSINE,
+    SEMDEDUP_COSINE,
     TOP_K,
 )
 from ..operators.textops import BPE_PATTERN, LANG_MARKERS, STOPWORDS
@@ -57,6 +60,26 @@ SELECT doc_id, lang,
     CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
          - (len(toks) - 1) AS DOUBLE) / n_chars AS punct_ratio
 FROM base
+"""
+
+# (lang, source) token-budget cross-tab; integer SUMs cast back to BIGINT
+# (HUGEINT → pandas float64 trap), share_pct portable_round-ed at 1e-6 on
+# both sides. The window SUM in the denominator never reaches the output.
+TOKEN_BUDGET_REPORT = f"""
+WITH per_cell AS (
+    SELECT lang, source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+    FROM documents
+    GROUP BY lang, source
+)
+SELECT lang, source, n_docs, ws_tokens, bpe_tokens,
+    {portable_round_sql(
+        'CAST(bpe_tokens AS DOUBLE) * 100 / (SUM(bpe_tokens) OVER ())', 6
+    )} AS share_pct
+FROM per_cell
 """
 
 _LANGS = sorted(LANG_MARKERS)
@@ -155,6 +178,40 @@ DEDUP_NGRAM_JACCARD = dedup_ngram_jaccard_sql()
 # Prefix-filtering variant is EXACT (no DF cap): the uncapped index SQL is
 # its oracle — prefix filtering is candidate pruning, never result pruning.
 DEDUP_JACCARD_PREFIX = dedup_ngram_jaccard_sql(df_cap=10**9)
+
+# Asymmetric containment twin of the Jaccard oracle: same DF-capped
+# intersection index, but each undirected (a<b) intersection row emits two
+# DIRECTED verdicts with the INNER doc's shingle count as denominator.
+DEDUP_CONTAINMENT = f"""
+WITH {_SHINGLES},
+df_ok AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_ok USING (shingle)),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+sized AS (
+    SELECT doc_a, doc_b, n_inter,
+        ca.n_shingles AS n_a, cb.n_shingles AS n_b
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+),
+directed AS (
+    SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+        CAST(n_inter AS DOUBLE) / n_a AS containment
+    FROM sized
+    UNION ALL
+    SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / n_b
+    FROM sized
+)
+SELECT inner_doc, outer_doc, containment
+FROM directed
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
 
 DEDUP_MINHASH_LSH = f"""
 WITH {_SHINGLES},
@@ -423,6 +480,26 @@ scored AS (
     FROM eb a JOIN eb b ON ({_ANY_TABLE_MATCH_AB}) AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {NEARDUP_COSINE}
+"""
+
+# SemDeDup: within-cluster (label partitioner) pairwise cosine; a vector
+# with ANY lower-id twin at sim ≥ SEMDEDUP_COSINE is dropped. Cosine
+# rounding mirrors the Spark side's portable_round(·, 4) exactly.
+SEMANTIC_DEDUP = f"""
+WITH e AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,
+        sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+    FROM embeddings
+),
+losers AS (
+    SELECT DISTINCT b.vec_id
+    FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE FLOOR(({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (a.norm * b.norm)) * 10000 + 0.5) / 10000
+          >= {SEMDEDUP_COSINE}
+)
+SELECT e.vec_id, e.cluster, l.vec_id IS NULL AS keep
+FROM e LEFT JOIN losers l ON l.vec_id = e.vec_id
 """
 
 
@@ -794,6 +871,7 @@ LLMOPS_ORACLES = {
     "dedup_exact": DEDUP_EXACT,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_prefix": DEDUP_JACCARD_PREFIX,
+    "dedup_containment": DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "incremental_dedup_minhash": INCREMENTAL_DEDUP_MINHASH,
     "dedup_simhash": DEDUP_SIMHASH,
@@ -804,6 +882,8 @@ LLMOPS_ORACLES = {
     "similarity_ivf_topk": SIMILARITY_IVF_TOPK,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS,
     "embedding_kmeans": EMBEDDING_KMEANS,
+    "semantic_dedup": SEMANTIC_DEDUP,
+    "token_budget_report": TOKEN_BUDGET_REPORT,
     "tfidf_top_terms": TFIDF_TOP_TERMS,
     "top_bigrams_per_lang": TOP_BIGRAMS_PER_LANG,
     "normalize_text": NORMALIZE_TEXT,

@@ -138,8 +138,48 @@ WHERE rn <= {GROUP_SAMPLE_K}
 """
 
 
+def _temperature_sql() -> str:
+    """Quota arithmetic is EXACT integers end-to-end (corrected integer
+    sqrt, integer Σ, floor-division) — mirrors operators/sampling.py's
+    _isqrt_col + (x − x%Σ)/Σ formulation bit-for-bit. quota/SUM(w) are
+    HUGEINT-adjacent but never reach the output (filter only)."""
+    from ..operators.sampling import TEMPERATURE_SALT, TEMPERATURE_TARGET
+
+    h = f"(doc_id + {TEMPERATURE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    return f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+isq AS (
+    SELECT source, n_src,
+        CAST(FLOOR(SQRT(CAST(n_src AS DOUBLE))) AS BIGINT) AS s0
+    FROM counts
+),
+w AS (
+    SELECT source,
+        s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n_src THEN 1 ELSE 0 END)
+           - (CASE WHEN s0 * s0 > n_src THEN 1 ELSE 0 END) AS w
+    FROM isq
+),
+q AS (
+    SELECT source,
+        (w * {TEMPERATURE_TARGET}) // (SELECT SUM(w) FROM w) AS quota
+    FROM w
+),
+ranked AS (
+    SELECT doc_id, lang, source,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+    FROM documents
+)
+SELECT r.doc_id, r.lang, r.source, CAST(r.rn AS INT) AS sample_rank
+FROM ranked r JOIN q USING (source)
+WHERE r.rn <= q.quota
+"""
+
+
 UNIFORM_SAMPLE_K_SQL = _uniform_sample_sql()
 SAMPLE_K_PER_GROUP_SQL = _group_sample_sql()
+TEMPERATURE_RESAMPLE = _temperature_sql()
 
 SAMPLING_ORACLES = {
     "uniform_sample_k": UNIFORM_SAMPLE_K_SQL,
@@ -149,4 +189,5 @@ SAMPLING_ORACLES = {
     "pack_sequences": PACK_SEQUENCES,
     "mixture_sample": MIXTURE_SAMPLE,
     "stratified_sample": STRATIFIED_SAMPLE,
+    "temperature_resample": TEMPERATURE_RESAMPLE,
 }

@@ -53,6 +53,7 @@ from .operators.curation import (
 )
 from .operators.graph import dedup_clusters, dedup_keep_best
 from .operators.dedup import (
+    dedup_containment,
     dedup_exact,
     dedup_jaccard_prefix,
     dedup_minhash_lsh,
@@ -63,6 +64,7 @@ from .operators.dedup import (
 from .operators.similarity import (
     embedding_kmeans,
     embedding_neardup_pairs,
+    semantic_dedup,
     similarity_bruteforce_topk,
     similarity_ivf_topk,
     similarity_lsh_topk,
@@ -83,6 +85,7 @@ from .operators.sampling import (
     corpus_stats,
     sample_k_per_group,
     stratified_sample,
+    temperature_resample,
     uniform_sample_k,
     dataset_split,
     mixture_sample,
@@ -99,6 +102,7 @@ from .operators.textops import (
     normalize_text,
     text_quality,
     tfidf_top_terms,
+    token_budget_report,
     top_bigrams_per_lang,
     winnow_dup_candidates,
     winnow_fingerprints,
@@ -170,7 +174,6 @@ QUERIES: dict[str, QueryFn] = {
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,
     "cdc_merge_customers": cdc_merge_customers,
-    "profile_orders": profile_orders,
     # -- SQL-script executor (S5) — must agree with the operators ---------
     "sql_script_public_holiday": sql_script_public_holiday,
     "sql_script_shipments": sql_script_shipments,
@@ -198,17 +201,18 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
-    # -- text analysis (rank/float-sensitive members; the four plain
-    #    zero-shuffle scans rotated to the tail in round 5) ---------------
-    "tfidf_top_terms": tfidf_top_terms,
-    "top_bigrams_per_lang": top_bigrams_per_lang,
-    "winnow_fingerprints": winnow_fingerprints,
+    "semantic_dedup": semantic_dedup,
+    # -- text analysis (rank/float-sensitive members; tfidf/top_bigrams/
+    #    winnow_fingerprints rotated to the tail mid-round-5 after their
+    #    fourth straight hash-green round, making room for the new ops) ---
     "winnow_dup_candidates": winnow_dup_candidates,
     "bm25_topk": bm25_topk,
+    "token_budget_report": token_budget_report,
     # -- sampling / packing + round-5 window rotation ---------------------
     # Entries the driver had never hashed (positions 51+ through round 4),
     # rotated in now that the high-risk families have a green round behind
@@ -222,9 +226,16 @@ QUERIES: dict[str, QueryFn] = {
     # New in round 5 — brand-new oracles belong under the driver's hash:
     "incremental_dedup_minhash": incremental_dedup_minhash,
     "per_source_report": per_source_report,
+    "temperature_resample": temperature_resample,
     # ===== 50-entry driver-window boundary (entries above are 1..50) =====
     # Rotated out in round 5 — every one hash-green in round 4 AND pinned
-    # by dedicated local tests (zero-shuffle scans / pure hash arithmetic):
+    # by dedicated local tests (zero-shuffle scans / pure hash arithmetic;
+    # tfidf/top_bigrams/winnow_fingerprints/profile_orders moved here
+    # mid-round to make room for the four new round-5 operators):
+    "tfidf_top_terms": tfidf_top_terms,
+    "top_bigrams_per_lang": top_bigrams_per_lang,
+    "winnow_fingerprints": winnow_fingerprints,
+    "profile_orders": profile_orders,
     "mixture_sample": mixture_sample,
     "sample_k_per_group": sample_k_per_group,
     "dataset_split": dataset_split,

@@ -260,3 +260,94 @@ def test_incremental_dedup_is_cross_boundary_slice_of_lsh(spark, sf_dir):
     assert inc == full
     for corpus_id, new_id, _ in inc:
         assert corpus_id < thr <= new_id
+
+
+def test_containment_matches_bruteforce_small(spark, sf_small):
+    """Directed containment pairs vs an exact in-Python set computation at
+    sf0.001 (DF cap inactive at this scale, so the operator is exact)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        NGRAM_N,
+        dedup_containment,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    }
+
+    def shingles(t: str) -> set[str]:
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + NGRAM_N])
+            for i in range(len(toks) - NGRAM_N + 1)
+        }
+
+    sets = {d: s for d, s in ((d, shingles(t)) for d, t in docs.items()) if s}
+    expected = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa) >= CONTAINMENT_THRESHOLD:
+                expected.add((a, b))
+    got = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in dedup_containment(spark, sf_small).collect()
+    }
+    assert got == expected
+
+
+def test_containment_dominates_jaccard_pairs(spark, sf_dir):
+    """Containment ≥ Jaccard always (the union dominates either set), so
+    every Jaccard-threshold pair must surface in BOTH directions of the
+    containment output — the asymmetric operator strictly widens the
+    symmetric one at equal-or-lower threshold."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        JACCARD_THRESHOLD,
+        dedup_containment,
+    )
+
+    assert CONTAINMENT_THRESHOLD <= JACCARD_THRESHOLD
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    for a, b in jac:
+        assert (a, b) in cont and (b, a) in cont
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """The reason the operator exists: a snippet quoted inside a much
+    larger page clears the containment threshold while its Jaccard sits
+    far below the resemblance threshold (the big doc inflates the
+    union)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        dedup_containment,
+    )
+
+    snippet = " ".join(f"s{i}" for i in range(12))
+    page = snippet + " " + " ".join(f"p{i}" for i in range(120))
+    other = " ".join(f"q{i}" for i in range(30))
+    spark.createDataFrame(
+        [(1, snippet), (2, page), (3, other)], "doc_id bigint, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    cont = {
+        (r["inner_doc"], r["outer_doc"]): r["containment"]
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert not jac  # resemblance never fires on the subset pair
+    assert (1, 2) in cont and cont[(1, 2)] >= CONTAINMENT_THRESHOLD
+    assert (2, 1) not in cont  # the big page is NOT contained in the snippet

@@ -22,6 +22,9 @@ PRONE = [
     "embedding_kmeans",           # per-round centroid AVG accumulation
     "stratified_sample",          # per-stratum rank cut at the quota
     "winnow_dup_candidates",      # pair counts over the fingerprint join
+    "dedup_containment",          # DF-capped posting pair expansion
+    "semantic_dedup",             # within-cluster cosine fold + drop set
+    "temperature_resample",       # per-source rank cut at integer quota
 ]
 
 

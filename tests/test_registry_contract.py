@@ -42,6 +42,10 @@ ROTATED_IN = {
     # Brand-new in round 5 — new oracles belong under the driver's hash:
     "incremental_dedup_minhash",
     "per_source_report",
+    "dedup_containment",
+    "semantic_dedup",
+    "temperature_resample",
+    "token_budget_report",
 }
 
 
@@ -80,7 +84,7 @@ def test_window_boundary_comment_is_exact():
     # The first entry after the boundary is the head of the rotated-out
     # block; if someone inserts above it, this catches the drift.
     names = list(QUERIES)
-    assert names[WINDOW] == "mixture_sample", (
+    assert names[WINDOW] == "tfidf_top_terms", (
         f"entry #{WINDOW + 1} is {names[WINDOW]!r}; the boundary comment in "
         "registry.py no longer sits at the strict 50-entry line"
     )

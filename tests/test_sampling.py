@@ -105,3 +105,77 @@ def test_pack_sequences_deterministic(spark, sf_dir):
     a = sorted(map(tuple, pack_sequences(spark, sf_dir).collect()))
     b = sorted(map(tuple, pack_sequences(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_isqrt_col_exact(spark):
+    """The corrected-FLOOR integer sqrt must equal math.isqrt everywhere —
+    including perfect squares and their neighbors, where bare
+    FLOOR(sqrt(double)) can land one off."""
+    import math
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        _isqrt_col,
+    )
+
+    vals = sorted(
+        {0, 1, 2, 3}
+        | {k * k + d for k in (2, 3, 10, 100, 1000, 1 << 20, 1 << 26) for d in (-1, 0, 1)}
+        | {10**6, 10**12, (1 << 52) - 1}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "n bigint")
+    got = {r["n"]: r["s"] for r in df.select("n", _isqrt_col(F.col("n")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_temperature_resample_quotas_exact(spark, sf_dir):
+    """Per-source sample counts must equal the exact integer quota
+    ⌊TARGET·√N_s / Σ√N_t⌋, and the α=1/2 flattening must shrink the head
+    source's share relative to its raw corpus share."""
+    import math
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        TEMPERATURE_TARGET,
+        temperature_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    w = {s: math.isqrt(n) for s, n in counts.items()}
+    total_w = sum(w.values())
+    expected = {s: (w[s] * TEMPERATURE_TARGET) // total_w for s in w}
+
+    got = {
+        r["source"]: r["n"]
+        for r in temperature_resample(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {s: q for s, q in expected.items() if q > 0}
+    assert sum(got.values()) <= TEMPERATURE_TARGET
+
+    head = max(counts, key=counts.get)
+    raw_share = counts[head] / sum(counts.values())
+    sampled_share = got[head] / sum(got.values())
+    assert sampled_share <= raw_share + 1e-9
+
+
+def test_token_budget_report_accounting(spark, sf_dir):
+    """Shares must sum to ~100 and the per-(lang,source) whitespace totals
+    must re-aggregate to corpus_stats' per-lang totals (same corpus, two
+    groupings — the cross-tab cannot invent or lose tokens)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        token_budget_report,
+    )
+
+    rows = token_budget_report(spark, sf_dir).collect()
+    assert abs(sum(r["share_pct"] for r in rows) - 100.0) < 1e-3
+
+    per_lang_ws: dict[str, int] = {}
+    for r in rows:
+        per_lang_ws[r["lang"]] = per_lang_ws.get(r["lang"], 0) + r["ws_tokens"]
+    cs = {r["lang"]: r["total_tokens"] for r in corpus_stats(spark, sf_dir).collect()}
+    assert per_lang_ws == cs

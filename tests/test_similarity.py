@@ -103,3 +103,46 @@ def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
         embedding_kmeans(spark, sf_dir).agg(F.sum("d2")).collect()[0][0]
     )
     assert final_inertia <= seed_inertia
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup keep rule pins: full corpus coverage, the min-id member of
+    every cluster always survives, and every dropped vector really has a
+    lower-id within-cluster twin above the cosine threshold (cross-checked
+    against an exact NumPy recompute)."""
+    import numpy as np
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        SEMDEDUP_COSINE,
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    assert len(rows) == len(emb_rows)
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb_rows}
+    cluster_of = {r["vec_id"]: int(r["label"]) for r in emb_rows}
+    by_cluster: dict[int, list[int]] = {}
+    for v, c in cluster_of.items():
+        by_cluster.setdefault(c, []).append(v)
+
+    def rounded_cos(a: int, b: int) -> float:
+        x, y = vecs[a], vecs[b]
+        sim = float(x @ y) / (np.sqrt(x @ x) * np.sqrt(y @ y))
+        return np.floor(sim * 10000 + 0.5) / 10000
+
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    n_dropped = 0
+    for r in rows:
+        assert cluster_of[r["vec_id"]] == r["cluster"]
+        if r["vec_id"] == min(by_cluster[r["cluster"]]):
+            assert r["keep"] is True
+        expected_drop = any(
+            u < r["vec_id"] and rounded_cos(u, r["vec_id"]) >= SEMDEDUP_COSINE
+            for u in by_cluster[r["cluster"]]
+        )
+        assert r["keep"] == (not expected_drop)
+        n_dropped += int(not r["keep"])
+    # The threshold does real work on this corpus: some but not all drop.
+    assert 0 < n_dropped < len(rows)
