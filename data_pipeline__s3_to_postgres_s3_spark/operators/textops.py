@@ -423,6 +423,100 @@ def normalize_text(
     )
 
 
+def char_ngram_diversity(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Character-trigram diversity per document: total/distinct trigram
+    counts, distinct ratio, max-frequency ratio, and the Gini–Simpson
+    index 1 − Σ(cᵢ/n)² — the CHAR-level repetition/gibberish signal that
+    still works where token-level metrics (doc_repetition's dup-token /
+    dup-bigram ratios) see one giant "token": unsegmented scripts like zh.
+
+    Why Simpson and not Shannon entropy: every statistic here is EXACT
+    integer arithmetic until one final division — Σcᵢ² is an integer, so
+    simpson = (n² − Σcᵢ²)/n² is a single IEEE division of exact ints and
+    cross-engine deterministic; entropy needs Σ cᵢ·ln(cᵢ), where libm ln
+    ulps scaled by large counts can flip a quantization bucket (the hazard
+    BM25's micro-unit trick merely shrinks, this formulation eliminates).
+
+    Physical shape: ZERO shuffle — trigram counting happens inside each
+    row with array expressions (sort the trigram array, mark run ends by
+    comparing against the shifted-by-one array, run lengths = differences
+    of end positions), the winnow_fingerprints lesson applied to
+    frequency counting. The oracle replicates semantics with a plain
+    unnest + GROUP BY; results agree because the math is count-exact.
+    (Char indexing is UTF-16-code-unit on the JVM vs codepoint in DuckDB
+    — identical for BMP text, which the corpus is; non-BMP corpora would
+    need a codepoint-aware split on the Spark side.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = "greatest(size(chars) - 2, 0)"
+    tris = (
+        "zip_with(zip_with("
+        f"  slice(chars, 1, {nt}), slice(chars, 2, {nt}),"
+        "   (x, y) -> concat(x, y)),"
+        f"  slice(chars, 3, {nt}),"
+        "   (x, y) -> concat(x, y))"
+    )
+    base = (
+        docs.select("doc_id", "lang", F.split("text", "").alias("chars"))
+        .select("doc_id", "lang", F.expr(tris).alias("tris"))
+        .where(F.array_size("tris") > 0)
+        .select("doc_id", "lang", F.array_sort("tris").alias("s"))
+    )
+    # Run-length encode the sorted trigram array: position i is a run end
+    # iff s[i] != s[i+1] ('' sentinel past the end — never a trigram), run
+    # lengths are differences of consecutive end positions.
+    ends = (
+        "filter(zip_with("
+        "  zip_with(s, concat(slice(s, 2, size(s) - 1), array('')),"
+        "           (x, y) -> x != y),"
+        "  sequence(1, size(s)),"
+        "  (f, i) -> if(f, i, -1)),"
+        " v -> v >= 0)"
+    )
+    counts = (
+        "zip_with(ends, concat(array(0), slice(ends, 1, size(ends) - 1)),"
+        " (e, p) -> cast(e - p AS BIGINT))"
+    )
+    withc = base.select(
+        "doc_id", "lang", F.expr(ends).alias("ends")
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_size("ends").cast("long").alias("n_distinct"),
+        F.expr(counts).alias("counts"),
+    )
+    n = F.expr("aggregate(counts, CAST(0 AS BIGINT), (acc, c) -> acc + c)")
+    sum_sq = F.expr(
+        "aggregate(counts, CAST(0 AS BIGINT), (acc, c) -> acc + c * c)"
+    )
+    return withc.select(
+        "doc_id",
+        "lang",
+        n.alias("n_trigrams"),
+        "n_distinct",
+        F.expr("array_max(counts)").alias("max_count"),
+        sum_sq.alias("sum_sq"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_trigrams",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_trigrams")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("max_count").cast("double") / F.col("n_trigrams")).alias(
+            "max_freq_ratio"
+        ),
+        (
+            (
+                F.col("n_trigrams") * F.col("n_trigrams") - F.col("sum_sq")
+            ).cast("double")
+            / (F.col("n_trigrams") * F.col("n_trigrams")).cast("double")
+        ).alias("simpson_index"),
+    )
+
+
 def token_budget_report(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

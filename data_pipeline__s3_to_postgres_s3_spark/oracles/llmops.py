@@ -62,6 +62,40 @@ SELECT doc_id, lang,
 FROM base
 """
 
+# Char-trigram diversity: the oracle counts with a plain unnest+GROUP BY
+# (the Spark side run-length-encodes inside each row — same counts, zero
+# shuffle). Everything is exact integers until one final division, so no
+# float rounding is needed anywhere; SUMs cast back to BIGINT (HUGEINT
+# trap), MAX stays BIGINT (no widening).
+CHAR_NGRAM_DIVERSITY = """
+WITH base AS (
+    SELECT doc_id, lang, text, length(text) AS L
+    FROM documents WHERE length(text) >= 3
+),
+tri AS (
+    SELECT doc_id, lang, substr(text, i, 3) AS tri
+    FROM base, unnest(generate_series(1, L - 2)) AS t(i)
+),
+cnt AS (
+    SELECT doc_id, lang, tri, COUNT(*) AS c
+    FROM tri GROUP BY doc_id, lang, tri
+),
+agg AS (
+    SELECT doc_id, lang,
+        CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        COUNT(*) AS n_distinct,
+        MAX(c) AS max_c,
+        CAST(SUM(c * c) AS BIGINT) AS sum_sq
+    FROM cnt GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_trigrams, n_distinct,
+    CAST(n_distinct AS DOUBLE) / n_trigrams AS distinct_ratio,
+    CAST(max_c AS DOUBLE) / n_trigrams AS max_freq_ratio,
+    CAST(n_trigrams * n_trigrams - sum_sq AS DOUBLE)
+        / CAST(n_trigrams * n_trigrams AS DOUBLE) AS simpson_index
+FROM agg
+"""
+
 # (lang, source) token-budget cross-tab; integer SUMs cast back to BIGINT
 # (HUGEINT → pandas float64 trap), share_pct portable_round-ed at 1e-6 on
 # both sides. The window SUM in the denominator never reaches the output.
@@ -884,6 +918,7 @@ LLMOPS_ORACLES = {
     "embedding_kmeans": EMBEDDING_KMEANS,
     "semantic_dedup": SEMANTIC_DEDUP,
     "token_budget_report": TOKEN_BUDGET_REPORT,
+    "char_ngram_diversity": CHAR_NGRAM_DIVERSITY,
     "tfidf_top_terms": TFIDF_TOP_TERMS,
     "top_bigrams_per_lang": TOP_BIGRAMS_PER_LANG,
     "normalize_text": NORMALIZE_TEXT,

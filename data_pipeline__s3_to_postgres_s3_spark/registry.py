@@ -97,6 +97,7 @@ from .operators.temporal import (
 )
 from .operators.textops import (
     bm25_topk,
+    char_ngram_diversity,
     doc_fingerprint,
     lang_id,
     normalize_text,
@@ -208,11 +209,12 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": dedup_keep_best,
     "semantic_dedup": semantic_dedup,
     # -- text analysis (rank/float-sensitive members; tfidf/top_bigrams/
-    #    winnow_fingerprints rotated to the tail mid-round-5 after their
-    #    fourth straight hash-green round, making room for the new ops) ---
-    "winnow_dup_candidates": winnow_dup_candidates,
+    #    winnow_fingerprints/winnow_dup_candidates rotated to the tail
+    #    mid-round-5 after hash-green rounds + dedicated local pins,
+    #    making room for the new ops) --------------------------------------
     "bm25_topk": bm25_topk,
     "token_budget_report": token_budget_report,
+    "char_ngram_diversity": char_ngram_diversity,
     # -- sampling / packing + round-5 window rotation ---------------------
     # Entries the driver had never hashed (positions 51+ through round 4),
     # rotated in now that the high-risk families have a green round behind
@@ -235,6 +237,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": tfidf_top_terms,
     "top_bigrams_per_lang": top_bigrams_per_lang,
     "winnow_fingerprints": winnow_fingerprints,
+    "winnow_dup_candidates": winnow_dup_candidates,
     "profile_orders": profile_orders,
     "mixture_sample": mixture_sample,
     "sample_k_per_group": sample_k_per_group,

@@ -147,3 +147,34 @@ def test_per_source_report_totals_reconcile(spark, sf_dir):
     assert by_source.count() > 1
     dup_sanity = by_source.where(F.col("n_exact_dups") < 0).count()
     assert dup_sanity == 0
+
+
+def test_char_ngram_diversity_matches_python_recompute(spark, sf_small):
+    """The in-row run-length-encoded trigram counts must agree exactly with
+    a Counter recompute — every output is exact-int arithmetic until one
+    IEEE division, so equality is bitwise, not approximate."""
+    from collections import Counter
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        char_ngram_diversity,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    }
+    rows = {r["doc_id"]: r for r in char_ngram_diversity(spark, sf_small).collect()}
+    for d, t in docs.items():
+        tris = [t[i : i + 3] for i in range(len(t) - 2)]
+        if not tris:
+            assert d not in rows
+            continue
+        c = Counter(tris)
+        n = len(tris)
+        ssq = sum(v * v for v in c.values())
+        r = rows[d]
+        assert r["n_trigrams"] == n
+        assert r["n_distinct"] == len(c)
+        assert r["distinct_ratio"] == len(c) / n
+        assert r["max_freq_ratio"] == max(c.values()) / n
+        assert r["simpson_index"] == (n * n - ssq) / (n * n)

@@ -46,6 +46,7 @@ ROTATED_IN = {
     "semantic_dedup",
     "temperature_resample",
     "token_budget_report",
+    "char_ngram_diversity",
 }
 
 
