@@ -1,0 +1,119 @@
+"""Product-analytics aggregates over the events stream: first-touch funnel
+conversion and daily retention cohorts — the two classic questions an
+event warehouse answers (the reference's events are e-commerce telemetry;
+cf. extract_load_transform_data_pipeline.py.py's reviews/shipments KPIs for
+the batch-side analogues).
+
+Both operators route events through ``catalog.load_events`` →
+``normalize_event_ts`` (CLAUDE.md: ALL events consumers; encoding
+invariance pinned in tests/test_ts_encoding.py).
+
+Scale notes (100 TB):
+- funnel_conversion is two exchanges total: one groupBy(user_id) with
+  conditional MINs (map-side combined — 5 first-touch timestamps per user
+  partial-aggregate before the shuffle), then a 1-row global aggregate.
+  No joins, no windows, no per-step passes over the corpus.
+- retention_cohorts shuffles on user_id once for the (user, day) distinct
+  + cohort MIN (same key, exchange reused), then once on (cohort_day,
+  offset). The (user, day) frame and the per-user cohort frame each feed
+  two consumers, so both are localCheckpoint-ed (static exchange reuse
+  does not fire across join/aggregate branches — CLAUDE.md,
+  dedup_simhash lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_events
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import portable_round
+
+# Strict first-touch funnel: a user advances to a step only if their FIRST
+# occurrence of that event type came strictly after their FIRST occurrence
+# of the previous step — the order-respecting definition that one
+# groupBy(user) of conditional MINs computes exactly (no joins, no
+# re-scans per step). Steps follow the event lifecycle in the data.
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """ONE-row strict first-touch funnel over FUNNEL_STEPS: per-step user
+    counts plus step-over-step conversion rates.
+
+    step_k counts users whose first step_k event is strictly later than
+    their first step_{k-1} event, chained from the top of the funnel.
+    Rates are single int/int IEEE divisions, portable_round-ed at 1e-6 on
+    both sides (CLAUDE.md float rule)."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    # reached_k: first-touch timestamps strictly increase down the funnel.
+    reached = [F.col(f"t_{FUNNEL_STEPS[0]}").isNotNull()]
+    for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:]):
+        reached.append(reached[-1] & (F.col(f"t_{cur}") > F.col(f"t_{prev}")))
+    counts = firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(r.cast("long")).alias(f"n_{s}")
+            for s, r in zip(FUNNEL_STEPS, reached)
+        ],
+    )
+    rate_cols = [
+        portable_round(
+            F.col(f"n_{cur}").cast("double") / F.col(f"n_{prev}"), 6
+        ).alias(f"rate_{cur}")
+        for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:])
+    ]
+    return counts.select(
+        "n_users", *[f"n_{s}" for s in FUNNEL_STEPS], *rate_cols
+    )
+
+
+def retention_cohorts(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Daily retention triangle: users cohorted by their first active day;
+    for every (cohort_day, day offset) cell, how many cohort members were
+    active and what fraction of the cohort that is.
+
+    (user, day) is distinct-ed first, so the per-cell COUNT(*) IS the
+    distinct-user count — no COUNT(DISTINCT) in the aggregate. The
+    retention rate is a single int/int division, portable_round-ed at
+    1e-6 on both sides."""
+    ev = load_events(spark, sf_dir)
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cohort = (
+        days.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        days.join(cohort, "user_id")
+        .select("cohort_day", F.datediff("d", F.col("cohort_day")).alias("offset_days"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        "cohort_size",
+        portable_round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention_rate"),
+    )

@@ -222,6 +222,52 @@ def sample_k_per_group(
     )
 
 
+# Overlapping fixed-token chunking (RAG/context-window prep): chunks of
+# CHUNK_TOKENS whitespace tokens starting every CHUNK_STRIDE tokens, so
+# consecutive chunks share CHUNK_OVERLAP tokens of context. A start is
+# kept iff it is the first OR at least OVERLAP+1 tokens remain — every
+# token is covered and no chunk is a pure suffix of its predecessor.
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 32
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP  # 96
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Split every document into overlapping fixed-token-budget chunks —
+    the retrieval/context-window twin of pack_sequences (packing joins
+    SMALL docs into one budget; chunking splits LARGE docs across many).
+    Output: (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_hash)
+    with the hash standing in for the chunk text so the result stays
+    compact and oracle-hashable.
+
+    Physical shape: ZERO shuffle — chunk starts are a filtered stride
+    sequence computed per row, expanded with posexplode (a generator, not
+    an exchange), each chunk a slice of the token array. The plan is
+    scan → generate → project; parallelism is the scan's, and a 100 TB
+    corpus chunks at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = (
+        f"filter(sequence(1, size(t), {CHUNK_STRIDE}),"
+        f" s -> s = 1 OR s + {CHUNK_OVERLAP} <= size(t))"
+    )
+    ch = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "start_token"),
+    )
+    chunk = F.expr(f"slice(t, start_token, {CHUNK_TOKENS})")
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        F.array_size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
 # Temperature-weighted source rebalancing: quotas ∝ N_src^(1/2), i.e. the
 # standard temperature-sampling exponent α = 1/τ with τ = 2 that
 # multilingual/multi-source training mixes use to up-weight small sources

@@ -2,6 +2,8 @@
 (operators/relational.py, operators/windows.py). Same cents / portable-round
 formulas as the Spark side (functions/numeric.py)."""
 
+from ..functions.numeric import portable_round_sql
+
 PRICING_SUMMARY = """
 WITH base AS (
     SELECT l_returnflag, l_linestatus,
@@ -594,8 +596,77 @@ def _profile_oracles() -> dict:
 
 PROFILE_ORDERS = _profile_oracles()["profile_orders"]
 
+# --- events product analytics (operators/events_analytics.py) -------------
+# Strict first-touch funnel: NULL three-valued logic is equivalent on both
+# sides (Spark SUM skips NULL flags; the CASE's ELSE 0 lands the same
+# place); integer SUMs cast back to BIGINT (HUGEINT trap).
+
+
+def _funnel_sql() -> str:
+    from ..operators.events_analytics import FUNNEL_STEPS
+
+    first_cols = ", ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN tsu END) AS t_{s}"
+        for s in FUNNEL_STEPS
+    )
+    reached = [f"(t_{FUNNEL_STEPS[0]} IS NOT NULL)"]
+    for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:]):
+        reached.append(f"({reached[-1]} AND t_{cur} > t_{prev})")
+    flag_cols = ", ".join(
+        f"{r} AS r_{s}" for s, r in zip(FUNNEL_STEPS, reached)
+    )
+    count_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN r_{s} THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}"
+        for s in FUNNEL_STEPS
+    )
+    rate_cols = ", ".join(
+        portable_round_sql(f"CAST(n_{cur} AS DOUBLE) / n_{prev}", 6)
+        + f" AS rate_{cur}"
+        for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:])
+    )
+    return f"""
+WITH firsts AS (
+    SELECT user_id, {first_cols}
+    FROM {_EV}
+    GROUP BY user_id
+),
+flags AS (SELECT {flag_cols} FROM firsts),
+counts AS (SELECT COUNT(*) AS n_users, {count_cols} FROM flags)
+SELECT n_users, {", ".join(f"n_{s}" for s in FUNNEL_STEPS)}, {rate_cols}
+FROM counts
+"""
+
+
+FUNNEL_CONVERSION = _funnel_sql()
+
+RETENTION_COHORTS = f"""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(tsu AS DATE) AS d
+    FROM {_EV}
+),
+cohort AS (
+    SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_day
+),
+cells AS (
+    SELECT c.cohort_day,
+        date_diff('day', c.cohort_day, d.d) AS offset_days,
+        COUNT(*) AS n_active
+    FROM days d JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT cohort_day, offset_days, n_active, cohort_size,
+    {portable_round_sql('CAST(n_active AS DOUBLE) / cohort_size', 6)}
+        AS retention_rate
+FROM cells JOIN sizes USING (cohort_day)
+"""
+
 EXTENSION_ORACLES = {
     "cdc_merge_customers": CDC_MERGE_CUSTOMERS,
+    "funnel_conversion": FUNNEL_CONVERSION,
+    "retention_cohorts": RETENTION_COHORTS,
     "events_rolling_zscore": EVENTS_ROLLING_ZSCORE,
     **_profile_oracles(),
     "pricing_summary": PRICING_SUMMARY,

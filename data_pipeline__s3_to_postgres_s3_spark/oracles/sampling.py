@@ -138,6 +138,30 @@ WHERE rn <= {GROUP_SAMPLE_K}
 """
 
 
+def _chunk_sql() -> str:
+    """Stride starts are a prefix of the arithmetic sequence (the keep
+    condition is monotone in s), so chunk_idx = (s−1)//stride equals the
+    Spark side's posexplode position over the filtered array."""
+    from ..operators.sampling import CHUNK_OVERLAP, CHUNK_STRIDE, CHUNK_TOKENS
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+    SELECT doc_id, t, s
+    FROM toks, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS g(s)
+    WHERE s = 1 OR s + {CHUNK_OVERLAP} <= len(t)
+)
+SELECT doc_id,
+    CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+    CAST(s AS INT) AS start_token,
+    CAST(len(list_slice(t, s, s + {CHUNK_TOKENS - 1})) AS INT)
+        AS n_chunk_tokens,
+    md5(array_to_string(list_slice(t, s, s + {CHUNK_TOKENS - 1}), ' '))
+        AS chunk_hash
+FROM starts
+"""
+
+
 def _temperature_sql() -> str:
     """Quota arithmetic is EXACT integers end-to-end (corrected integer
     sqrt, integer Σ, floor-division) — mirrors operators/sampling.py's
@@ -180,6 +204,7 @@ WHERE r.rn <= q.quota
 UNIFORM_SAMPLE_K_SQL = _uniform_sample_sql()
 SAMPLE_K_PER_GROUP_SQL = _group_sample_sql()
 TEMPERATURE_RESAMPLE = _temperature_sql()
+CHUNK_DOCUMENTS = _chunk_sql()
 
 SAMPLING_ORACLES = {
     "uniform_sample_k": UNIFORM_SAMPLE_K_SQL,
@@ -190,4 +215,5 @@ SAMPLING_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE,
     "stratified_sample": STRATIFIED_SAMPLE,
     "temperature_resample": TEMPERATURE_RESAMPLE,
+    "chunk_documents": CHUNK_DOCUMENTS,
 }

@@ -44,6 +44,10 @@ from .operators.relational import (
     value_percentiles,
 )
 from .operators.cdc import cdc_merge_customers
+from .operators.events_analytics import (
+    funnel_conversion,
+    retention_cohorts,
+)
 from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
@@ -82,6 +86,7 @@ from .operators.profiling import (
     profile_orders,
 )
 from .operators.sampling import (
+    chunk_documents,
     corpus_stats,
     sample_k_per_group,
     stratified_sample,
@@ -171,9 +176,9 @@ QUERIES: dict[str, QueryFn] = {
     "best_performing_product": best_performing_product,
     "tripdata_monthly_metrics": tripdata_monthly_metrics,
     # -- incremental-load / watermark (S3) + CDC upsert -------------------
+    # (J7 anti/semi twins rotated to the tail mid-round-5: hash-green
+    # r1–r4 and pinned by the watermark/pushdown tests.)
     "incremental_load_watermark": incremental_load_watermark,
-    "orders_without_lineitems_anti": orders_without_lineitems_anti,
-    "orders_with_lineitems_semi": orders_with_lineitems_semi,
     "cdc_merge_customers": cdc_merge_customers,
     # -- SQL-script executor (S5) — must agree with the operators ---------
     "sql_script_public_holiday": sql_script_public_holiday,
@@ -211,8 +216,8 @@ QUERIES: dict[str, QueryFn] = {
     # -- text analysis (rank/float-sensitive members; tfidf/top_bigrams/
     #    winnow_fingerprints/winnow_dup_candidates rotated to the tail
     #    mid-round-5 after hash-green rounds + dedicated local pins,
-    #    making room for the new ops) --------------------------------------
-    "bm25_topk": bm25_topk,
+    #    making room for the new ops; bm25 followed for the same reason —
+    #    integer-quantized scores + plan/oracle pins) -----------------------
     "token_budget_report": token_budget_report,
     "char_ngram_diversity": char_ngram_diversity,
     # -- sampling / packing + round-5 window rotation ---------------------
@@ -229,6 +234,9 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup_minhash": incremental_dedup_minhash,
     "per_source_report": per_source_report,
     "temperature_resample": temperature_resample,
+    "chunk_documents": chunk_documents,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
     # ===== 50-entry driver-window boundary (entries above are 1..50) =====
     # Rotated out in round 5 — every one hash-green in round 4 AND pinned
     # by dedicated local tests (zero-shuffle scans / pure hash arithmetic;
@@ -238,7 +246,10 @@ QUERIES: dict[str, QueryFn] = {
     "top_bigrams_per_lang": top_bigrams_per_lang,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_dup_candidates": winnow_dup_candidates,
+    "bm25_topk": bm25_topk,
     "profile_orders": profile_orders,
+    "orders_without_lineitems_anti": orders_without_lineitems_anti,
+    "orders_with_lineitems_semi": orders_with_lineitems_semi,
     "mixture_sample": mixture_sample,
     "sample_k_per_group": sample_k_per_group,
     "dataset_split": dataset_split,

@@ -47,6 +47,9 @@ ROTATED_IN = {
     "temperature_resample",
     "token_budget_report",
     "char_ngram_diversity",
+    "chunk_documents",
+    "funnel_conversion",
+    "retention_cohorts",
 }
 
 

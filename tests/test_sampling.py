@@ -179,3 +179,85 @@ def test_token_budget_report_accounting(spark, sf_dir):
         per_lang_ws[r["lang"]] = per_lang_ws.get(r["lang"], 0) + r["ws_tokens"]
     cs = {r["lang"]: r["total_tokens"] for r in corpus_stats(spark, sf_dir).collect()}
     assert per_lang_ws == cs
+
+
+def test_chunk_documents_multi_chunk_and_coverage(spark, sf_dir, tmp_path):
+    """The sf corpus is short-doc (1 chunk each), so pin the multi-chunk
+    path on synthetic docs: stride placement, tail clamping, the
+    drop-pure-suffix rule, and full token coverage."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, words(300)),   # starts 1, 97, 193 → lens 128, 128, 108
+        (2, words(128)),   # exactly one budget
+        (3, words(129)),   # 97 + 32 = 129 ≤ 129 → second chunk kept
+        (4, words(100)),   # second start dropped (97+32 > 100)
+        (5, words(2)),     # shorter than anything — still one chunk
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {}
+    for r in chunk_documents(spark, str(tmp_path)).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"])
+        )
+    for d in out:
+        out[d].sort()
+    assert out[1] == [(0, 1, 128), (1, 97, 128), (2, 193, 108)]
+    assert out[2] == [(0, 1, 128)]
+    assert out[3] == [(0, 1, 128), (1, 97, 33)]
+    assert out[4] == [(0, 1, 100)]
+    assert out[5] == [(0, 1, 2)]
+    # Full coverage + stride placement, generically:
+    for doc_id, n in [(1, 300), (2, 128), (3, 129), (4, 100), (5, 2)]:
+        covered = set()
+        for idx, start, ln in out[doc_id]:
+            assert start == 1 + idx * CHUNK_STRIDE
+            assert ln == min(CHUNK_TOKENS, n - start + 1)
+            covered.update(range(start, start + ln))
+        assert covered == set(range(1, n + 1))
+    assert CHUNK_STRIDE == CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def test_chunk_documents_oracle_parity_on_multi_chunk_corpus(spark, tmp_path):
+    """The sf corpora are short-doc, so the driver's oracle gate never
+    exercises multi-chunk rows; pin Spark↔DuckDB parity on a corpus where
+    it does (incl. the boundary cases above)."""
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        chunk_documents,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.oracles.sampling import (
+        CHUNK_DOCUMENTS,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j * i % 97}" for j in range(n)))
+        for i, n in enumerate([300, 128, 129, 100, 2, 500, 97, 223])
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(CHUNK_DOCUMENTS).fetchall())
+    assert got == want
