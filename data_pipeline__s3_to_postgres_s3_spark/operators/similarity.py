@@ -433,6 +433,49 @@ def embedding_kmeans(
     )
 
 
+# --- int8 embedding quantization ------------------------------------------
+
+
+def embedding_quantize(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the 4× memory cut that makes billion-vector ANN indexes fit executor
+    RAM. Per vector: scale = max|xᵢ|/127, qᵢ = ⌊xᵢ/scale + 0.5⌋ (the
+    portable round-half-up formula applied per element — identical IEEE
+    expression in the oracle, so quantized codes are bit-identical across
+    engines). Output keeps the result hash-compact: the code vector is
+    fingerprinted (md5 of the comma-joined ints), plus the scale, the
+    nonzero-code count, and the max absolute reconstruction error
+    max|qᵢ·scale − xᵢ| (order-independent max, deterministic).
+
+    ZERO shuffle: one scan, all arithmetic in row-local array
+    expressions. Zero vectors quantize to all-zero codes with scale 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) / 127"
+    )
+    q = (
+        "transform(embedding, v -> CASE WHEN scale = 0 THEN 0"
+        " ELSE CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5) AS INT) END)"
+    )
+    withq = emb.select(
+        "vec_id", "embedding", scale.alias("scale")
+    ).select("vec_id", "embedding", "scale", F.expr(q).alias("q"))
+    err = (
+        "array_max(zip_with(q, embedding,"
+        " (a, b) -> abs(CAST(a AS DOUBLE) * scale - CAST(b AS DOUBLE))))"
+    )
+    return withq.select(
+        "vec_id",
+        "scale",
+        F.md5(F.expr("concat_ws(',', q)")).alias("q_hash"),
+        F.expr("size(filter(q, v -> v != 0))").alias("n_nonzero"),
+        F.expr(err).alias("max_abs_err"),
+    )
+
+
 # --- Semantic dedup (SemDeDup-style) --------------------------------------
 
 # Within-cluster cosine above which the higher-id vector is a semantic

@@ -516,6 +516,33 @@ scored AS (
 SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {NEARDUP_COSINE}
 """
 
+# int8 quantization: the per-element round is the portable FLOOR(x+0.5)
+# formula, every aggregate (max, count-nonzero) is order-independent, so
+# code vectors and the reconstruction error are bit-identical.
+EMBEDDING_QUANTIZE = """
+WITH scaled AS (
+    SELECT vec_id, embedding,
+        list_max(list_transform(embedding,
+                 v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
+    FROM embeddings
+),
+coded AS (
+    SELECT vec_id, embedding, scale,
+        list_transform(embedding,
+            v -> CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5) AS INT)
+                 END) AS q
+    FROM scaled
+)
+SELECT vec_id, scale,
+    md5(array_to_string(q, ',')) AS q_hash,
+    CAST(len(list_filter(q, v -> v != 0)) AS INT) AS n_nonzero,
+    list_max(list_transform(list_zip(q, embedding),
+        x -> abs(CAST(x[1] AS DOUBLE) * scale - CAST(x[2] AS DOUBLE))))
+        AS max_abs_err
+FROM coded
+"""
+
 # SemDeDup: within-cluster (label partitioner) pairwise cosine; a vector
 # with ANY lower-id twin at sim ≥ SEMDEDUP_COSINE is dropped. Cosine
 # rounding mirrors the Spark side's portable_round(·, 4) exactly.
@@ -917,6 +944,7 @@ LLMOPS_ORACLES = {
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS,
     "embedding_kmeans": EMBEDDING_KMEANS,
     "semantic_dedup": SEMANTIC_DEDUP,
+    "embedding_quantize": EMBEDDING_QUANTIZE,
     "token_budget_report": TOKEN_BUDGET_REPORT,
     "char_ngram_diversity": CHAR_NGRAM_DIVERSITY,
     "tfidf_top_terms": TFIDF_TOP_TERMS,

@@ -68,6 +68,7 @@ from .operators.dedup import (
 from .operators.similarity import (
     embedding_kmeans,
     embedding_neardup_pairs,
+    embedding_quantize,
     semantic_dedup,
     similarity_bruteforce_topk,
     similarity_ivf_topk,
@@ -176,9 +177,9 @@ QUERIES: dict[str, QueryFn] = {
     "best_performing_product": best_performing_product,
     "tripdata_monthly_metrics": tripdata_monthly_metrics,
     # -- incremental-load / watermark (S3) + CDC upsert -------------------
-    # (J7 anti/semi twins rotated to the tail mid-round-5: hash-green
-    # r1–r4 and pinned by the watermark/pushdown tests.)
-    "incremental_load_watermark": incremental_load_watermark,
+    # (The watermark family — incremental load + J7 anti/semi twins —
+    # rotated to the tail mid-round-5: hash-green r1–r4 and pinned by the
+    # dedicated watermark/idempotence/pushdown tests.)
     "cdc_merge_customers": cdc_merge_customers,
     # -- SQL-script executor (S5) — must agree with the operators ---------
     "sql_script_public_holiday": sql_script_public_holiday,
@@ -203,6 +204,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ivf_topk": similarity_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_quantize": embedding_quantize,
     # -- dedup ladder + cluster collapse ----------------------------------
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -248,6 +250,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_dup_candidates": winnow_dup_candidates,
     "bm25_topk": bm25_topk,
     "profile_orders": profile_orders,
+    "incremental_load_watermark": incremental_load_watermark,
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,
     "mixture_sample": mixture_sample,

@@ -50,6 +50,7 @@ ROTATED_IN = {
     "chunk_documents",
     "funnel_conversion",
     "retention_cohorts",
+    "embedding_quantize",
 }
 
 

@@ -146,3 +146,44 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         n_dropped += int(not r["keep"])
     # The threshold does real work on this corpus: some but not all drop.
     assert 0 < n_dropped < len(rows)
+
+
+def test_embedding_quantize_invariants(spark, sf_dir, tmp_path):
+    """int8 quantization pins: reconstruction error bounded by scale/2,
+    codes in [-127, 127] (so max_abs_err <= scale/2 implies codes are
+    in-range), exact NumPy recompute of scale and code hash, and the
+    zero-vector edge quantizes to scale 0 / all-zero codes."""
+    import hashlib
+
+    import numpy as np
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    rows = {r["vec_id"]: r for r in embedding_quantize(spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert set(rows) == set(emb)
+    for vid, x in emb.items():
+        r = rows[vid]
+        scale = np.max(np.abs(x)) / 127
+        assert r["scale"] == scale
+        q = np.floor(x / scale + 0.5).astype(int) if scale > 0 else np.zeros(len(x), int)
+        assert np.all(np.abs(q) <= 127)
+        assert r["n_nonzero"] == int(np.count_nonzero(q))
+        expect_hash = hashlib.md5(",".join(str(v) for v in q).encode()).hexdigest()
+        assert r["q_hash"] == expect_hash
+        assert r["max_abs_err"] <= scale / 2 + 1e-12
+
+    # Zero-vector edge (not present in the corpus): scale 0, zero codes.
+    spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, -2.0, 0.5, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    z = {r["vec_id"]: r for r in embedding_quantize(spark, str(tmp_path)).collect()}
+    assert z[0]["scale"] == 0.0 and z[0]["n_nonzero"] == 0
+    assert z[0]["max_abs_err"] == 0.0
+    assert z[1]["n_nonzero"] == 3
