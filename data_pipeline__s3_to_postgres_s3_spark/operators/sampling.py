@@ -232,6 +232,33 @@ CHUNK_OVERLAP = 32
 CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP  # 96
 
 
+def chunk_frame(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Frame-level chunking kernel (see chunk_documents): expand a frame
+    with doc_id/text into one row per overlapping chunk, carrying any
+    extra columns named in ``carry`` (the curation pipeline threads
+    split/lang through)."""
+    toks = docs.select("doc_id", *carry, F.split("text", " ").alias("t"))
+    starts = (
+        f"filter(sequence(1, size(t), {CHUNK_STRIDE}),"
+        f" s -> s = 1 OR s + {CHUNK_OVERLAP} <= size(t))"
+    )
+    ch = toks.select(
+        "doc_id",
+        *carry,
+        "t",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "start_token"),
+    )
+    chunk = F.expr(f"slice(t, start_token, {CHUNK_TOKENS})")
+    return ch.select(
+        "doc_id",
+        *carry,
+        "chunk_idx",
+        "start_token",
+        F.array_size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
 def chunk_documents(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -247,25 +274,7 @@ def chunk_documents(
     an exchange), each chunk a slice of the token array. The plan is
     scan → generate → project; parallelism is the scan's, and a 100 TB
     corpus chunks at scan speed."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    starts = (
-        f"filter(sequence(1, size(t), {CHUNK_STRIDE}),"
-        f" s -> s = 1 OR s + {CHUNK_OVERLAP} <= size(t))"
-    )
-    ch = toks.select(
-        "doc_id",
-        "t",
-        F.posexplode(F.expr(starts)).alias("chunk_idx", "start_token"),
-    )
-    chunk = F.expr(f"slice(t, start_token, {CHUNK_TOKENS})")
-    return ch.select(
-        "doc_id",
-        "chunk_idx",
-        "start_token",
-        F.array_size(chunk).alias("n_chunk_tokens"),
-        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-    )
+    return chunk_frame(load_table(spark, sf_dir, "documents"))
 
 
 # Temperature-weighted source rebalancing: quotas ∝ N_src^(1/2), i.e. the

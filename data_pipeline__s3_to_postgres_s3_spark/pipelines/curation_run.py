@@ -1,0 +1,98 @@
+"""End-to-end curation pipeline: ONE call from raw documents to
+training-ready chunk shards plus the accounting a launch review reads —
+the composed product surface over the standalone operators (the engine's
+analogue of the reference's scheduled ELT DAG,
+extract_load_transform_data_pipeline.py.py:140-156, which likewise chains
+extract → transform → load as one job).
+
+Stages (each reusing the SAME expressions as its standalone operator, so
+the pipeline can never drift from the audited queries):
+
+1. quality gate   — operators.curation.quality_gate, keep verdicts only
+2. exact dedup    — keep each content hash's canonical (min doc_id) copy
+3. split          — the hash-stable train/val/test assignment
+4. chunking       — operators.sampling.chunk_frame, split/lang carried
+5. shard write    — hive-partitioned (split, lang), repartitioned FIRST
+                    so partitionBy cannot fan tasks × partitions files
+6. metrics        — one aggregate over the chunk frame (docs, chunks,
+                    tokens per split) + the stage-by-stage funnel counts
+
+Scale notes (100 TB): every stage is the standalone operator's plan —
+gate and chunking are scan-local, dedup canonical election is one narrow
+(hash, doc_id) shuffle, the write is one repartition on the partition
+key. The chunk frame feeds both the writer and the metrics aggregate, so
+it is localCheckpoint-ed (exchange reuse does not fire across consumers —
+CLAUDE.md). Metrics reaching the driver are a handful of per-split rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.curation import quality_gate
+from ..operators.dedup import dedup_exact
+from ..operators.sampling import chunk_frame
+from .shards import _split_col
+
+CURATION_SHARD_TASKS = 8
+
+
+def run_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    shard_tasks: int = CURATION_SHARD_TASKS,
+) -> dict:
+    """Run the full curation funnel; write chunk shards under ``out_dir``
+    partitioned by (split, lang); return the accounting dict."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    kept_ids = quality_gate(spark, sf_dir).where("keep").select("doc_id")
+    canonical_ids = dedup_exact(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    kept = (
+        docs.join(kept_ids, "doc_id")
+        .join(canonical_ids, "doc_id")
+        .withColumn("split", _split_col())
+    )
+
+    chunks = chunk_frame(kept, carry=("split", "lang")).localCheckpoint(
+        eager=False
+    )
+    (
+        chunks.repartition(shard_tasks, "split", "lang")
+        .sortWithinPartitions("doc_id", "chunk_idx")
+        .write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(out_dir)
+    )
+
+    n_docs_total = docs.count()
+    n_docs_gated = kept_ids.count()
+    per_split = {
+        r["split"]: (r["n_docs"], r["n_chunks"], r["n_tokens"])
+        for r in chunks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    return {
+        "n_docs_total": n_docs_total,
+        "n_docs_gated": n_docs_gated,
+        "n_docs_written": sum(v[0] for v in per_split.values()),
+        "n_chunks": sum(v[1] for v in per_split.values()),
+        "n_tokens": sum(v[2] for v in per_split.values()),
+        "per_split": {
+            s: {"n_docs": d, "n_chunks": c, "n_tokens": t}
+            for s, (d, c, t) in sorted(per_split.items())
+        },
+        "out_dir": out_dir,
+    }
