@@ -541,3 +541,36 @@ def semantic_dedup(
         "cluster",
         F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
     )
+
+
+# Pair volume a single cluster may contribute before the partitioner is
+# declared degenerate for pairwise comparison (|c|·(|c|−1)/2 > this).
+# Inactive at test scale (~50-vector clusters ≈ 1.2k pairs each); the
+# audit exists for the corpus where a collapsed partitioner would silently
+# turn semantic_dedup quadratic — re-train/re-balance clusters there, the
+# standard SemDeDup prerequisite, rather than lossily sub-splitting.
+SEMDEDUP_PAIR_BUDGET = 10_000_000
+
+
+def semdedup_cluster_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Partitioner audit for semantic_dedup (the ngram_df_report /
+    simhash_bucket_report sibling): ONE row with cluster count, largest
+    cluster, total pairwise-comparison volume Σ|c|·(|c|−1)/2, and how many
+    clusters individually exceed SEMDEDUP_PAIR_BUDGET. Run it alongside
+    the dedup job so a degenerate clustering is never silent — the
+    quadratic stage's cost is on record BEFORE it runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy(F.col("label").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = F.col("n") * (F.col("n") - 1) / 2
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("n").alias("max_cluster"),
+        F.sum(pairs).cast("long").alias("total_pairs"),
+        F.sum(
+            F.when(pairs > SEMDEDUP_PAIR_BUDGET, 1).otherwise(0)
+        ).alias("over_budget_clusters"),
+    )

@@ -187,3 +187,24 @@ def test_embedding_quantize_invariants(spark, sf_dir, tmp_path):
     assert z[0]["scale"] == 0.0 and z[0]["n_nonzero"] == 0
     assert z[0]["max_abs_err"] == 0.0
     assert z[1]["n_nonzero"] == 3
+
+
+def test_semdedup_cluster_report_audit(spark, sf_dir):
+    """The quadratic-stage audit must reconcile with the raw label sizes,
+    and the budget must be inactive on this corpus (the guard exists for
+    degenerate partitioners, not healthy ones)."""
+    from collections import Counter
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        semdedup_cluster_report,
+    )
+
+    sizes = Counter(
+        r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    )
+    r = semdedup_cluster_report(spark, sf_dir).collect()[0]
+    assert r["n_clusters"] == len(sizes)
+    assert r["max_cluster"] == max(sizes.values())
+    assert r["total_pairs"] == sum(n * (n - 1) // 2 for n in sizes.values())
+    assert r["over_budget_clusters"] == 0
