@@ -21,6 +21,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+from data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics import (
+    funnel_conversion,
+    retention_cohorts,
+)
 from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
     error_bursts_range,
     purchase_last_view_asof,
@@ -91,6 +95,8 @@ def _rows(df):
         profile_events,
         error_bursts_range,
         purchase_last_view_asof,
+        funnel_conversion,
+        retention_cohorts,
         stream_hourly_rollup,
         stream_user_running_max,
         stream_dedup_events,
