@@ -213,11 +213,34 @@ def quality_gate(
     *_expr helpers) is computed in a single scan projection, and the only
     exchange is the window over md5(text) that elects exact-dup canonicals
     — one scan + one shuffle regardless of how many gates are added."""
-    from .textops import lang_score_cols, predicted_lang_expr, stopword_ratio_expr
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    m = row_gates(docs)
+    canon = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    gated = m.select(
+        "doc_id",
+        "lang_ok",
+        "rep_ok",
+        "stop_ok",
+        (F.col("doc_id") == canon).alias("canonical_ok"),
+    )
+    return gated.withColumn(
+        "keep",
+        F.col("lang_ok") & F.col("rep_ok") & F.col("stop_ok")
+        & F.col("canonical_ok"),
+    )
+
+
+def row_gates(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_hash, lang_ok, rep_ok, stop_ok): the row-LOCAL
+    gate verdicts of quality_gate, factored frame-level. Row-local means
+    subset-invariant — the incremental curation pipeline applies them to
+    a new-docs slice and provably agrees with the full run; only the
+    canonical election (a function of the WHOLE corpus) stays in the
+    callers."""
+    from .textops import lang_score_cols, predicted_lang_expr, stopword_ratio_expr
+
     bigrams = _bigrams_expr("split(text, ' ')")
     n_bg = F.array_size(bigrams)
     dup_bigram = F.when(
@@ -238,16 +261,10 @@ def quality_gate(
         "dup_bigram_ratio",
         predicted_lang_expr().alias("predicted_lang"),
     )
-    canon = F.min("doc_id").over(Window.partitionBy("content_hash"))
-    gated = m.select(
+    return m.select(
         "doc_id",
+        "content_hash",
         (F.col("predicted_lang") != "und").alias("lang_ok"),
         (F.col("dup_bigram_ratio") <= QG_MAX_DUP_BIGRAM).alias("rep_ok"),
         (F.col("stopword_ratio") <= QG_MAX_STOPWORD).alias("stop_ok"),
-        (F.col("doc_id") == canon).alias("canonical_ok"),
-    )
-    return gated.withColumn(
-        "keep",
-        F.col("lang_ok") & F.col("rep_ok") & F.col("stop_ok")
-        & F.col("canonical_ok"),
     )

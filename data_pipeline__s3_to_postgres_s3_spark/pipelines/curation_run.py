@@ -60,20 +60,91 @@ def run_curation(
         .join(canonical_ids, "doc_id")
         .withColumn("split", _split_col())
     )
+    return _chunk_write_account(
+        kept,
+        out_dir,
+        mode="overwrite",
+        shard_tasks=shard_tasks,
+        n_docs_total=docs.count(),
+        n_docs_gated=kept_ids.count(),
+    )
 
+
+def run_curation_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    watermark_doc_id: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    shard_tasks: int = CURATION_SHARD_TASKS,
+) -> dict:
+    """Incremental curation: process ONLY documents above the doc_id
+    watermark (the reference's S3 max-PK pattern applied to the corpus
+    feed), dedup them against the ENTIRE history, and APPEND their chunk
+    shards to ``out_dir``. Provably equivalent to re-running the full
+    pipeline (pinned in test_curation_run.py):
+
+    - row gates (lang/repetition/stopword) are row-LOCAL, so verdicts on
+      the slice equal the full run's (operators.curation.row_gates);
+    - full-run canonical = global min doc_id per content hash. New ids
+      are strictly above the watermark, so a new doc is canonical iff
+      its hash is UNSEEN below the watermark (anti-join against the
+      history's hash projection — a narrow md5 scan, no payloads; a
+      production deployment persists this hash index instead of
+      re-deriving it) AND it is the min among the new copies.
+
+    Scale: the quadratic-free analogue of incremental_dedup_minhash —
+    only NEW×HISTORY hash lookups, never HISTORY×HISTORY."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import row_gates
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") > watermark_doc_id)
+    old_hashes = (
+        docs.where(F.col("doc_id") <= watermark_doc_id)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    g = row_gates(new_docs)
+    canon = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    kept_ids = (
+        g.withColumn("is_min_new", F.col("doc_id") == canon)
+        .where("lang_ok AND rep_ok AND stop_ok AND is_min_new")
+        .join(old_hashes, "content_hash", "left_anti")
+        .select("doc_id")
+    )
+    kept = new_docs.join(kept_ids, "doc_id").withColumn("split", _split_col())
+    out = _chunk_write_account(
+        kept,
+        out_dir,
+        mode="append",
+        shard_tasks=shard_tasks,
+        n_docs_total=new_docs.count(),
+        n_docs_gated=kept_ids.count(),
+    )
+    out["watermark_doc_id"] = watermark_doc_id
+    return out
+
+
+def _chunk_write_account(
+    kept: DataFrame,
+    out_dir: str,
+    mode: str,
+    shard_tasks: int,
+    n_docs_total: int,
+    n_docs_gated: int,
+) -> dict:
     chunks = chunk_frame(kept, carry=("split", "lang")).localCheckpoint(
         eager=False
     )
     (
         chunks.repartition(shard_tasks, "split", "lang")
         .sortWithinPartitions("doc_id", "chunk_idx")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("split", "lang")
         .parquet(out_dir)
     )
-
-    n_docs_total = docs.count()
-    n_docs_gated = kept_ids.count()
     per_split = {
         r["split"]: (r["n_docs"], r["n_chunks"], r["n_tokens"])
         for r in chunks.groupBy("split")

@@ -57,3 +57,39 @@ def test_curation_run_reconciles_with_standalone_ops(spark, sf_dir, tmp_path):
     assert m["n_docs_total"] >= m["n_docs_gated"] >= m["n_docs_written"]
     assert sum(v["n_chunks"] for v in m["per_split"].values()) == m["n_chunks"]
     assert sum(v["n_tokens"] for v in m["per_split"].values()) == m["n_tokens"]
+
+
+def test_incremental_curation_equals_full_rerun(spark, sf_dir, tmp_path):
+    """Bootstrap on the old half (doc_id ≤ median), then incremental over
+    the new half, must produce EXACTLY the shards of a full run over the
+    whole corpus — the idempotent-equivalence property that makes the
+    watermark pattern safe for a growing corpus (row gates are
+    subset-invariant; cross-boundary dedup via the history hash
+    anti-join replicates the global canonical election)."""
+    from data_pipeline__s3_to_postgres_s3_spark.pipelines.curation_run import (
+        run_curation_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    watermark = ids[len(ids) // 2]
+
+    out_full = str(tmp_path / "full")
+    run_curation(spark, sf_dir, out_full)
+
+    # Bootstrap: a corpus dir holding only the history slice.
+    old_dir = tmp_path / "old_corpus"
+    old_dir.mkdir()
+    docs.where(F.col("doc_id") <= watermark).write.parquet(
+        str(old_dir / "documents.parquet")
+    )
+    out_staged = str(tmp_path / "staged")
+    run_curation(spark, str(old_dir), out_staged)
+    inc = run_curation_incremental(
+        spark, sf_dir, out_staged, watermark_doc_id=watermark
+    )
+    assert inc["n_docs_written"] >= 1  # the increment did real work
+
+    full_rows = sorted(map(tuple, spark.read.parquet(out_full).collect()))
+    staged_rows = sorted(map(tuple, spark.read.parquet(out_staged).collect()))
+    assert full_rows == staged_rows
