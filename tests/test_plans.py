@@ -183,3 +183,51 @@ def test_uniform_sample_k_is_takeordered(spark, sf_dir):
     global sort here would be a scale regression."""
     df = QUERIES["uniform_sample_k"](spark, sf_dir)
     assert "TakeOrdered" in plans.simple_plan(df)
+
+
+def test_round5_scan_local_ops_are_shuffle_free(spark, sf_dir):
+    """The round-5 per-document/per-vector ops are scan-local BY DESIGN:
+    chunking expands via a generator, trigram counting run-length-encodes
+    inside the row, quantization is row-local arithmetic. ANY exchange is
+    a regression to a shuffled formulation."""
+    for name in ("chunk_documents", "char_ngram_diversity", "embedding_quantize"):
+        df = QUERIES[name](spark, sf_dir)
+        assert plans.exchange_count(df) == 0, name
+
+
+def test_funnel_conversion_two_exchanges_no_joins(spark, sf_dir):
+    """First-touch funnel = one groupBy(user) of conditional MINs + a
+    1-row global aggregate: exactly two exchanges, zero join nodes —
+    the reason it beats the per-step join formulation at scale."""
+    df = QUERIES["funnel_conversion"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+
+
+def test_retention_cohorts_bounded_exchanges(spark, sf_dir):
+    """Retention reuses the user_id partitioning across distinct + cohort
+    MIN (localCheckpoint'd frames), then one shuffle for the cell rollup;
+    the size/cell joins must broadcast, never sort-merge."""
+    df = QUERIES["retention_cohorts"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 3
+    assert plans.sortmerge_join_count(df) == 0
+
+
+def test_token_budget_report_single_aggregation_exchange(spark, sf_dir):
+    """The cross-tab aggregates once; the global total is a broadcast
+    1-row injection over the checkpointed cell frame — no second pass
+    over the corpus, no single-partition window."""
+    df = QUERIES["token_budget_report"](spark, sf_dir)
+    assert plans.exchange_count(df) <= 2
+    assert plans.sortmerge_join_count(df) == 0
+
+
+def test_dedup_containment_mirrors_jaccard_shape(spark, sf_dir):
+    """Containment must keep the inverted-index shape (shuffle on shingle
+    + pair groupBy) and emit both directions from ONE intersection row —
+    a union-of-two-branches plan would double the index subtree."""
+    df = QUERIES["dedup_containment"](spark, sf_dir)
+    jac = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    assert plans.exchange_count(df) <= plans.exchange_count(jac)
+    assert "Union" not in plans.simple_plan(df)
