@@ -311,7 +311,16 @@ def shipping_priority(
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            # DATE-typed output (TPC-H Q3's o_orderdate IS a date): raw
+            # timestamps here would make the result's type — and under a
+            # tz-adjusted re-encode, its VALUE REPRESENTATION — track the
+            # parquet encoding; to_date pins it on both engines
+            # (tests/test_date_encoding.py).
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg((F.sum(rev_c) / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -395,7 +404,8 @@ def large_volume_orders(
             "c_custkey",
             "c_name",
             "o_orderkey",
-            "o_orderdate",
+            # DATE-typed for encoding invariance — see shipping_priority.
+            F.to_date("o_orderdate").alias("o_orderdate"),
             F.col("o_totalprice").alias("total_price"),
             (F.col("qty_c") / 100.0).alias("sum_qty"),
         )

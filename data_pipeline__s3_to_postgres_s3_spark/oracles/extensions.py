@@ -215,8 +215,11 @@ SELECT month, 'P', total_P FROM wide
 
 _REV = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
 
+# o_orderdate CAST to DATE like the Spark side's to_date: the output
+# type must not track the parquet encoding (test_date_encoding.py).
 SHIPPING_PRIORITY = f"""
-SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+    o.o_orderpriority,
     SUM({_REV}) / 10000.0 AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -224,7 +227,7 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < DATE '1998-06-01'
   AND l.l_shipdate > DATE '1998-06-01'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
 ORDER BY revenue DESC, l.l_orderkey ASC
 LIMIT 10
 """
@@ -276,7 +279,8 @@ WITH big AS (
     GROUP BY l_orderkey
     HAVING qty_c > 25000
 )
-SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+SELECT c_custkey, c_name, o_orderkey,
+    CAST(o_orderdate AS DATE) AS o_orderdate,
     o_totalprice AS total_price,
     qty_c / 100.0 AS sum_qty
 FROM orders

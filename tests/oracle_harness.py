@@ -19,6 +19,10 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Pin the session tz: tz-adjusted parquet timestamps (a legal driver
+    # re-encode) cast to DATE/naive-TIMESTAMP under DuckDB's session tz,
+    # and the Spark side is pinned UTC — keep the gate host-tz-independent.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

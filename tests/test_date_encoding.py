@@ -1,0 +1,74 @@
+"""Date-encoding invariance for orders/lineitem date columns — the same
+driver-re-encode hazard class as events.ts (round-3 post-mortem), applied
+to the OTHER temporal columns. The driver regenerates testdata between
+rounds and may change physical encodings; dates are midnight-aligned
+timestamps today and could legally become date32 or tz-adjusted
+timestamps tomorrow.
+
+The pin here is the DRIVER-FAITHFUL form of invariance: for every
+encoding, the Spark query and its DuckDB oracle read the SAME parquet —
+so the contract is not "results never change" (a date column in the
+output legitimately changes type with the encoding, on both sides at
+once) but "the differential gate stays green under every encoding"."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
+
+from .oracle_harness import compare, duckdb_connection
+
+ENCODINGS = ("micros_naive", "date32", "micros_utc")
+DATE_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+QUERIES_UNDER_TEST = [
+    "pricing_summary",         # pushdown filter on l_shipdate
+    "shipping_priority",       # date-literal comparisons both tables
+    "monthly_revenue_growth",  # date_trunc on o_orderdate
+    "order_priority_lateness", # o_orderdate bucketing
+    "large_volume_orders",     # DATE-typed o_orderdate in the output
+    "agg_public_holiday",      # flagship: ref view to_date mapping
+]
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(sf_small, tmp_path_factory):
+    base = tmp_path_factory.mktemp("date_encodings")
+    dirs = {}
+    for enc in ENCODINGS:
+        d = base / enc
+        d.mkdir()
+        for t in TABLES:
+            src = f"{sf_small}/{t}.parquet"
+            if t not in DATE_COLS:
+                shutil.copy(src, str(d / f"{t}.parquet"))
+                continue
+            table = pq.read_table(src)
+            for col in DATE_COLS[t]:
+                i = table.schema.get_field_index(col)
+                arr = table.column(i).cast(pa.timestamp("us"))
+                if enc == "date32":
+                    arr = arr.cast(pa.date32())
+                elif enc == "micros_utc":
+                    arr = arr.cast(pa.timestamp("us", tz="UTC"))
+                table = table.set_column(i, col, arr)
+            pq.write_table(table, str(d / f"{t}.parquet"))
+        dirs[enc] = str(d)
+    return dirs
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("enc", ENCODINGS)
+def test_oracle_gate_green_under_encoding(spark, encoded_dirs, enc, name):
+    d = encoded_dirs[enc]
+    con = duckdb_connection(d)
+    try:
+        report = compare(QUERIES[name](spark, d), con, ORACLES[name])
+        assert report["ok"], f"{name} under {enc}: {report}"
+    finally:
+        con.close()
