@@ -72,3 +72,68 @@ def test_oracle_gate_green_under_encoding(spark, encoded_dirs, enc, name):
         assert report["ok"], f"{name} under {enc}: {report}"
     finally:
         con.close()
+
+
+# --- events: the same driver-faithful gate over ts re-encodings -----------
+# test_ts_encoding pins that SPARK results are invariant across encodings;
+# this closes the loop on the ORACLE side — the differential gate itself
+# must stay green under every encoding (DuckDB reads nanos/NTZ/UTC parquet
+# natively; the harness pins its session tz to UTC like the Spark side).
+
+EVENT_QUERIES_UNDER_TEST = [
+    "events_sessionized",
+    "event_type_hourly",
+    "scd2_user_event_history",
+    "profile_events",
+    "funnel_conversion",
+    "retention_cohorts",
+]
+
+
+@pytest.fixture(scope="module")
+def event_encoded_dirs(spark, sf_small, tmp_path_factory):
+    import pandas as pd  # noqa: F401  (kept with the ts-encoding twin)
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+
+    pdf = load_events(spark, sf_small).toPandas()
+    naive = pdf["ts"]
+    variants = {
+        # The r3 encoding was TIMESTAMP(NANOS)-ANNOTATED int64 (Spark
+        # needs the nanosAsLong legacy conf; DuckDB reads TIMESTAMP_NS
+        # natively) — not a bare unannotated int64 column.
+        "nanos_ts": pa.array(
+            naive.astype("datetime64[ns]"), type=pa.timestamp("ns")
+        ),
+        "micros_ntz": pa.array(naive.astype("datetime64[us]")),
+        "micros_utc": pa.array(
+            naive.dt.tz_localize("UTC"), type=pa.timestamp("us", tz="UTC")
+        ),
+    }
+    base = tmp_path_factory.mktemp("event_gate_encodings")
+    dirs = {}
+    for name, ts_arr in variants.items():
+        d = base / name
+        d.mkdir()
+        for t in TABLES:
+            if t != "events":
+                shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+        cols = {c: pa.array(pdf[c]) for c in pdf.columns if c != "ts"}
+        table = pa.table({**cols, "ts": ts_arr}).select(list(pdf.columns))
+        pq.write_table(table, str(d / "events.parquet"))
+        dirs[name] = str(d)
+    return dirs
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("enc", ["nanos_ts", "micros_ntz", "micros_utc"])
+def test_events_oracle_gate_green_under_encoding(
+    spark, event_encoded_dirs, enc, name
+):
+    d = event_encoded_dirs[enc]
+    con = duckdb_connection(d)
+    try:
+        report = compare(QUERIES[name](spark, d), con, ORACLES[name])
+        assert report["ok"], f"{name} under {enc}: {report}"
+    finally:
+        con.close()
