@@ -112,8 +112,34 @@ GROUP BY tier, event_type
 # moments) — reuse its oracle verbatim.
 from .extensions import EVENTS_ROLLING_ZSCORE as _BATCH_ROLLING_ZSCORE
 
+# Streaming first-touch funnel stage: the keyed state is four MINs, so
+# the recovered final stage equals the batch computation over ALL events
+# regardless of micro-batch arrival order (NULL chain semantics spelled
+# out as explicit CASE arms — stage k requires t_k strictly after
+# t_{k-1}, matching operators/events_analytics.funnel_conversion).
+STREAM_FUNNEL_STAGE = f"""
+WITH firsts AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup' THEN tsu END) AS t_signup,
+        MIN(CASE WHEN event_type = 'view' THEN tsu END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN tsu END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN tsu END) AS t_purchase
+    FROM {_EV}
+    GROUP BY user_id
+)
+SELECT user_id,
+    CASE WHEN t_signup IS NULL THEN 0
+         WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+         WHEN t_click IS NULL OR t_click <= t_view THEN 2
+         WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+         ELSE 4 END AS funnel_stage
+FROM firsts
+"""
+
 STREAMING_ORACLES = {
+
     "stream_rolling_zscore": _BATCH_ROLLING_ZSCORE,
+    "stream_funnel_stage": STREAM_FUNNEL_STAGE,
     "stream_hourly_rollup": STREAM_HOURLY_ROLLUP,
     "stream_static_enrich": STREAM_STATIC_ENRICH,
     "stream_sliding_value": STREAM_SLIDING_VALUE,

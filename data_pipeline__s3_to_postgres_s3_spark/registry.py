@@ -145,6 +145,7 @@ from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
+    stream_funnel_stage,
     stream_rolling_zscore,
     stream_static_enrich,
     stream_hourly_rollup,
@@ -172,7 +173,9 @@ QUERIES: dict[str, QueryFn] = {
     "agg_public_holiday": agg_public_holiday,
     "agg_shipments": agg_shipments,
     "most_ordered_product_date": most_ordered_product_date,
-    "review_percentages": review_percentages,
+    # (review_percentages rotated to the tail mid-round-5 — r1–r4
+    # hash-green, golden-pinned — to keep the brand-new streaming funnel
+    # under the driver's hash.)
     "shipment_percentages": shipment_percentages,
     "best_performing_product": best_performing_product,
     "tripdata_monthly_metrics": tripdata_monthly_metrics,
@@ -194,6 +197,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_static_enrich": stream_static_enrich,
     "stream_rolling_zscore": stream_rolling_zscore,
+    "stream_funnel_stage": stream_funnel_stage,
     # -- temporal joins (round-3 breakage class) --------------------------
     "purchase_last_view_asof": purchase_last_view_asof,
     "error_bursts_range": error_bursts_range,
@@ -250,6 +254,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_dup_candidates": winnow_dup_candidates,
     "bm25_topk": bm25_topk,
     "profile_orders": profile_orders,
+    "review_percentages": review_percentages,
     "incremental_load_watermark": incremental_load_watermark,
     "orders_without_lineitems_anti": orders_without_lineitems_anti,
     "orders_with_lineitems_semi": orders_with_lineitems_semi,

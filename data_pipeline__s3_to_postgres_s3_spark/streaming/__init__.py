@@ -1,5 +1,6 @@
 from .events import (
     stream_dedup_events,
+    stream_funnel_stage,
     stream_hourly_rollup,
     stream_rolling_zscore,
     stream_session_stats,
@@ -11,6 +12,7 @@ from .events import (
 
 __all__ = [
     "stream_dedup_events",
+    "stream_funnel_stage",
     "stream_hourly_rollup",
     "stream_rolling_zscore",
     "stream_session_stats",

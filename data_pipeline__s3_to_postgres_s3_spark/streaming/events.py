@@ -323,6 +323,106 @@ def stream_user_running_max(
     )
 
 
+FUNNEL_STAGE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("seq", LongType(), True),
+        StructField("funnel_stage", LongType(), True),
+    ]
+)
+# Four first-touch timestamps (micros since epoch; None = step unseen)
+# plus the per-key update sequence number the sink recovery keys on.
+FUNNEL_STAGE_STATE = StructType(
+    [
+        StructField("t_signup", LongType(), True),
+        StructField("t_view", LongType(), True),
+        StructField("t_click", LongType(), True),
+        StructField("t_purchase", LongType(), True),
+        StructField("seq", LongType(), True),
+    ]
+)
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_stage_of(firsts: list) -> int:
+    """Strict first-touch stage — the chain definition shared with the
+    batch operator (operators.events_analytics.funnel_conversion)."""
+    if firsts[0] is None:
+        return 0
+    stage = 1
+    for i in range(1, len(firsts)):
+        if firsts[i] is None or not firsts[i] > firsts[i - 1]:
+            break
+        stage += 1
+    return stage
+
+
+def _funnel_stage_fn(key: Any, pdfs: Iterator, state: Any) -> Iterator:
+    """Per-user first-touch funnel state. The state is four MINs — unlike
+    the rolling z-score's trailing window, mins are ARRIVAL-ORDER
+    INSENSITIVE, so late or out-of-order data can never corrupt the
+    final answer (it may transiently lower an earlier step's first-touch
+    and thereby LOWER the stage — which is why the stage is NOT monotone
+    and the sink recovery keys on the update sequence, not a max)."""
+    import pandas as pd
+
+    if state.exists:
+        row = list(state.get)
+        firsts, seq = row[:4], row[4]
+    else:
+        firsts, seq = [None, None, None, None], 0
+    for pdf in pdfs:
+        for i, step in enumerate(_FUNNEL_STEPS):
+            sel = pdf.loc[pdf["event_type"] == step, "ts"]
+            if len(sel):
+                mi = int(sel.min().value // 1000)  # pandas ns → micros
+                if firsts[i] is None or mi < firsts[i]:
+                    firsts[i] = mi
+    seq += 1
+    state.update(tuple(firsts + [seq]))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "seq": [seq],
+            "funnel_stage": [_funnel_stage_of(firsts)],
+        }
+    )
+
+
+def stream_funnel_stage(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming first-touch funnel: per-user stage (0–4) maintained in
+    keyed state, emitted per micro-batch in update mode — the continuous
+    twin of the batch funnel_conversion aggregate.
+
+    Recovery subtlety (pinned here on purpose): the stage is NOT
+    monotone across updates — a late event can lower an EARLIER step's
+    first-touch below its predecessor's and break the chain — so "max
+    stage over emitted rows" (the running-max recovery) would be WRONG.
+    Each update carries a per-key sequence number and the final state is
+    the stage at the max seq (max_by), which is exactly the last update.
+    The state itself is four MINs, so the final answer is independent of
+    arrival order — this operator needs no in-order precondition, unlike
+    the rolling z-score's trailing window."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    updates = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_stage_fn,
+            FUNNEL_STAGE_OUTPUT,
+            FUNNEL_STAGE_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_to_memory(updates, "update", state_partitions=8)
+    return sink.groupBy("user_id").agg(
+        F.max_by("funnel_stage", "seq").alias("funnel_stage")
+    )
+
+
 ROLLING_Z_OUTPUT = StructType(
     [
         StructField("user_id", LongType(), True),

@@ -87,6 +87,7 @@ EVENT_QUERIES_UNDER_TEST = [
     "profile_events",
     "funnel_conversion",
     "retention_cohorts",
+    "stream_funnel_stage",
 ]
 
 

@@ -51,6 +51,7 @@ ROTATED_IN = {
     "funnel_conversion",
     "retention_cohorts",
     "embedding_quantize",
+    "stream_funnel_stage",
 }
 
 

@@ -231,3 +231,81 @@ def test_rolling_zscore_drops_regressing_rows(spark, sf_small, tmp_path):
     # And the regressing half really is absent, not rescored.
     early_ids = {r.event_id for r in earlier.select("event_id").collect()}
     assert not early_ids & {r.event_id for r in streamed.collect()}
+
+
+def test_funnel_stage_across_batches_matches_batch(spark, sf_small, split_events_dir):
+    """Multi-micro-batch streaming funnel == the batch per-user stage
+    (first-touch MINs are arrival-order insensitive, so ANY batch split
+    must land on the batch answer)."""
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_funnel_stage,
+    )
+
+    streamed = stream_funnel_stage(spark, split_events_dir, max_files_per_trigger=1)
+    got = {r["user_id"]: r["funnel_stage"] for r in streamed.collect()}
+
+    ev = load_events(spark, sf_small).collect()
+    firsts: dict = {}
+    for r in ev:
+        d = firsts.setdefault(r["user_id"], {})
+        t = d.get(r["event_type"])
+        if t is None or r["ts"] < t:
+            d[r["event_type"]] = r["ts"]
+    expected = {}
+    for u, d in firsts.items():
+        stage = 0
+        prev = None
+        for step in ("signup", "view", "click", "purchase"):
+            t = d.get(step)
+            if t is None or (prev is not None and not t > prev) or (stage == 0 and step != "signup"):
+                break
+            stage += 1
+            prev = t
+        expected[u] = stage
+    assert got == expected
+
+
+def test_funnel_stage_is_not_monotone_and_seq_recovery_is_right():
+    """The recovery subtlety, pinned without Spark: a late event that
+    lowers an EARLIER step's first-touch can LOWER the stage, so max-over
+    -updates recovery would report a stage the user never ends at — the
+    seq-keyed (last-update) recovery is the correct one."""
+    import pandas as pd
+
+    from data_pipeline__s3_to_postgres_s3_spark.streaming.events import (
+        _funnel_stage_fn,
+        _funnel_stage_of,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            }
+        )
+
+    state = FakeState()
+    out1 = next(_funnel_stage_fn((1,), iter([batch([("signup", 5), ("view", 10)])]), state))
+    assert out1["funnel_stage"][0] == 2  # signup@5 < view@10
+    out2 = next(_funnel_stage_fn((1,), iter([batch([("view", 3)])]), state))
+    assert out2["funnel_stage"][0] == 1  # late view@3 breaks the chain
+    stages = [int(out1["funnel_stage"][0]), int(out2["funnel_stage"][0])]
+    seqs = [int(out1["seq"][0]), int(out2["seq"][0])]
+    assert max(stages) == 2  # max-recovery would WRONGLY report 2
+    assert stages[seqs.index(max(seqs))] == 1  # seq recovery reports 1
+    assert _funnel_stage_of([3, None, None, None]) == 1
+    assert _funnel_stage_of([None, 1, 2, 3]) == 0

@@ -38,6 +38,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
 )
 from data_pipeline__s3_to_postgres_s3_spark.streaming import (
     stream_dedup_events,
+    stream_funnel_stage,
     stream_hourly_rollup,
     stream_static_enrich,
     stream_user_running_max,
@@ -100,6 +101,7 @@ def _rows(df):
         stream_hourly_rollup,
         stream_user_running_max,
         stream_dedup_events,
+        stream_funnel_stage,
         stream_view_purchase_join,
         stream_static_enrich,
     ],
