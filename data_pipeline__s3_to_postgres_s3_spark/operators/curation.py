@@ -268,3 +268,81 @@ def row_gates(docs: DataFrame) -> DataFrame:
         (F.col("dup_bigram_ratio") <= QG_MAX_DUP_BIGRAM).alias("rep_ok"),
         (F.col("stopword_ratio") <= QG_MAX_STOPWORD).alias("stop_ok"),
     )
+
+
+# C4-style line-level boilerplate removal (Raffel et al. 2020 kept only
+# lines ending in punctuation and dropped pages with boilerplate; CCNet /
+# RefinedWeb drop individual lines repeated across pages — headers,
+# nav bars, cookie banners). A normalized line occurring in at least
+# LINE_DF_CAP distinct documents is boilerplate and removed from EVERY
+# document (C4 semantics: no survivor copy — repeated lines are template
+# chrome, not content).
+LINE_DF_CAP = 3
+
+
+def line_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, norm): documents split on newline, lines normalized
+    by lower(trim(.)) so cosmetic case/indent variants of the same nav
+    chrome collapse to one boilerplate key. posexplode is a generator
+    (no exchange); the split array never outlives the projection."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    ).select("doc_id", "pos", F.lower(F.trim("raw")).alias("norm"))
+
+
+def line_dedup(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-document line-level boilerplate scrub:
+    (doc_id, n_lines, n_kept, kept_ratio, kept_hash) where kept_hash is
+    md5 of the surviving lines re-joined in document order — a compact,
+    oracle-hashable stand-in for the scrubbed text (same trick as
+    chunk_documents' chunk_hash).
+
+    Reference scope: the reference pipeline has no corpus hygiene at all
+    (its dedup story is the reviews append quirk, SURVEY §2.1 S4); this is
+    part of the LLM-curation extension surface.
+
+    Scale shape (100 TB): two shuffles total —
+    1. line-DF census: groupBy(norm) with map-side partial aggregation;
+       only (line, doc_id)-distinct pairs shuffle, and COUNT(DISTINCT
+       doc_id) collapses to COUNT after the pairwise expand. The census
+       output is filtered to heavy hitters (df >= LINE_DF_CAP) BEFORE the
+       join, so the boilerplate set is tiny relative to the corpus
+       (Zipf: few lines repeat across >= 3 pages) and broadcasts; if a
+       pathological corpus outgrows the broadcast threshold the same plan
+       degrades to a shuffle join, never a collect.
+    2. per-doc re-assembly: one groupBy(doc_id); line order restored via
+       sort_array over (pos, line) structs, so the aggregation itself
+       needs no sorted shuffle and stays partial-aggregable.
+    The sf corpora are single-line docs (no newlines), so at sf the census
+    finds no boilerplate and every doc keeps ratio 1.0 — the multi-line
+    path is pinned by the synthetic-corpus tests in test_curation.py
+    (same pattern as chunk_documents, see CLAUDE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = line_frame(docs)
+    boiler = (
+        lines.groupBy("norm")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") >= LINE_DF_CAP)
+        .select("norm", F.lit(True).alias("is_bp"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "norm", "left")
+    kept = F.when(F.col("is_bp").isNull(), F.struct(F.col("pos"), F.col("norm")))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(kept).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(kept)), lambda s: s["norm"]),
+                "\n",
+            )
+        ).alias("kept_hash"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_lines")).alias("kept_ratio"),
+        "kept_hash",
+    )

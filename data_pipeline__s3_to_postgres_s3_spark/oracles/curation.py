@@ -162,3 +162,42 @@ GROUP BY split, lang
 """
 
 CURATION_ORACLES["shard_manifest"] = SHARD_MANIFEST
+
+# line_dedup: C4/CCNet-style cross-document boilerplate line removal.
+# Mirrors operators/curation.py:line_dedup — same lower(trim()) line
+# normalization, same LINE_DF_CAP census threshold, same md5-of-rejoined
+# text stand-in. n_lines/n_kept cast to INT (DuckDB COUNT is BIGINT-safe
+# but SUM(CASE..1..) would be HUGEINT -> float64 in pandas — round-4
+# lesson); kept_ratio divides the SAME double/int operands as the Spark
+# side so IEEE results are bit-identical; string_agg skips NULLs (the
+# boilerplate lines) and COALESCE('') matches Spark's empty array_join.
+from ..operators.curation import LINE_DF_CAP
+
+LINE_DEDUP = f"""
+WITH lns AS (
+    SELECT doc_id, string_split(text, chr(10)) AS t FROM documents
+),
+lines AS (
+    SELECT doc_id, s AS pos, lower(trim(t[s])) AS norm
+    FROM lns, unnest(generate_series(1, len(t))) AS g(s)
+),
+boiler AS (
+    SELECT norm FROM lines GROUP BY norm
+    HAVING COUNT(DISTINCT doc_id) >= {LINE_DF_CAP}
+),
+flagged AS (
+    SELECT l.doc_id, l.pos, l.norm, (b.norm IS NOT NULL) AS is_bp
+    FROM lines l LEFT JOIN boiler b USING (norm)
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS INT) AS n_lines,
+    CAST(COUNT(CASE WHEN NOT is_bp THEN 1 END) AS INT) AS n_kept,
+    CAST(COUNT(CASE WHEN NOT is_bp THEN 1 END) AS DOUBLE) / COUNT(*)
+        AS kept_ratio,
+    md5(COALESCE(
+        string_agg(CASE WHEN NOT is_bp THEN norm END, chr(10) ORDER BY pos),
+        '')) AS kept_hash
+FROM flagged GROUP BY doc_id
+"""
+
+CURATION_ORACLES["line_dedup"] = LINE_DEDUP

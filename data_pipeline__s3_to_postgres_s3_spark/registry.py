@@ -52,6 +52,7 @@ from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
+    line_dedup,
     per_source_report,
     quality_gate,
 )
@@ -313,6 +314,10 @@ QUERIES: dict[str, QueryFn] = {
     "dormant_high_value_customers": dormant_high_value_customers,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
+    # -- new in round 5, post-rotation: enters the tail first (oracle-
+    #    checked locally every run), rotates into the driver window once
+    #    it has a green local round behind it, per the rotation contract.
+    "line_dedup": line_dedup,
 }
 
 ORACLES: dict[str, str] = {

@@ -178,3 +178,102 @@ def test_char_ngram_diversity_matches_python_recompute(spark, sf_small):
         assert r["distinct_ratio"] == len(c) / n
         assert r["max_freq_ratio"] == max(c.values()) / n
         assert r["simpson_index"] == (n * n - ssq) / (n * n)
+
+
+def test_line_dedup_scrubs_boilerplate_on_multiline_corpus(spark, tmp_path):
+    """The sf corpora are single-line docs, so the driver's oracle gate
+    only sees the degenerate keep-everything path; pin the real C4-style
+    behavior on a synthetic multi-line corpus: cross-document census,
+    lower/trim normalization collapsing cosmetic variants, removal from
+    EVERY doc (no survivor), and order-preserving reassembly."""
+    import hashlib
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        LINE_DF_CAP,
+        line_dedup,
+    )
+
+    assert LINE_DF_CAP == 3
+    boiler = "Subscribe To Our Newsletter"  # appears (case-varied) in 3 docs
+    rows = [
+        (1, f"alpha body one\n{boiler}\nalpha body two"),
+        (2, f"  {boiler.upper()}  \nbeta body"),
+        (3, f"gamma body\n{boiler.lower()}"),
+        (4, "delta body\nshared twice"),  # df=2 < cap → kept
+        (5, "shared twice\nepsilon body"),
+        (6, boiler),  # nothing but boilerplate → empty scrubbed text
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in line_dedup(spark, str(tmp_path)).collect()}
+
+    def h(*lines):
+        return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+    assert got[1]["kept_hash"] == h("alpha body one", "alpha body two")
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (2, 1)
+    assert got[2]["kept_hash"] == h("beta body")
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (2, 1)
+    assert got[3]["kept_hash"] == h("gamma body")
+    # df=2 lines survive in BOTH docs (cap not reached).
+    assert got[4]["n_kept"] == 2 and got[5]["n_kept"] == 2
+    assert got[4]["kept_hash"] == h("delta body", "shared twice")
+    # All-boilerplate doc: still one output row, empty scrubbed text.
+    assert (got[6]["n_lines"], got[6]["n_kept"]) == (1, 0)
+    assert got[6]["kept_hash"] == h()
+    assert got[6]["kept_ratio"] == 0.0 and got[1]["kept_ratio"] == 2 / 3
+
+
+def test_line_dedup_oracle_parity_on_multiline_corpus(spark, tmp_path):
+    """Spark ↔ DuckDB parity where the boilerplate census actually fires
+    (the sf gate never exercises it) — incl. empty lines, trailing
+    newlines, and ties in line position ordering."""
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        line_dedup,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.oracles.curation import (
+        LINE_DEDUP,
+    )
+
+    rows = [
+        (
+            i,
+            "\n".join(
+                (["nav header"] if i % 2 == 0 else [])
+                + [f"body {i} {j}" for j in range(i % 4 + 1)]
+                + (["footer text", ""] if i % 3 == 0 else [])
+            ),
+        )
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(tuple(r) for r in line_dedup(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(LINE_DEDUP).fetchall())
+    assert got == want
+
+
+def test_line_dedup_plan_shape(spark, sf_dir):
+    """Census join is broadcast (the heavy-hitter set is tiny) and the
+    whole op is exactly two exchanges: line-DF census + per-doc
+    reassembly. Guards against a future edit de-broadcasting the join or
+    adding a sorted shuffle for line ordering."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        line_dedup,
+    )
+
+    df = line_dedup(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.exchange_count(df) <= 3
