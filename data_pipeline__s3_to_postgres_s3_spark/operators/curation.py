@@ -346,3 +346,89 @@ def line_dedup(
         (F.col("n_kept").cast("double") / F.col("n_lines")).alias("kept_ratio"),
         "kept_hash",
     )
+
+
+# Gopher quality-filter rule set (Rae et al. 2021, table A1 — reused by
+# RefinedWeb/FineWeb as the standard heuristic gate): document-level word
+# and word-length bounds, symbol-to-word and non-alphabetic-word caps,
+# bullet/ellipsis line-shape caps, and a required-stopword floor.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Gopher's published floor is 2 required stopwords; the synthetic word-soup
+# corpus carries at most one of the list per doc, so the floor is corpus-
+# adapted to 1 (same precedent as the QG_* thresholds above, set at corpus
+# percentiles) to keep the verdict column informative: at sf0.01 the gate
+# splits ~50/50 on the stopword floor × word-count bound.
+GOPHER_MIN_REQUIRED_STOP = 1
+
+
+def gopher_quality(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Gopher-rule quality report per document: the raw metrics plus the
+    combined pass verdict, so downstream gates can both filter on
+    `gopher_pass` and re-threshold any single metric.
+
+    Complements (does not duplicate) text_quality/quality_gate: those
+    carry token counts, stopword/punct ratios, lang-ID and repetition;
+    this is the published Gopher rule set — line-shape caps (bullets /
+    ellipses), symbol-to-word ratio, alphabetic-word fraction, and the
+    required-stopword floor — the standard pre-filter a 100 TB web corpus
+    passes through before dedup.
+
+    Scale shape: ZERO shuffle — every metric is an array/regex expression
+    over the row's own text inside the scan projection (same plan class
+    as text_quality: scan → project, parallelism = the scan's). All
+    ratios are single IEEE divisions of exact integers, bit-identical in
+    the oracle (same operands, same order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    staged = docs.select(
+        "doc_id",
+        words.alias("ws"),
+        lines.alias("ls"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_wchars"
+        ),
+        F.regexp_count("text", F.lit("#|…|\\.\\.\\.")).alias("n_symbols"),
+    )
+    n_words = F.array_size(F.col("ws"))
+    n_lines = F.array_size(F.col("ls"))
+    n_alpha_words = F.array_size(
+        F.filter(F.col("ws"), lambda w: w.rlike("[A-Za-z]"))
+    )
+    n_bullet = F.array_size(
+        F.filter(F.col("ls"), lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    n_ellipsis = F.array_size(
+        F.filter(F.col("ls"), lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    metrics = staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.col("n_wchars").cast("double") / n_words).alias("mean_word_len"),
+        (F.col("n_symbols").cast("double") / n_words).alias("symbol_word_ratio"),
+        (n_alpha_words.cast("double") / n_words).alias("alpha_word_ratio"),
+        (n_bullet.cast("double") / n_lines).alias("bullet_line_ratio"),
+        (n_ellipsis.cast("double") / n_lines).alias("ellipsis_line_ratio"),
+        F.array_size(F.array_intersect(F.col("ws"), req)).alias(
+            "n_required_stop"
+        ),
+    )
+    gopher_pass = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("bullet_line_ratio") <= GOPHER_MAX_BULLET_RATIO)
+        & (F.col("ellipsis_line_ratio") <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (F.col("n_required_stop") >= GOPHER_MIN_REQUIRED_STOP)
+    )
+    return metrics.withColumn("gopher_pass", gopher_pass)

@@ -201,3 +201,62 @@ FROM flagged GROUP BY doc_id
 """
 
 CURATION_ORACLES["line_dedup"] = LINE_DEDUP
+
+# gopher_quality: mirrors operators/curation.py:gopher_quality — same split
+# units (space words / chr(10) lines), same regexes (disjoint-first-char
+# alternation so Java-leftmost-first and RE2-leftmost-longest agree), same
+# single-division ratio arithmetic. Counts cast to INT to match Spark's
+# array_size; ratios divide identical operands so IEEE results are
+# bit-identical.
+from ..operators.curation import (
+    GOPHER_MAX_BULLET_RATIO,
+    GOPHER_MAX_ELLIPSIS_RATIO,
+    GOPHER_MAX_MEAN_WLEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_RATIO,
+    GOPHER_MIN_MEAN_WLEN,
+    GOPHER_MIN_REQUIRED_STOP,
+    GOPHER_MIN_WORDS,
+    GOPHER_REQUIRED_STOPWORDS,
+)
+
+_REQ_LIST = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+
+GOPHER_QUALITY = f"""
+WITH staged AS (
+    SELECT doc_id,
+        string_split(text, ' ') AS ws,
+        string_split(text, chr(10)) AS ls,
+        len(replace(text, ' ', '')) AS n_wchars,
+        len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS n_symbols
+    FROM documents
+),
+metrics AS (
+    SELECT doc_id,
+        CAST(len(ws) AS INT) AS n_words,
+        CAST(n_wchars AS DOUBLE) / len(ws) AS mean_word_len,
+        CAST(n_symbols AS DOUBLE) / len(ws) AS symbol_word_ratio,
+        CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+             AS DOUBLE) / len(ws) AS alpha_word_ratio,
+        CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]')))
+             AS DOUBLE) / len(ls) AS bullet_line_ratio,
+        CAST(len(list_filter(ls,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+             AS DOUBLE) / len(ls) AS ellipsis_line_ratio,
+        CAST(len(list_intersect(ws, [{_REQ_LIST}])) AS INT)
+            AS n_required_stop
+    FROM staged
+)
+SELECT *,
+    (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+     AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+     AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+     AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+     AND bullet_line_ratio <= {GOPHER_MAX_BULLET_RATIO}
+     AND ellipsis_line_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+     AND n_required_stop >= {GOPHER_MIN_REQUIRED_STOP}) AS gopher_pass
+FROM metrics
+"""
+
+CURATION_ORACLES["gopher_quality"] = GOPHER_QUALITY

@@ -52,6 +52,7 @@ from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
+    gopher_quality,
     line_dedup,
     per_source_report,
     quality_gate,
@@ -318,6 +319,7 @@ QUERIES: dict[str, QueryFn] = {
     #    checked locally every run), rotates into the driver window once
     #    it has a green local round behind it, per the rotation contract.
     "line_dedup": line_dedup,
+    "gopher_quality": gopher_quality,
 }
 
 ORACLES: dict[str, str] = {

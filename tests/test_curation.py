@@ -277,3 +277,84 @@ def test_line_dedup_plan_shape(spark, sf_dir):
     df = line_dedup(spark, sf_dir)
     assert plans.broadcast_join_count(df) >= 1
     assert plans.exchange_count(df) <= 3
+
+
+def test_gopher_quality_rule_paths_on_synthetic_corpus(spark, tmp_path):
+    """The sf corpus has no symbols, bullets, or ellipses, so pin every
+    Gopher rule on docs built to trip exactly one rule each."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        GOPHER_MIN_WORDS,
+        gopher_quality,
+    )
+
+    good_body = ("the quick brown fox jumps over lazy dogs near riverbank "
+                 * 7).strip()  # 63 words, all alpha, mean len in [3,10]
+    rows = [
+        (1, good_body),                                    # passes
+        (2, "the short doc"),                              # too few words
+        (3, " ".join(["####"] * 30 + good_body.split())),  # symbol ratio
+        (4, " ".join(["1234"] * 30 + good_body.split())),  # alpha ratio
+        (5, "\n".join(["- bullet item each line"] * 20)),  # bullet lines
+        (6, "\n".join([f"{good_body} trailing off..."] * 3)),  # ellipsis
+        (7, good_body.replace("the", "zzz")),              # no req stopword
+        (8, " ".join(["a"] * 60)),                         # mean word len < 3
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in gopher_quality(spark, str(tmp_path)).collect()}
+    assert got[1]["gopher_pass"]
+    assert not got[2]["gopher_pass"] and got[2]["n_words"] < GOPHER_MIN_WORDS
+    assert not got[3]["gopher_pass"] and got[3]["symbol_word_ratio"] > 0.1
+    assert not got[4]["gopher_pass"] and got[4]["alpha_word_ratio"] < 0.8
+    assert not got[5]["gopher_pass"] and got[5]["bullet_line_ratio"] == 1.0
+    assert not got[6]["gopher_pass"] and got[6]["ellipsis_line_ratio"] == 1.0
+    assert not got[7]["gopher_pass"] and got[7]["n_required_stop"] == 0
+    assert not got[8]["gopher_pass"] and got[8]["mean_word_len"] < 3.0
+
+
+def test_gopher_quality_oracle_parity_on_synthetic_corpus(spark, tmp_path):
+    """Spark ↔ DuckDB parity where the regex rules actually fire — the sf
+    gate only exercises the all-zero symbol/bullet/ellipsis path."""
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        gopher_quality,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.oracles.curation import (
+        GOPHER_QUALITY,
+    )
+
+    base = "the value of data and tables that have merit with care"
+    rows = [
+        (
+            i,
+            "\n".join(
+                ([f"- item {j}" for j in range(i % 3)])
+                + [f"{base} {'#' * (i % 4)} w{j}…" for j in range(i % 5 + 1)]
+                + (["  * spaced bullet", "fading out..."] if i % 2 else [])
+            ),
+        )
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(tuple(r) for r in gopher_quality(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(GOPHER_QUALITY).fetchall())
+    assert got == want
+
+
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        gopher_quality,
+    )
+
+    assert plans.exchange_count(gopher_quality(spark, sf_dir)) == 0
