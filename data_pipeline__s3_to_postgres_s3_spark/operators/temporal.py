@@ -140,3 +140,63 @@ def error_bursts_range(
             (F.col("us_b") - F.col("us_a")).alias("gap_us"),
         )
     )
+
+
+def events_gapfill_locf(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Hourly gap-filled rollup with last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill(...) + locf(...)` shape
+    (TimescaleDB/InfluxDB) the reference's warehouse would need for any
+    dashboard over irregular event feeds: one row per (user, hour) across
+    each user's own observed span, empty hours materialized with
+    n_events = 0 and the bucket value carried forward from the last
+    observed hour.
+
+    Output: (user_id, bucket_ts, n_events, value_locf, is_gap).
+    bucket_value is SUM(cents)/100 — exact integer summation, one IEEE
+    division, same portability contract as the other value rollups; the
+    carried-forward value is a passthrough of some bucket's value (no new
+    arithmetic), so LOCF introduces no float hazard.
+
+    Scale shape: the hourly rollup shuffles once on (user, hour) with
+    map-side combine and is localCheckpoint'd because TWO consumers need
+    it (the per-user span aggregate and the scaffold join) — without the
+    checkpoint the groupBy subtree re-executes per consumer (the
+    dedup_simhash lesson, CLAUDE.md). The scaffold is generated per user
+    by exploding a bounded hour sequence (span/1h rows — thousands per
+    user at most, never data-proportional), the join is a plain equi-join
+    on (user, hour), and the LOCF window partitions by user with rows
+    frames only. No per-bucket joins, no driver loops; skew = a hot user,
+    salted like any keyed window if one key dominates."""
+    from ..functions.numeric import cents
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("bucket_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    scaffold = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket_ts"),
+    )
+    joined = scaffold.join(hourly, ["user_id", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -36,3 +36,35 @@ TEMPORAL_ORACLES = {
     "purchase_last_view_asof": PURCHASE_LAST_VIEW_ASOF,
     "error_bursts_range": ERROR_BURSTS_RANGE,
 }
+
+# events_gapfill_locf: mirrors operators/temporal.py:events_gapfill_locf —
+# same hour truncation under the UTC session tz, same exact-cents rollup
+# (SUM(BIGINT) divides straight to DOUBLE so the HUGEINT widening never
+# reaches pandas), scaffold via generate_series over each user's own span,
+# LOCF via IGNORE NULLS last_value with an identical rows frame.
+EVENTS_GAPFILL_LOCF = f"""
+WITH e AS (SELECT * FROM {_EV}),
+hourly AS (
+    SELECT user_id, date_trunc('hour', tsu) AS bucket_ts,
+        CAST(COUNT(*) AS INT) AS n_events,
+        SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS bucket_value
+    FROM e GROUP BY 1, 2
+),
+spans AS (
+    SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+    FROM hourly GROUP BY 1
+),
+scaffold AS (
+    SELECT user_id, g AS bucket_ts
+    FROM spans, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(g)
+)
+SELECT s.user_id, s.bucket_ts,
+    COALESCE(h.n_events, 0) AS n_events,
+    last_value(h.bucket_value IGNORE NULLS) OVER (
+        PARTITION BY s.user_id ORDER BY s.bucket_ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+    h.n_events IS NULL AS is_gap
+FROM scaffold s LEFT JOIN hourly h USING (user_id, bucket_ts)
+"""
+
+TEMPORAL_ORACLES["events_gapfill_locf"] = EVENTS_GAPFILL_LOCF

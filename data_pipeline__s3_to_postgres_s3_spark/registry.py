@@ -101,6 +101,7 @@ from .operators.sampling import (
 )
 from .operators.temporal import (
     error_bursts_range,
+    events_gapfill_locf,
     purchase_last_view_asof,
 )
 from .operators.textops import (
@@ -320,6 +321,7 @@ QUERIES: dict[str, QueryFn] = {
     #    it has a green local round behind it, per the rotation contract.
     "line_dedup": line_dedup,
     "gopher_quality": gopher_quality,
+    "events_gapfill_locf": events_gapfill_locf,
 }
 
 ORACLES: dict[str, str] = {

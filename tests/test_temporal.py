@@ -71,3 +71,57 @@ def test_range_join_no_duplicate_pairs(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_events_gapfill_locf_semantics(spark, tmp_path):
+    """Pin the gap-fill contract on a hand-built feed: one row per hour of
+    each user's own span, zero-count gaps, the value carried forward from
+    the LAST observed bucket, and NULL before a user's first observation
+    can't occur (spans start at the first observed hour)."""
+    import datetime as ddt
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
+        events_gapfill_locf,
+    )
+
+    def t(h, m=0):
+        return ddt.datetime(2024, 3, 1, h, m)
+
+    rows = [
+        # user 1: hours 10 (two events) and 13 — gaps at 11, 12.
+        (1, t(10, 5), 1, "view", 2.50, "{}"),
+        (2, t(10, 40), 1, "view", 1.25, "{}"),
+        (3, t(13, 1), 1, "purchase", 4.00, "{}"),
+        # user 2: single hour — no gaps at all.
+        (4, t(22), 2, "view", 9.99, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["bucket_ts"].hour): r
+        for r in events_gapfill_locf(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(1, 10), (1, 11), (1, 12), (1, 13), (2, 22)}
+    assert got[(1, 10)]["n_events"] == 2 and not got[(1, 10)]["is_gap"]
+    assert got[(1, 10)]["value_locf"] == 3.75
+    for h in (11, 12):
+        assert got[(1, h)]["n_events"] == 0 and got[(1, h)]["is_gap"]
+        assert got[(1, h)]["value_locf"] == 3.75  # carried forward
+    assert got[(1, 13)]["value_locf"] == 4.00
+    assert got[(2, 22)]["n_events"] == 1 and not got[(2, 22)]["is_gap"]
+
+
+def test_events_gapfill_reuses_hourly_subtree(spark, sf_dir):
+    """The hourly rollup feeds two consumers (span aggregate + scaffold
+    join); the localCheckpoint keeps it from re-executing per consumer —
+    pinned by the plan containing at most one events scan."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
+        events_gapfill_locf,
+    )
+
+    df = events_gapfill_locf(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("events.parquet") <= 1

@@ -27,6 +27,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics import (
 )
 from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
     error_bursts_range,
+    events_gapfill_locf,
     purchase_last_view_asof,
 )
 from data_pipeline__s3_to_postgres_s3_spark.operators.profiling import (
@@ -95,6 +96,7 @@ def _rows(df):
         events_sessionized,
         profile_events,
         error_bursts_range,
+        events_gapfill_locf,
         purchase_last_view_asof,
         funnel_conversion,
         retention_cohorts,
