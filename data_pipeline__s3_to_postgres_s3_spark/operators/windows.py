@@ -287,3 +287,35 @@ def events_rolling_zscore(
     return stats.select(
         "user_id", "event_id", portable_round(z, 6).alias("zscore")
     )
+
+
+def events_ohlc(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Hourly OHLC candles per user — the open/high/low/close rollup every
+    timeseries store ships (ClickHouse argMin/argMax, kdb first/last; the
+    reference's tripdata query aggregates the same feed shape with plain
+    AVGs, tripdata_monthly_metrics.py:62-77).
+
+    open/close are min_by/max_by over the deterministic event order
+    (ts, event_id) — event_id is unique, so first/last are well-defined
+    under ties on ts; high/low/first/last are all passthroughs of observed
+    values (NO new float arithmetic), so cross-engine equality is exact by
+    construction.
+
+    Scale shape: ONE shuffle — a single groupBy(user, hour) with map-side
+    partial aggregation; min_by/max_by combine associatively, so the
+    partials are as cheap as MIN/MAX. The oracle reproduces open/close
+    with an independent formulation (two ROW_NUMBER windows) to keep the
+    implementations honest."""
+    ev = load_events(spark, sf_dir)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.min_by("value", order_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order_key).alias("close"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )

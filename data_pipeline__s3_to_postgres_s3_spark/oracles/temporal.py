@@ -68,3 +68,29 @@ FROM scaffold s LEFT JOIN hourly h USING (user_id, bucket_ts)
 """
 
 TEMPORAL_ORACLES["events_gapfill_locf"] = EVENTS_GAPFILL_LOCF
+
+# events_ohlc: independent formulation — open/close via two ROW_NUMBER
+# windows over the same deterministic (ts, event_id) order the Spark side
+# feeds min_by/max_by. Every output value is an observed double (no
+# arithmetic), so equality is exact.
+EVENTS_OHLC = f"""
+WITH e AS (
+    SELECT user_id, date_trunc('hour', tsu) AS bucket_ts, value,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, date_trunc('hour', tsu)
+            ORDER BY tsu, event_id) AS rn_a,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, date_trunc('hour', tsu)
+            ORDER BY tsu DESC, event_id DESC) AS rn_d
+    FROM {_EV}
+)
+SELECT user_id, bucket_ts,
+    MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+    MAX(value) AS high,
+    MIN(value) AS low,
+    MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+    CAST(COUNT(*) AS INT) AS n_events
+FROM e GROUP BY user_id, bucket_ts
+"""
+
+TEMPORAL_ORACLES["events_ohlc"] = EVENTS_OHLC

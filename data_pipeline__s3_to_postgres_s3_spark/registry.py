@@ -124,6 +124,7 @@ from .operators.watermark import (
 )
 from .operators.windows import (
     customer_revenue_deciles,
+    events_ohlc,
     events_rolling_zscore,
     event_type_hourly,
     events_sliding_value,
@@ -322,6 +323,7 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": line_dedup,
     "gopher_quality": gopher_quality,
     "events_gapfill_locf": events_gapfill_locf,
+    "events_ohlc": events_ohlc,
 }
 
 ORACLES: dict[str, str] = {

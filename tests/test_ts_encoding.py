@@ -35,6 +35,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.profiling import (
 )
 from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
     event_type_hourly,
+    events_ohlc,
     events_sessionized,
 )
 from data_pipeline__s3_to_postgres_s3_spark.streaming import (
@@ -93,6 +94,7 @@ def _rows(df):
     [
         load_events,
         event_type_hourly,
+        events_ohlc,
         events_sessionized,
         profile_events,
         error_bursts_range,
