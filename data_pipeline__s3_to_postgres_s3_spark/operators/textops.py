@@ -575,3 +575,51 @@ def doc_fingerprint(
         F.substring(F.md5(F.col("text")), 1, 4).alias("shard_key"),
         F.length("text").alias("n_chars"),
     )
+
+
+VOCAB_K = 64  # top-K corpus tokens form the reference vocabulary
+
+
+def vocab_oov_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-VOCAB_K corpus token
+    vocabulary (count DESC, token ASC tie-break — deterministic), then
+    score every document's out-of-vocabulary ratio against it. The
+    standard pre-tokenizer check a training pipeline runs before
+    committing a vocab size: high per-doc OOV → the tokenizer will
+    fragment that slice of the corpus.
+
+    Output: (doc_id, n_tokens, n_oov, oov_ratio).
+
+    Scale shape: the vocab census is one map-side-combined groupBy(token)
+    + TakeOrdered(K) — only K rows reach the driver (the sanctioned
+    ≤k-row collect: centroid/seed-frame precedent, similarity.py). The
+    vocabulary re-enters the plan as a K-string array LITERAL, so the
+    scoring pass is ZERO shuffle: an array_contains filter inside the
+    scan projection (the one-shot literal-index trick — wins here exactly
+    as it does for IVF, and this is not an iterative loop so the
+    plan-compile caveat from CLAUDE.md does not bind). The per-doc pass
+    never joins and never shuffles; a 100 TB corpus scores at scan speed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    vocab_rows = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(VOCAB_K)
+        .collect()
+    )
+    vocab = F.array(*[F.lit(r["tok"]) for r in vocab_rows])
+    n_tokens = F.array_size(F.col("t"))
+    n_oov = F.array_size(
+        F.filter(F.col("t"), lambda x: ~F.array_contains(vocab, x))
+    )
+    return toks.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / n_tokens).alias("oov_ratio"),
+    )

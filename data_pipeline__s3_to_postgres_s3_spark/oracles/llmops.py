@@ -952,3 +952,28 @@ LLMOPS_ORACLES = {
     "normalize_text": NORMALIZE_TEXT,
     "pii_scrub": PII_SCRUB,
 }
+
+# vocab_oov_report: same top-K census (count DESC, token ASC — exact
+# deterministic tie-break) and the same single-division ratio; the oracle
+# scores via explode + IN (subquery) instead of the literal array, an
+# independent formulation of the same membership test.
+from ..operators.textops import VOCAB_K
+
+VOCAB_OOV_REPORT = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok FROM toks GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok LIMIT {VOCAB_K}
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS INT) AS n_tokens,
+    CAST(COUNT(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 END)
+         AS INT) AS n_oov,
+    CAST(COUNT(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 END)
+         AS DOUBLE) / COUNT(*) AS oov_ratio
+FROM toks GROUP BY doc_id
+"""
+
+LLMOPS_ORACLES["vocab_oov_report"] = VOCAB_OOV_REPORT

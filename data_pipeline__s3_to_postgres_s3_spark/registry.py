@@ -114,6 +114,7 @@ from .operators.textops import (
     tfidf_top_terms,
     token_budget_report,
     top_bigrams_per_lang,
+    vocab_oov_report,
     winnow_dup_candidates,
     winnow_fingerprints,
 )
@@ -324,6 +325,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality": gopher_quality,
     "events_gapfill_locf": events_gapfill_locf,
     "events_ohlc": events_ohlc,
+    "vocab_oov_report": vocab_oov_report,
 }
 
 ORACLES: dict[str, str] = {

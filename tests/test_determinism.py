@@ -37,3 +37,24 @@ def test_query_deterministic_across_runs(spark, sf_dir, name):
     first = _rows(QUERIES[name](spark, sf_dir))
     second = _rows(QUERIES[name](spark, sf_dir))
     assert first == second
+
+
+def test_vocab_census_tie_break_deterministic(spark, tmp_path):
+    """Tokens tied at the vocab boundary resolve by token ASC — two builds
+    over a tie-heavy corpus must produce identical vocabularies (ratios
+    equal run-to-run)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        vocab_oov_report,
+    )
+
+    # 80 distinct tokens, ALL with equal frequency → the top-64 cut is
+    # decided purely by the tie-break.
+    rows = [(i, " ".join(f"t{j:02d}" for j in range(80))) for i in range(5)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    a = sorted(tuple(r) for r in vocab_oov_report(spark, str(tmp_path)).collect())
+    b = sorted(tuple(r) for r in vocab_oov_report(spark, str(tmp_path)).collect())
+    assert a == b
+    # tokens t64..t79 are OOV for every doc: 16/80 exactly.
+    assert all(r[2] == 16 and r[3] == 0.2 for r in a)

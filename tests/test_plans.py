@@ -231,3 +231,16 @@ def test_dedup_containment_mirrors_jaccard_shape(spark, sf_dir):
     jac = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
     assert plans.exchange_count(df) <= plans.exchange_count(jac)
     assert "Union" not in plans.simple_plan(df)
+
+
+def test_vocab_oov_scoring_pass_is_shuffle_free(spark, sf_dir):
+    """The census collects K rows at build time; the returned scoring
+    plan must be a pure scan→project with the vocab inlined as a literal
+    array — no join, no exchange."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        vocab_oov_report,
+    )
+
+    df = vocab_oov_report(spark, sf_dir)
+    assert plans.exchange_count(df) == 0
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
