@@ -202,7 +202,15 @@ def dedup_jaccard_prefix(
     postings to survive. Keep both: inverted index for small/clean,
     prefix filter for scale."""
     docs = load_table(spark, sf_dir, "documents")
-    arrays = _shingle_arrays(docs)
+    # The shingle frame feeds FOUR consumers (df census, prefix n-join, and
+    # both verify sides): static exchange reuse does not fire across
+    # join/explode branches (CLAUDE.md, the dedup_simhash lesson), so
+    # without the checkpoint the interpreted zip_with shingler re-executes
+    # per consumer. Measured at sf0.1: 6.2 s → 5.4 s warm, ~2× cold.
+    # (dedup_ngram_jaccard deliberately does NOT checkpoint: its arrays
+    # consumers are one explode + one array_size projection, both cheaper
+    # than the checkpoint write — measured neutral-to-worse.)
+    arrays = _shingle_arrays(docs).localCheckpoint(eager=False)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
