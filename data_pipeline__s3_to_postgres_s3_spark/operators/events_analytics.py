@@ -117,3 +117,88 @@ def retention_cohorts(
             F.col("n_active").cast("double") / F.col("cohort_size"), 6
         ).alias("retention_rate"),
     )
+
+
+# Market-basket co-occurrence guard: a user interacting with more than
+# BASKET_ITEM_CAP distinct items contributes a quadratic pair load; keep
+# each such user's CAP smallest item ids (deterministic, oracle-mirrored —
+# same lossy-but-audited posture as the dedup DF caps).
+BASKET_ITEM_CAP = 64
+BASKET_EVENT_TYPES = ("view", "click")
+
+
+def item_cooccurrence(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Item co-occurrence with lift — the market-basket / item-similarity
+    prep (recommender co-click matrices, item2vec pair generation): for
+    every pair of items interacted with by the same user, the number of
+    co-occurring users and lift = P(a,b)/(P(a)P(b)).
+
+    Items are the props JSON payload key over view/click events; baskets
+    are per-user distinct item sets. Output:
+    (item_a, item_b, n_users_both, n_users_a, n_users_b, lift).
+
+    Lift arithmetic is EXACT until one division: n_ab·N and n_a·n_b are
+    long products (≤2^53 at any plausible item cardinality), so the IEEE
+    quotient is cross-engine deterministic — no P(a)·P(b) float product
+    whose association could differ.
+
+    Scale shape: (user, item) distinct → one shuffle; per-user baskets →
+    one groupBy(user) with the item array sorted in-row; the pair
+    expansion explodes each basket's ordered pairs MAP-SIDE (array
+    comprehension over the sorted basket — no self-join) and reduces with
+    one groupBy(item_a, item_b) whose cardinality is bounded by the item
+    vocabulary squared, not by users. Item marginals reduce the same
+    distinct frame and BROADCAST back (item vocab ≪ corpus); the basket
+    cap bounds the per-user explode exactly like the dedup DF caps bound
+    posting lists."""
+    ev = load_events(spark, sf_dir)
+    items = (
+        ev.where(F.col("event_type").isin(*BASKET_EVENT_TYPES))
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("long").alias("item")
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds baskets, marginals, and N
+    )
+    baskets = items.groupBy("user_id").agg(
+        F.slice(F.sort_array(F.collect_list("item")), 1, BASKET_ITEM_CAP).alias(
+            "ks"
+        )
+    )
+    # Ordered pairs (a < b) expanded in-row: for basket position i, pair
+    # ks[i] with every later element — a flatten of per-position slices.
+    pair_expr = (
+        "flatten(transform(ks, (x, i) ->"
+        " transform(slice(ks, i + 2, size(ks)), y -> struct(x AS a, y AS b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+    )
+    marg = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_users"))
+    n_total = items.select("user_id").distinct().count()  # 1-row scalar
+    ma = marg.select(
+        F.col("item").alias("item_a"), F.col("n_users").alias("n_users_a")
+    )
+    mb = marg.select(
+        F.col("item").alias("item_b"), F.col("n_users").alias("n_users_b")
+    )
+    lift = (F.col("n_users_both") * F.lit(n_total)).cast("double") / (
+        F.col("n_users_a") * F.col("n_users_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_users_both",
+            "n_users_a",
+            "n_users_b",
+            lift.alias("lift"),
+        )
+    )

@@ -702,3 +702,46 @@ EXTENSION_ORACLES = {
     "suppliers_kept_waiting": SUPPLIERS_KEPT_WAITING,
     "dormant_high_value_customers": DORMANT_HIGH_VALUE_CUSTOMERS,
 }
+
+# item_cooccurrence: mirrors operators/events_analytics.py — same distinct
+# (user, item) basket base, same CAP-smallest-items guard (ROW_NUMBER ORDER
+# BY item ↔ slice(sort_array(...))), pair expansion as a plain self-join
+# (independent formulation of the in-row expansion), and the lift quotient
+# divides the SAME exact long products on both engines.
+from ..operators.events_analytics import BASKET_EVENT_TYPES, BASKET_ITEM_CAP
+
+_BASKET_TYPES_SQL = ", ".join(f"'{t}'" for t in BASKET_EVENT_TYPES)
+
+ITEM_COOCCURRENCE = f"""
+WITH items AS (
+    SELECT DISTINCT user_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE event_type IN ({_BASKET_TYPES_SQL})
+      AND json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+        FROM items)
+    WHERE rn <= {BASKET_ITEM_CAP}
+),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users_both
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY 1, 2
+),
+marg AS (SELECT item, COUNT(*) AS n_users FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM items)
+SELECT p.item_a, p.item_b, p.n_users_both,
+    ma.n_users AS n_users_a, mb.n_users AS n_users_b,
+    CAST(p.n_users_both * tot.n AS DOUBLE) / (ma.n_users * mb.n_users)
+        AS lift
+FROM pairs p
+JOIN marg ma ON p.item_a = ma.item
+JOIN marg mb ON p.item_b = mb.item, tot
+"""
+
+EXTENSION_ORACLES["item_cooccurrence"] = ITEM_COOCCURRENCE

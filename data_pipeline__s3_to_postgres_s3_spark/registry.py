@@ -46,6 +46,7 @@ from .operators.relational import (
 from .operators.cdc import cdc_merge_customers
 from .operators.events_analytics import (
     funnel_conversion,
+    item_cooccurrence,
     retention_cohorts,
 )
 from .operators.curation import (
@@ -326,6 +327,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_gapfill_locf": events_gapfill_locf,
     "events_ohlc": events_ohlc,
     "vocab_oov_report": vocab_oov_report,
+    "item_cooccurrence": item_cooccurrence,
 }
 
 ORACLES: dict[str, str] = {

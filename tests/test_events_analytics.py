@@ -83,3 +83,50 @@ def test_retention_matches_python_recompute(spark, sf_dir):
     for (cd, off), (n, size) in got.items():
         if off == 0:
             assert n == size
+
+
+def test_item_cooccurrence_pairs_and_cap(spark, tmp_path, monkeypatch):
+    """Pin the in-row ordered-pair expansion against a hand-computed
+    basket set, the basket cap (CAP smallest items kept, mirrored by the
+    oracle's ROW_NUMBER guard), and the exact lift arithmetic."""
+    import datetime as ddt
+
+    import data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics as EA
+
+    t0 = ddt.datetime(2024, 5, 1, 12, 0)
+    rows = []
+    # user 1: items {1,2,3}; user 2: items {2,3}; user 3: item {9} (solo);
+    # purchase/error events must be ignored even when they carry k.
+    for eid, (u, k, typ) in enumerate(
+        [
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "view"), (1, 2, "view"),
+            (2, 2, "view"), (2, 3, "click"),
+            (3, 9, "view"), (3, 7, "purchase"), (3, 8, "error"),
+        ]
+    ):
+        rows.append((eid, t0, u, typ, 1.0, f'{{"k": {k}}}'))
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in EA.item_cooccurrence(spark, str(tmp_path)).collect()
+    }
+    # N = 3 basket users; pairs only from users 1 and 2.
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(2, 3)]["n_users_both"] == 2
+    assert got[(2, 3)]["n_users_a"] == 2 and got[(2, 3)]["n_users_b"] == 2
+    assert got[(2, 3)]["lift"] == 2 * 3 / (2 * 2)
+    assert got[(1, 2)]["n_users_both"] == 1
+    assert got[(1, 2)]["lift"] == 1 * 3 / (1 * 2)
+
+    # Cap = 2: user 1's basket truncates to its two SMALLEST items {1,2} —
+    # pair (1,3)/(2,3) lose user 1, (2,3) survives only via user 2.
+    monkeypatch.setattr(EA, "BASKET_ITEM_CAP", 2)
+    capped = {
+        (r["item_a"], r["item_b"]): r["n_users_both"]
+        for r in EA.item_cooccurrence(spark, str(tmp_path)).collect()
+    }
+    assert capped == {(1, 2): 1, (2, 3): 1}
