@@ -373,3 +373,43 @@ def pack_sequences(
         .cast("bigint")
         .alias("bin"),
     )
+
+
+WEIGHTED_SAMPLE_K = 80
+WEIGHTED_SAMPLE_SALT = 424_242
+
+
+def weighted_sample_tokens(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Token-weighted k-sample without replacement — sequential Poisson
+    sampling (Ohlsson 1998, the order-sampling scheme survey statistics
+    uses for probability-proportional-to-size draws): each doc gets
+    priority u/w where u is its salted uniform hash and w its token
+    count; the K SMALLEST priorities are the sample, so heavy documents
+    (large w → small priority) are proportionally favored. This is the
+    deterministic weighted complement of uniform_sample_k for budget-
+    aware corpus draws (sample by token mass, not by doc count).
+
+    Portability: the priority is a SINGLE IEEE division of two exact
+    longs (hash, n_tokens) — no pow/log transform (the classic
+    Efraimidis–Spirakis u^(1/w) key needs libm pow, whose ulps differ
+    across engines); ties are impossible modulo hash collisions and
+    broken by doc_id anyway.
+
+    Plan: TakeOrderedAndProject, same as uniform_sample_k — each
+    partition ships only its local top-K, no global sort at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_tok = F.array_size(F.split("text", " ")).cast("long")
+    pri = _sample_hash(WEIGHTED_SAMPLE_SALT).cast("double") / w_tok
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            w_tok.alias("n_tokens"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )

@@ -217,3 +217,24 @@ SAMPLING_ORACLES = {
     "temperature_resample": TEMPERATURE_RESAMPLE,
     "chunk_documents": CHUNK_DOCUMENTS,
 }
+
+
+def _weighted_sample_sql() -> str:
+    """Sequential Poisson: identical salted hash and the SAME two-long
+    IEEE division (no pow — cross-engine ulp hazard), top-K by
+    (priority, doc_id)."""
+    from ..operators.sampling import WEIGHTED_SAMPLE_K, WEIGHTED_SAMPLE_SALT
+
+    h = f"(doc_id + {WEIGHTED_SAMPLE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    return f"""
+SELECT doc_id, lang, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST({h} AS DOUBLE) / len(string_split(text, ' ')) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+WEIGHTED_SAMPLE_TOKENS = _weighted_sample_sql()
+SAMPLING_ORACLES["weighted_sample_tokens"] = WEIGHTED_SAMPLE_TOKENS

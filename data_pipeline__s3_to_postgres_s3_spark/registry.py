@@ -96,6 +96,7 @@ from .operators.sampling import (
     stratified_sample,
     temperature_resample,
     uniform_sample_k,
+    weighted_sample_tokens,
     dataset_split,
     mixture_sample,
     pack_sequences,
@@ -328,6 +329,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_ohlc": events_ohlc,
     "vocab_oov_report": vocab_oov_report,
     "item_cooccurrence": item_cooccurrence,
+    "weighted_sample_tokens": weighted_sample_tokens,
 }
 
 ORACLES: dict[str, str] = {

@@ -261,3 +261,30 @@ def test_chunk_documents_oracle_parity_on_multi_chunk_corpus(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(CHUNK_DOCUMENTS).fetchall())
     assert got == want
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """Sequential Poisson: the sampled docs' mean token count must exceed
+    the corpus mean (inclusion probability ∝ token mass), the plan must
+    be TakeOrdered (no global sort), and two runs must agree exactly."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        WEIGHTED_SAMPLE_K,
+        weighted_sample_tokens,
+    )
+
+    df = weighted_sample_tokens(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == WEIGHTED_SAMPLE_K
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    corpus_mean = docs.select(
+        F.avg(F.array_size(F.split("text", " ")))
+    ).first()[0]
+    sample_mean = sum(r["n_tokens"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    assert sorted(tuple(r) for r in weighted_sample_tokens(spark, sf_dir).collect()) == sorted(
+        tuple(r) for r in rows
+    )
