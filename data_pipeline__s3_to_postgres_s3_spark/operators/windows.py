@@ -319,3 +319,56 @@ def events_ohlc(
         F.max_by("value", order_key).alias("close"),
         F.count(F.lit(1)).cast("int").alias("n_events"),
     )
+
+
+N_RFM_TILES = 4
+
+
+def customer_rfm_segments(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring the reference's
+    analytics schema stops short of: per customer compute Recency (last
+    order date), Frequency (order count), Monetary (lifetime spend), cut
+    each into quartiles WITHIN the customer's market (nation), and roll
+    up segment sizes. Output: (n_name, r_score, f_score, m_score,
+    n_customers, total_monetary) with 4 = best on every axis.
+
+    Scale posture mirrors customer_revenue_deciles: per-customer
+    aggregation first (|customers| rows, not |orders|), quartiles
+    PARTITIONED by nation so no single-partition global sort exists, all
+    three ntile windows share one (n_name) partitioning → ONE window
+    exchange, and the final rollup reuses it. Monetary accumulates as
+    exact integer cents; the only double is the final /100 division.
+    Ties break by custkey on every axis, so tile assignment is
+    deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_c"),
+    )
+    enriched = per_cust.join(
+        customer.select("c_custkey", "c_nationkey"),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    part = Window.partitionBy("n_name")
+    r = F.ntile(N_RFM_TILES).over(part.orderBy("last_order", "c_custkey"))
+    f = F.ntile(N_RFM_TILES).over(part.orderBy("n_orders", "c_custkey"))
+    m = F.ntile(N_RFM_TILES).over(part.orderBy("spend_c", "c_custkey"))
+    scored = enriched.select(
+        "n_name",
+        "spend_c",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    return scored.groupBy("n_name", "r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("spend_c") / 100.0).alias("total_monetary"),
+    )

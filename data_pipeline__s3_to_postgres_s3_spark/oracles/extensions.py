@@ -745,3 +745,41 @@ JOIN marg mb ON p.item_b = mb.item, tot
 """
 
 EXTENSION_ORACLES["item_cooccurrence"] = ITEM_COOCCURRENCE
+
+# customer_rfm_segments: same per-customer rollup, same per-nation NTILE(4)
+# with custkey tie-breaks, exact-cents monetary (HUGEINT sum divides to
+# DOUBLE before pandas sees it).
+from ..operators.windows import N_RFM_TILES
+
+CUSTOMER_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+        MAX(o_orderdate) AS last_order,
+        COUNT(*) AS n_orders,
+        SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_c
+    FROM orders GROUP BY o_custkey
+),
+enriched AS (
+    SELECT n.n_name, p.o_custkey AS c_custkey, p.last_order, p.n_orders,
+           p.spend_c
+    FROM per_cust p
+    JOIN customer c ON p.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+scored AS (
+    SELECT n_name, spend_c,
+        NTILE({N_RFM_TILES}) OVER (PARTITION BY n_name
+            ORDER BY last_order, c_custkey) AS r_score,
+        NTILE({N_RFM_TILES}) OVER (PARTITION BY n_name
+            ORDER BY n_orders, c_custkey) AS f_score,
+        NTILE({N_RFM_TILES}) OVER (PARTITION BY n_name
+            ORDER BY spend_c, c_custkey) AS m_score
+    FROM enriched
+)
+SELECT n_name, r_score, f_score, m_score,
+    COUNT(*) AS n_customers,
+    SUM(spend_c) / 100.0 AS total_monetary
+FROM scored GROUP BY n_name, r_score, f_score, m_score
+"""
+
+EXTENSION_ORACLES["customer_rfm_segments"] = CUSTOMER_RFM_SEGMENTS

@@ -127,6 +127,7 @@ from .operators.watermark import (
 )
 from .operators.windows import (
     customer_revenue_deciles,
+    customer_rfm_segments,
     events_ohlc,
     events_rolling_zscore,
     event_type_hourly,
@@ -330,6 +331,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_oov_report": vocab_oov_report,
     "item_cooccurrence": item_cooccurrence,
     "weighted_sample_tokens": weighted_sample_tokens,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 ORACLES: dict[str, str] = {
