@@ -737,3 +737,39 @@ def customer_churn_reconciliation(
         .otherwise("retained")
         .alias("status"),
     )
+
+
+def promo_revenue_share(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Monthly promo revenue share (TPC-H Q14 generalized from one month
+    to the full calendar): per ship month, revenue from PROMO-type parts
+    as a percentage of all revenue.
+
+    Float discipline: revenue accumulates as exact 4-decimal integer
+    units (the rev_c idiom); the share is double(promo)·100/total with
+    the association token-identical in the oracle, and month is
+    date_trunc'd to DATE so the output type is encoding-pinned
+    (test_date_encoding precedent).
+
+    Scale shape: part is the small dimension → broadcast; the join is
+    map-side, the rollup is ONE shuffle on month with partial
+    aggregation. The conditional promo sum shares the same aggregate
+    pass — no second scan, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    month = F.date_trunc("month", "l_shipdate").cast("date")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    promo_c = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+    )
+    total_c = F.sum(rev_c)
+    return joined.groupBy(month.alias("month")).agg(
+        (promo_c / 10000.0).alias("promo_revenue"),
+        (total_c / 10000.0).alias("total_revenue"),
+        (promo_c.cast("double") * 100 / total_c).alias("promo_pct"),
+    )

@@ -783,3 +783,21 @@ FROM scored GROUP BY n_name, r_score, f_score, m_score
 """
 
 EXTENSION_ORACLES["customer_rfm_segments"] = CUSTOMER_RFM_SEGMENTS
+
+# promo_revenue_share: same 4-decimal integer revenue units, same
+# double(promo)*100/total association; month CAST to DATE as in the other
+# calendar rollups. The HUGEINT sums divide straight to DOUBLE.
+_REV_C4 = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+PROMO_REVENUE_SHARE = f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+    SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_C4} ELSE 0 END) / 10000.0
+        AS promo_revenue,
+    SUM({_REV_C4}) / 10000.0 AS total_revenue,
+    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_C4} ELSE 0 END)
+         AS DOUBLE) * 100 / SUM({_REV_C4}) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY month
+"""
+
+EXTENSION_ORACLES["promo_revenue_share"] = PROMO_REVENUE_SHARE

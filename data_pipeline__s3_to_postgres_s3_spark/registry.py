@@ -30,6 +30,7 @@ from .operators.relational import (
     order_status_pivot,
     order_status_unpivot,
     parts_supplier_stats,
+    promo_revenue_share,
     shipping_priority,
     small_quantity_revenue,
     order_priority_lateness,
@@ -332,6 +333,7 @@ QUERIES: dict[str, QueryFn] = {
     "item_cooccurrence": item_cooccurrence,
     "weighted_sample_tokens": weighted_sample_tokens,
     "customer_rfm_segments": customer_rfm_segments,
+    "promo_revenue_share": promo_revenue_share,
 }
 
 ORACLES: dict[str, str] = {
