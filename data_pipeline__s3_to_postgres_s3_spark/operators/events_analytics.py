@@ -202,3 +202,56 @@ def item_cooccurrence(
             lift.alias("lift"),
         )
     )
+
+
+def conversion_latency_stats(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Time-to-convert distribution per first-view cohort day: for every
+    user whose first 'purchase' follows their first 'view', the latency
+    between the two, rolled up by the day of the first view —
+    (cohort_day, n_converted, mean_latency_s, p50_latency_s,
+    p90_latency_s). The funnel twin of retention_cohorts: retention asks
+    WHETHER users come back, this asks HOW FAST they convert.
+
+    Float discipline: latencies are EXACT integer microseconds
+    (unix_micros diffs); the mean divides double(Σ)/n once, and the
+    interpolated percentiles are portable_round-ed at scale 6 on both
+    sides before /1e6 — the corpus_stats idiom, so percentile ulps can
+    never flip a hash.
+
+    Scale shape: ONE groupBy(user) of two conditional MINs (the
+    funnel_conversion pass shape), then one groupBy(cohort_day) whose
+    cardinality is the calendar. Exact percentiles sort per cohort-day
+    group; at production scale swap percentile_approx (same surface)."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = per_user.where(
+        F.col("first_view").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.to_date("first_view").alias("cohort_day"),
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("lat_us"),
+    )
+    n = F.count(F.lit(1))
+    return conv.groupBy("cohort_day").agg(
+        n.alias("n_converted"),
+        portable_round(F.sum("lat_us").cast("double") / n / 1e6, 6).alias(
+            "mean_latency_s"
+        ),
+        portable_round(
+            F.percentile("lat_us", F.lit(0.5)) / 1e6, 6
+        ).alias("p50_latency_s"),
+        portable_round(
+            F.percentile("lat_us", F.lit(0.9)) / 1e6, 6
+        ).alias("p90_latency_s"),
+    )

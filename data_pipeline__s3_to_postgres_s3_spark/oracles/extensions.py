@@ -801,3 +801,33 @@ GROUP BY month
 """
 
 EXTENSION_ORACLES["promo_revenue_share"] = PROMO_REVENUE_SHARE
+
+# conversion_latency_stats: same two conditional MINs, exact-microsecond
+# latencies, and the corpus_stats percentile idiom — portable_round(q/1e6)
+# with token-identical association on both sides.
+CONVERSION_LATENCY_STATS = f"""
+WITH per_user AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN tsu END) AS first_view,
+        MIN(CASE WHEN event_type = 'purchase' THEN tsu END) AS first_purchase
+    FROM (SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+    GROUP BY user_id
+),
+conv AS (
+    SELECT CAST(first_view AS DATE) AS cohort_day,
+        epoch_us(first_purchase) - epoch_us(first_view) AS lat_us
+    FROM per_user
+    WHERE first_view IS NOT NULL AND first_purchase >= first_view
+)
+SELECT cohort_day,
+    COUNT(*) AS n_converted,
+    {portable_round_sql('CAST(SUM(lat_us) AS DOUBLE) / COUNT(*) / 1000000.0', 6)}
+        AS mean_latency_s,
+    {portable_round_sql('quantile_cont(lat_us, 0.5) / 1000000.0', 6)}
+        AS p50_latency_s,
+    {portable_round_sql('quantile_cont(lat_us, 0.9) / 1000000.0', 6)}
+        AS p90_latency_s
+FROM conv GROUP BY cohort_day
+"""
+
+EXTENSION_ORACLES["conversion_latency_stats"] = CONVERSION_LATENCY_STATS

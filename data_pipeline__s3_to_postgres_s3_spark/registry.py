@@ -46,6 +46,7 @@ from .operators.relational import (
 )
 from .operators.cdc import cdc_merge_customers
 from .operators.events_analytics import (
+    conversion_latency_stats,
     funnel_conversion,
     item_cooccurrence,
     retention_cohorts,
@@ -334,6 +335,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_tokens": weighted_sample_tokens,
     "customer_rfm_segments": customer_rfm_segments,
     "promo_revenue_share": promo_revenue_share,
+    "conversion_latency_stats": conversion_latency_stats,
 }
 
 ORACLES: dict[str, str] = {
