@@ -148,3 +148,28 @@ STREAMING_ORACLES = {
     "stream_user_running_max": STREAM_USER_RUNNING_MAX,
     "stream_view_purchase_join": STREAM_VIEW_PURCHASE_JOIN,
 }
+
+# stream_ohlc: complete-mode windowed min_by/max_by over a finite stream ==
+# the batch candles; independent double-ROW_NUMBER formulation as in
+# oracles/temporal.py, column order matching the streaming select.
+STREAM_OHLC = f"""
+WITH e AS (
+    SELECT user_id, date_trunc('hour', tsu) AS bucket_ts, value,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, date_trunc('hour', tsu)
+            ORDER BY tsu, event_id) AS rn_a,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, date_trunc('hour', tsu)
+            ORDER BY tsu DESC, event_id DESC) AS rn_d
+    FROM {_EV}
+)
+SELECT CAST(bucket_ts AS TIMESTAMP) AS bucket_ts, user_id,
+    MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+    MAX(value) AS high,
+    MIN(value) AS low,
+    MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+    CAST(COUNT(*) AS INT) AS n_events
+FROM e GROUP BY bucket_ts, user_id
+"""
+
+STREAMING_ORACLES["stream_ohlc"] = STREAM_OHLC

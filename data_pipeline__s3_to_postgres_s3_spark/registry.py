@@ -156,6 +156,7 @@ from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
     stream_funnel_stage,
+    stream_ohlc,
     stream_rolling_zscore,
     stream_static_enrich,
     stream_hourly_rollup,
@@ -336,6 +337,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_rfm_segments": customer_rfm_segments,
     "promo_revenue_share": promo_revenue_share,
     "conversion_latency_stats": conversion_latency_stats,
+    "stream_ohlc": stream_ohlc,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,6 +1,7 @@
 from .events import (
     stream_dedup_events,
     stream_funnel_stage,
+    stream_ohlc,
     stream_hourly_rollup,
     stream_rolling_zscore,
     stream_session_stats,
@@ -13,6 +14,7 @@ from .events import (
 __all__ = [
     "stream_dedup_events",
     "stream_funnel_stage",
+    "stream_ohlc",
     "stream_hourly_rollup",
     "stream_rolling_zscore",
     "stream_session_stats",

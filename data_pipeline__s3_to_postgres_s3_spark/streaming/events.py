@@ -592,3 +592,42 @@ def stream_view_purchase_join(
     # sizing rule as stream_user_running_max). A production deployment
     # raises this with key cardinality.
     return run_to_memory(joined, "append", state_partitions=8)
+
+
+def stream_ohlc(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming per-user hourly OHLC candles — the Structured Streaming
+    twin of operators/windows.events_ohlc, the rollup a live market/telemetry
+    dashboard maintains. min_by/max_by over (ts, event_id) are plain
+    associative aggregates, so they fold incrementally across micro-batches
+    exactly like MIN/MAX: open/close stay correct under ANY arrival order
+    (each partial keeps its own extreme order key; merges pick the winner) —
+    no in-order precondition, unlike the rolling z-score's ring buffer.
+    Complete mode over a finite stream ⇒ sink == batch result; the
+    watermark bounds state for append-mode production."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    result = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"), "user_id"
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_ts"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_to_memory(result, "complete")

@@ -42,6 +42,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
 from data_pipeline__s3_to_postgres_s3_spark.streaming import (
     stream_dedup_events,
     stream_funnel_stage,
+    stream_ohlc,
     stream_hourly_rollup,
     stream_static_enrich,
     stream_user_running_max,
@@ -108,6 +109,7 @@ def _rows(df):
         stream_user_running_max,
         stream_dedup_events,
         stream_funnel_stage,
+        stream_ohlc,
         stream_view_purchase_join,
         stream_static_enrich,
     ],
