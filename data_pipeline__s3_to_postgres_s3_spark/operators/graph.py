@@ -158,3 +158,56 @@ def dedup_keep_best(
             "kept_doc_id",
         )
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list
+    (columns a < b) — the clustering-coefficient numerator used to score
+    how clique-like a co-occurrence/near-dup neighborhood is.
+
+    Algorithm: the ordered-wedge join. With every edge stored as a < b,
+    a triangle {x < y < z} is counted EXACTLY once as the wedge
+    (x,y)+(y,z) closed by (x,z) — no ±6 symmetry factor, no directed
+    double-counting. Two equi-joins, both on edge endpoints:
+    wedges = E(a,b) ⋈ E(b,c), closed by E(a,c).
+
+    Scale notes: wedge volume is Σ_v deg_out(v)² where deg_out counts
+    only HIGHER-numbered neighbors — the classic mitigation is to rank
+    nodes by total degree (not id) before orienting edges, bounding
+    deg_out by O(√|E|) per node; with id-ordered edges (sufficient for
+    bounded-vocabulary graphs like item co-occurrence) the same two-join
+    plan stands, so the orientation choice is a pre-processing swap, not
+    a plan change. Exploded triangle corners shuffle once to aggregate
+    per node."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("item")
+    )
+    return corners.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+COOC_TRIANGLE_MIN_USERS = 2
+
+
+def item_triangles(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Triangle participation per item over the co-occurrence graph:
+    edges are item pairs co-viewed by at least COOC_TRIANGLE_MIN_USERS
+    users (the support floor prunes noise edges before the quadratic
+    wedge join — same guard posture as the dedup DF caps). Output:
+    (item, n_triangles)."""
+    from .events_analytics import item_cooccurrence
+
+    edges = (
+        item_cooccurrence(spark, sf_dir, cfg)
+        .where(F.col("n_users_both") >= COOC_TRIANGLE_MIN_USERS)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+        .localCheckpoint(eager=False)  # three consumers in the wedge join
+    )
+    return triangle_counts(edges)

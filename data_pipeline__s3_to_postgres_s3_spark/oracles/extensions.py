@@ -831,3 +831,46 @@ FROM conv GROUP BY cohort_day
 """
 
 EXTENSION_ORACLES["conversion_latency_stats"] = CONVERSION_LATENCY_STATS
+
+# item_triangles: nests the item_cooccurrence oracle verbatim (same basket
+# base and cap), then counts ordered wedges closed by a third edge — each
+# triangle x<y<z appears exactly once, corners unnested per node.
+from ..operators.graph import COOC_TRIANGLE_MIN_USERS
+
+ITEM_TRIANGLES = f"""
+WITH items AS (
+    SELECT DISTINCT user_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE event_type IN ({_BASKET_TYPES_SQL})
+      AND json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+        FROM items)
+    WHERE rn <= {BASKET_ITEM_CAP}
+),
+edges AS (
+    SELECT a.item AS a, b.item AS b
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {COOC_TRIANGLE_MIN_USERS}
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT x AS item FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT item, COUNT(*) AS n_triangles FROM corners GROUP BY item
+"""
+
+EXTENSION_ORACLES["item_triangles"] = ITEM_TRIANGLES

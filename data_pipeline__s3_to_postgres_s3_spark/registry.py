@@ -60,7 +60,7 @@ from .operators.curation import (
     per_source_report,
     quality_gate,
 )
-from .operators.graph import dedup_clusters, dedup_keep_best
+from .operators.graph import dedup_clusters, dedup_keep_best, item_triangles
 from .operators.dedup import (
     dedup_containment,
     dedup_exact,
@@ -338,6 +338,7 @@ QUERIES: dict[str, QueryFn] = {
     "promo_revenue_share": promo_revenue_share,
     "conversion_latency_stats": conversion_latency_stats,
     "stream_ohlc": stream_ohlc,
+    "item_triangles": item_triangles,
 }
 
 ORACLES: dict[str, str] = {

@@ -68,3 +68,19 @@ def test_no_fixpoint_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20)], ["a", "b"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=1)
+
+
+def test_triangle_counts_ordered_wedge_exactness(spark):
+    """Hand graph: K4 on {1,2,3,4} (4 triangles, each node in 3) plus a
+    pendant edge (5 in no triangle) and an open wedge 6-7, 7-8 (no
+    closure). Each triangle must count exactly once — the ordered-wedge
+    join has no ±6 symmetry factor to divide away."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r["item"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
