@@ -52,6 +52,11 @@ ROTATED_IN = {
     "retention_cohorts",
     "embedding_quantize",
     "stream_funnel_stage",
+    # Late round-5: the new streaming oracle enters the window immediately
+    # (streaming is the round-3 breakage class); agg_shipments rotated out
+    # to make room — its oracle stays driver-hashed via the
+    # sql_script_shipments twin.
+    "stream_ohlc",
 }
 
 
