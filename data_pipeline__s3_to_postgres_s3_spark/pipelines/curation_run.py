@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..operators.curation import quality_gate
+from ..operators.curation import gopher_quality, quality_gate
 from ..operators.dedup import dedup_exact
 from ..operators.sampling import chunk_frame
 from .shards import _split_col
@@ -46,12 +46,24 @@ def run_curation(
     out_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     shard_tasks: int = CURATION_SHARD_TASKS,
+    apply_gopher: bool = False,
 ) -> dict:
     """Run the full curation funnel; write chunk shards under ``out_dir``
-    partitioned by (split, lang); return the accounting dict."""
+    partitioned by (split, lang); return the accounting dict.
+
+    ``apply_gopher=True`` adds the published Gopher rule set
+    (operators.curation.gopher_quality) as a second row-local gate ANDed
+    with the quality_gate verdicts — both gates are per-row functions of
+    the document text, so the incremental pipeline's slice-equals-full
+    equivalence argument extends unchanged."""
     docs = load_table(spark, sf_dir, "documents")
 
     kept_ids = quality_gate(spark, sf_dir).where("keep").select("doc_id")
+    if apply_gopher:
+        kept_ids = kept_ids.join(
+            gopher_quality(spark, sf_dir).where("gopher_pass").select("doc_id"),
+            "doc_id",
+        )
     canonical_ids = dedup_exact(spark, sf_dir).select(
         F.col("canonical_doc_id").alias("doc_id")
     )

@@ -93,3 +93,39 @@ def test_incremental_curation_equals_full_rerun(spark, sf_dir, tmp_path):
     full_rows = sorted(map(tuple, spark.read.parquet(out_full).collect()))
     staged_rows = sorted(map(tuple, spark.read.parquet(out_staged).collect()))
     assert full_rows == staged_rows
+
+
+def test_run_curation_gopher_gate_composes(spark, sf_dir, tmp_path):
+    """apply_gopher=True must AND the Gopher verdicts into the funnel:
+    written docs ⊆ the default run's docs, and the count equals the
+    intersection of quality_gate keeps, gopher passes, and canonical ids
+    (all three surfaces recomputed independently here)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        gopher_quality,
+        quality_gate,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        dedup_exact,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.pipelines.curation_run import (
+        run_curation,
+    )
+
+    base = run_curation(spark, sf_dir, str(tmp_path / "base"))
+    gated = run_curation(
+        spark, sf_dir, str(tmp_path / "gopher"), apply_gopher=True
+    )
+    assert gated["n_docs_written"] <= base["n_docs_written"]
+
+    keeps = {
+        r["doc_id"] for r in quality_gate(spark, sf_dir).where("keep").collect()
+    }
+    passes = {
+        r["doc_id"]
+        for r in gopher_quality(spark, sf_dir).where("gopher_pass").collect()
+    }
+    canon = {
+        r["canonical_doc_id"] for r in dedup_exact(spark, sf_dir).collect()
+    }
+    assert gated["n_docs_written"] == len(keeps & passes & canon)
+    assert base["n_docs_written"] == len(keeps & canon)
