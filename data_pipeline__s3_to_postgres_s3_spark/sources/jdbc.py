@@ -112,3 +112,54 @@ def overwrite_table(source: DataFrame, target: JdbcTarget) -> None:
         .mode("overwrite")
         .save()
     )
+
+
+def read_partitioned(
+    spark: SparkSession,
+    target: JdbcTarget,
+    pk: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partitioned parallel JDBC read — the scale path the
+    reference's single-cursor extract lacks (its pandas read pulls the
+    whole table through one connection,
+    extract_load_transform_data_pipeline.py.py:73 /
+    tripdata_monthly_metrics.py:79): Spark opens numPartitions
+    connections, each scanning one pk range, so ingest parallelism and
+    memory are bounded per executor instead of per job.
+
+    The bounds come from a pushed-down 1-row MIN/MAX subquery (same shape
+    as read_watermark). Spark's stride split assigns every row to exactly
+    one partition — rows below lowerBound land in the first and above
+    upperBound in the last, so the read is complete even if the table
+    grows between the bounds query and the scan (new higher keys fold
+    into the last range). Skewed keys skew ranges; for non-uniform pks a
+    production deployment partitions on a hashed or derived column
+    instead — the option plumbing is identical."""
+    pk = _check_identifier(pk, "primary key column")
+    table = _check_identifier(target.table, "table")
+    bounds_q = (
+        f'(SELECT COALESCE(MIN(CAST("{pk}" AS BIGINT)), 0) AS lo, '
+        f'COALESCE(MAX(CAST("{pk}" AS BIGINT)), 0) AS hi '
+        f"FROM {table}) AS b_sub"
+    )
+    lo, hi = (
+        spark.read.format("jdbc")
+        .options(**{**target.options(), "dbtable": bounds_q})
+        .load()
+        .collect()[0]
+    )
+    n = num_partitions or target.num_partitions
+    return (
+        spark.read.format("jdbc")
+        .options(
+            **{
+                **target.options(),
+                "partitionColumn": f'"{pk}"',
+                "lowerBound": str(lo),
+                "upperBound": str(max(hi, lo + 1)),
+                "numPartitions": str(n),
+            }
+        )
+        .load()
+    )

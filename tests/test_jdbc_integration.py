@@ -148,3 +148,24 @@ def test_stream_upsert_foreachbatch_merge(spark, tmp_path):
     run_once()
     got2 = spark.read.format("jdbc").options(**target.options()).load()
     assert key(got2) == key(want)
+
+
+def test_read_partitioned_parallel_and_complete(spark, tmp_path):
+    """Range-partitioned JDBC read against live Derby: the scan must come
+    back in the requested number of partitions (parallel connections) and
+    reproduce every row exactly once — including boundary keys."""
+    from data_pipeline__s3_to_postgres_s3_spark.sources.jdbc import (
+        read_partitioned,
+    )
+
+    target = _target(tmp_path, "po")
+    src = _orders(spark, 1, 97)  # awkward size: uneven stride splits
+    src.write.format("jdbc").options(**target.options()).mode(
+        "errorifexists"
+    ).save()
+
+    got = read_partitioned(spark, target, "order_id", num_partitions=4)
+    assert got.rdd.getNumPartitions() == 4
+    want = sorted(tuple(r) for r in src.collect())
+    have = sorted(tuple(r) for r in got.collect())
+    assert have == want
