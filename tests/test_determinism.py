@@ -25,6 +25,10 @@ PRONE = [
     "dedup_containment",          # DF-capped posting pair expansion
     "semantic_dedup",             # within-cluster cosine fold + drop set
     "temperature_resample",       # per-source rank cut at integer quota
+    "customer_rfm_segments",      # three ntile windows with tied metrics
+    "weighted_sample_tokens",     # top-K cut on divided priorities
+    "events_ohlc",                # min_by/max_by under ts ties
+    "item_triangles",             # wedge join + corner explode order
 ]
 
 
