@@ -372,3 +372,49 @@ def customer_rfm_segments(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("spend_c") / 100.0).alias("total_monetary"),
     )
+
+
+MAD_K = 3
+
+
+def user_value_mad(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Robust per-user value profile: median and MAD (median absolute
+    deviation) — the outlier-resistant complement to the rolling z-score
+    (whose mean/stddev a single spiked value drags): (user_id, n_events,
+    median_value, mad_value, n_outliers) where an outlier deviates from
+    the median by more than MAD_K x MAD (the standard robust cutoff).
+
+    Float discipline: medians interpolate at half-points of 2-decimal
+    doubles at worst; every derived double is portable_round-ed at scale
+    6 on both sides (corpus_stats precedent) BEFORE it feeds the outlier
+    comparison, so an interpolation ulp cannot flip a verdict on either
+    engine.
+
+    Scale shape: one groupBy(user_id) for medians, a keyed join back, a
+    per-user window for the MAD (same user_id partitioning as the join
+    output — no extra exchange class), and a final groupBy on the same
+    key. Exact per-group medians sort within the user partition;
+    percentile_approx swaps in at production scale (same surface)."""
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy("user_id").agg(
+        portable_round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w = Window.partitionBy("user_id")
+    scored = dev.withColumn(
+        "mad", portable_round(F.percentile("adev", F.lit(0.5)).over(w), 6)
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.min("med").alias("median_value"),
+        F.min("mad").alias("mad_value"),
+        F.count(F.when(F.col("adev") > MAD_K * F.col("mad"), 1))
+        .cast("int")
+        .alias("n_outliers"),
+    )

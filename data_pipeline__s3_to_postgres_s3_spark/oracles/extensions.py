@@ -874,3 +874,35 @@ SELECT item, COUNT(*) AS n_triangles FROM corners GROUP BY item
 """
 
 EXTENSION_ORACLES["item_triangles"] = ITEM_TRIANGLES
+
+# user_value_mad: same two-stage median/MAD with portable_round at scale 6
+# before every comparison and output; DuckDB's MEDIAN == quantile_cont 0.5.
+from ..operators.windows import MAD_K
+
+USER_VALUE_MAD = f"""
+WITH med AS (
+    SELECT user_id,
+        {portable_round_sql('quantile_cont(value, 0.5)', 6)} AS med
+    FROM events GROUP BY user_id
+),
+dev AS (
+    SELECT e.user_id, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (user_id)
+),
+scored AS (
+    SELECT user_id, med, adev,
+        {portable_round_sql(
+            'quantile_cont(adev, 0.5) OVER (PARTITION BY user_id)', 6
+        )} AS mad
+    FROM dev
+)
+SELECT user_id,
+    CAST(COUNT(*) AS INT) AS n_events,
+    MIN(med) AS median_value,
+    MIN(mad) AS mad_value,
+    CAST(COUNT(CASE WHEN adev > {MAD_K} * mad THEN 1 END) AS INT)
+        AS n_outliers
+FROM scored GROUP BY user_id
+"""
+
+EXTENSION_ORACLES["user_value_mad"] = USER_VALUE_MAD

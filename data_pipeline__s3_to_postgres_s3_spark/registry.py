@@ -130,6 +130,7 @@ from .operators.watermark import (
 from .operators.windows import (
     customer_revenue_deciles,
     customer_rfm_segments,
+    user_value_mad,
     events_ohlc,
     events_rolling_zscore,
     event_type_hourly,
@@ -343,6 +344,7 @@ QUERIES: dict[str, QueryFn] = {
     "promo_revenue_share": promo_revenue_share,
     "conversion_latency_stats": conversion_latency_stats,
     "item_triangles": item_triangles,
+    "user_value_mad": user_value_mad,
 }
 
 ORACLES: dict[str, str] = {
