@@ -718,13 +718,10 @@ def dedup_simhash(
     # materializes the banded index once (~4 small rows per doc — the
     # index, not the corpus), cutting the executed plan to 3 exchanges +
     # 1 broadcast. Same pattern as graph.py's pointer-jumping rounds.
-    # EAGER, deliberately: with a lazy checkpoint every downstream
-    # transformation re-ANALYZES the 65-expression signature aggregate
-    # (Catalyst analysis is eager per DataFrame op), which cost ~5 s of
-    # driver time per query build at sf0.1; materializing here replaces
-    # the subtree with a leaf RDD and the first-call build+exec drops
-    # 8.6 s → 2.8 s (steady-state unchanged).
-    buckets = buckets.localCheckpoint(eager=True)
+    # (Eagerness measured a wash here in clean per-process A/B — ~6.5 s
+    # first call, ~2.5 s steady, either mode — so keep the house-default
+    # lazy checkpoint; see CLAUDE.md on order-confounded in-session A/Bs.)
+    buckets = buckets.localCheckpoint(eager=False)
 
     # Tier 0: bounded buckets — in-array pair expansion.
     small_pairs = (
