@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_events
@@ -254,4 +254,45 @@ def conversion_latency_stats(
         portable_round(
             F.percentile("lat_us", F.lit(0.9)) / 1e6, 6
         ).alias("p90_latency_s"),
+    )
+
+
+def event_transition_matrix(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (prev_type, next_type, n_transitions, transition_prob) where the
+    probability is row-normalized per prev_type. The general next-step
+    view the strict funnel specializes (funnel_conversion fixes ONE path;
+    this surfaces every observed path and its mass — the Sankey-diagram
+    feed).
+
+    Determinism: transitions follow the (ts, event_id) order — event_id
+    unique, so ties on ts cannot reorder. The probability is one IEEE
+    division of exact longs, token-identical in the oracle.
+
+    Scale shape: one lag window partitioned by user (high-cardinality,
+    bounded partitions), one groupBy on the 5×5 type-pair space, and the
+    row totals come from a second window over THAT tiny frame (|types|²
+    rows at any corpus size) — never a re-scan of events."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot)
+        ).alias("transition_prob"),
     )

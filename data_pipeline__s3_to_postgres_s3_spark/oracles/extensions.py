@@ -906,3 +906,26 @@ FROM scored GROUP BY user_id
 """
 
 EXTENSION_ORACLES["user_value_mad"] = USER_VALUE_MAD
+
+# event_transition_matrix: same (ts, event_id) lag ordering, same
+# long-division probability; row totals via a window over the pair frame.
+EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+    SELECT LAG(event_type) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        ) AS prev_type,
+        event_type AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+    CAST(n_transitions AS DOUBLE) /
+        SUM(n_transitions) OVER (PARTITION BY prev_type) AS transition_prob
+FROM pairs
+"""
+
+EXTENSION_ORACLES["event_transition_matrix"] = EVENT_TRANSITION_MATRIX

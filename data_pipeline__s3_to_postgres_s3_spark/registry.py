@@ -47,6 +47,7 @@ from .operators.relational import (
 from .operators.cdc import cdc_merge_customers
 from .operators.events_analytics import (
     conversion_latency_stats,
+    event_transition_matrix,
     funnel_conversion,
     item_cooccurrence,
     retention_cohorts,
@@ -345,6 +346,7 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency_stats": conversion_latency_stats,
     "item_triangles": item_triangles,
     "user_value_mad": user_value_mad,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES: dict[str, str] = {

@@ -23,6 +23,7 @@ import pytest
 from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
 from data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics import (
     conversion_latency_stats,
+    event_transition_matrix,
     funnel_conversion,
     retention_cohorts,
 )
@@ -103,6 +104,7 @@ def _rows(df):
         events_gapfill_locf,
         purchase_last_view_asof,
         conversion_latency_stats,
+        event_transition_matrix,
         funnel_conversion,
         retention_cohorts,
         stream_hourly_rollup,
