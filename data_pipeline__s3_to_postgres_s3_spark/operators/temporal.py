@@ -200,3 +200,48 @@ def events_gapfill_locf(
         F.last("bucket_value", ignorenulls=True).over(w).alias("value_locf"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def purchases_pit_stage(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Point-in-time SCD2 lookup — enrich each purchase with the
+    dimension VERSION valid at the purchase's own timestamp: the
+    canonical warehouse temporal join (`JOIN dim ON key AND ts >=
+    valid_from AND ts < valid_to`) against the type-2 history that
+    scd2_user_event_history builds. Deliberately interval-containment,
+    NOT the as-of trick: half-open [valid_from, valid_to) episodes
+    partition the timeline, so every purchase lands in EXACTLY one
+    version even when two change points share a timestamp (the earlier
+    episode is then empty) — a tie the as-of formulation would leave to
+    window ordering.
+
+    Output: (event_id, user_id, ts, value, stage_type, stage_version,
+    stage_since).
+
+    Scale shape: equi-join on user_id with the range predicates applied
+    as join residuals — candidates per probe row are bounded by that
+    user's episode count, never a time-bucketed cross product; both
+    sides shuffle once on the key. The history subtree is the SCD2
+    operator's own single-shuffle plan."""
+    ev = load_events(spark, sf_dir)
+    from .windows import scd2_user_event_history
+
+    hist = scd2_user_event_history(spark, sf_dir, cfg)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), "ts", "value"
+    )
+    cond = (
+        (p["p_user"] == hist["user_id"])
+        & (p["ts"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (p["ts"] < hist["valid_to"]))
+    )
+    return p.join(hist, cond).select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        "ts",
+        "value",
+        F.col("event_type").alias("stage_type"),
+        F.col("version").alias("stage_version"),
+        F.col("valid_from").alias("stage_since"),
+    )

@@ -94,3 +94,39 @@ FROM e GROUP BY user_id, bucket_ts
 """
 
 TEMPORAL_ORACLES["events_ohlc"] = EVENTS_OHLC
+
+# purchases_pit_stage: interval-containment lookup against the SCD2
+# history CTE (the SQL twin of oracles/extensions.SCD2_USER_EVENT_HISTORY,
+# inlined here over the same _EV base) — half-open [valid_from, valid_to)
+# episodes partition each user's timeline, so the join is exactly-one.
+PURCHASES_PIT_STAGE = f"""
+WITH pts AS (
+    SELECT user_id, event_type, tsu, event_id,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS is_change
+    FROM {_EV}
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+hist AS (
+    SELECT user_id, event_type,
+        CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+        tsu AS valid_from,
+        LEAD(tsu) OVER w2 AS valid_to
+    FROM pts
+    WHERE is_change = 1
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
+)
+SELECT p.event_id, p.user_id, p.tsu AS ts, p.value,
+    h.event_type AS stage_type,
+    h.version AS stage_version,
+    h.valid_from AS stage_since
+FROM (SELECT event_id, user_id, tsu, value FROM {_EV}
+      WHERE event_type = 'purchase') p
+JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.tsu >= h.valid_from
+ AND (h.valid_to IS NULL OR p.tsu < h.valid_to)
+"""
+
+TEMPORAL_ORACLES["purchases_pit_stage"] = PURCHASES_PIT_STAGE

@@ -108,6 +108,7 @@ from .operators.temporal import (
     error_bursts_range,
     events_gapfill_locf,
     purchase_last_view_asof,
+    purchases_pit_stage,
 )
 from .operators.textops import (
     bm25_topk,
@@ -347,6 +348,7 @@ QUERIES: dict[str, QueryFn] = {
     "item_triangles": item_triangles,
     "user_value_mad": user_value_mad,
     "event_transition_matrix": event_transition_matrix,
+    "purchases_pit_stage": purchases_pit_stage,
 }
 
 ORACLES: dict[str, str] = {

@@ -125,3 +125,21 @@ def test_events_gapfill_reuses_hourly_subtree(spark, sf_dir):
     df = events_gapfill_locf(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("events.parquet") <= 1
+
+
+def test_purchases_pit_stage_exactly_one_version_per_purchase(spark, sf_dir):
+    """Interval containment must land every purchase in exactly one SCD2
+    episode, and the matched episode must actually contain the purchase
+    timestamp."""
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+    from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
+        purchases_pit_stage,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir)
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    rows = purchases_pit_stage(spark, sf_dir).collect()
+    assert len(rows) == n_purchases
+    assert len({r["event_id"] for r in rows}) == n_purchases
+    assert all(r["stage_since"] <= r["ts"] for r in rows)

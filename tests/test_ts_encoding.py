@@ -31,6 +31,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
     error_bursts_range,
     events_gapfill_locf,
     purchase_last_view_asof,
+    purchases_pit_stage,
 )
 from data_pipeline__s3_to_postgres_s3_spark.operators.profiling import (
     profile_events,
@@ -103,6 +104,7 @@ def _rows(df):
         error_bursts_range,
         events_gapfill_locf,
         purchase_last_view_asof,
+        purchases_pit_stage,
         conversion_latency_stats,
         event_transition_matrix,
         funnel_conversion,
