@@ -296,3 +296,67 @@ def event_transition_matrix(
             / F.sum("n_transitions").over(tot)
         ).alias("transition_prob"),
     )
+
+
+PATH_TOP_K = 20
+
+
+def top_session_paths(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Most common within-session event-type sequences — the lightweight
+    sequence-mining view (the "what do users actually do" report behind
+    funnel design): sessionize with the standard 30-minute gap, render
+    each session as its ordered path string (view>click>purchase), count
+    identical paths corpus-wide, keep the top PATH_TOP_K.
+
+    Output: (path, n_sessions, n_events_per_session).
+
+    Determinism: the path renders from sort_array over (ts, event_id,
+    type) structs — event_id unique, so equal timestamps cannot reorder;
+    top-K ties break by path ASC.
+
+    Scale shape: sessionization is the one keyed window (user_id); the
+    per-session path build is a groupBy(user, session) whose collect_list
+    rows are bounded by session length; path counting is a groupBy on the
+    path-string space with map-side combine; the final top-K is
+    TakeOrdered (k rows to the driver, no global sort)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    from .windows import SESSION_GAP_MINUTES
+
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_sec.isNull() | (gap_sec > SESSION_GAP_MINUTES * 60), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = flagged.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            (F.sum("n_ev").cast("double") / F.count(F.lit(1))).alias(
+                "n_events_per_session"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )

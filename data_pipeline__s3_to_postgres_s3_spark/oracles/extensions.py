@@ -929,3 +929,45 @@ FROM pairs
 """
 
 EXTENSION_ORACLES["event_transition_matrix"] = EVENT_TRANSITION_MATRIX
+
+# top_session_paths: same gaps-and-islands sessionization as
+# STREAM_SESSION_STATS, paths via string_agg ordered by (tsu, event_id),
+# identical top-K tie-break; n_events_per_session divides the SAME
+# long sum by the same count. The gap test mirrors EVENTS_SESSIONIZED's
+# FLOOR(epoch(.)) form — Spark's unix_timestamp TRUNCATES to seconds, so
+# the oracle must truncate too or a fractional-second gap straddling the
+# 1800 s boundary would split the engines.
+from ..operators.events_analytics import PATH_TOP_K as _PATH_K
+
+TOP_SESSION_PATHS = f"""
+WITH flagged AS (
+    SELECT user_id, tsu, event_id, event_type,
+        CASE WHEN FLOOR(epoch(tsu))
+                  - FLOOR(epoch(LAG(tsu) OVER w)) > {30 * 60}
+                  OR LAG(tsu) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM {_EV}
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+sessions AS (
+    SELECT user_id, tsu, event_id, event_type,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS session_id
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_id,
+        string_agg(event_type, '>' ORDER BY tsu, event_id) AS path,
+        COUNT(*) AS n_ev
+    FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions,
+    CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) AS n_events_per_session
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {_PATH_K}
+"""
+
+EXTENSION_ORACLES["top_session_paths"] = TOP_SESSION_PATHS

@@ -49,6 +49,7 @@ from .operators.events_analytics import (
     conversion_latency_stats,
     event_transition_matrix,
     funnel_conversion,
+    top_session_paths,
     item_cooccurrence,
     retention_cohorts,
 )
@@ -349,6 +350,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_value_mad": user_value_mad,
     "event_transition_matrix": event_transition_matrix,
     "purchases_pit_stage": purchases_pit_stage,
+    "top_session_paths": top_session_paths,
 }
 
 ORACLES: dict[str, str] = {

@@ -26,6 +26,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics import (
     event_transition_matrix,
     funnel_conversion,
     retention_cohorts,
+    top_session_paths,
 )
 from data_pipeline__s3_to_postgres_s3_spark.operators.temporal import (
     error_bursts_range,
@@ -109,6 +110,7 @@ def _rows(df):
         event_transition_matrix,
         funnel_conversion,
         retention_cohorts,
+        top_session_paths,
         stream_hourly_rollup,
         stream_user_running_max,
         stream_dedup_events,
