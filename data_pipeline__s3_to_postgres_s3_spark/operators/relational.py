@@ -773,3 +773,47 @@ def promo_revenue_share(
         (total_c / 10000.0).alias("total_revenue"),
         (promo_c.cast("double") * 100 / total_c).alias("promo_pct"),
     )
+
+
+def order_to_ship_lag_stats(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Order-to-ship latency distribution per order month — the
+    supply-chain twin of conversion_latency_stats: for every lineitem,
+    days from o_orderdate to l_shipdate, rolled up as count/mean/p50/p90
+    per month. Complements order_priority_lateness (which counts a
+    boolean >30d breach); this shows the whole distribution drifting.
+
+    Floats: lags are EXACT integer days (datediff); mean is one division,
+    percentiles interpolate over ints and are portable_round-ed at scale
+    6 on both sides (corpus_stats idiom).
+
+    Scale shape: the join is orders⋈lineitem on the natural key — one
+    shuffle each side with only (o_orderkey, o_orderdate) projected from
+    orders; the rollup groups by the calendar, map-side combined. Exact
+    percentiles sort per month group; percentile_approx swaps in at
+    production scale (same surface)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("s_date")
+    )
+    lag = F.datediff("s_date", "o_date")
+    month = F.date_trunc("month", "o_date").cast("date")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        month.alias("month"), lag.alias("lag_days")
+    )
+    n = F.count(F.lit(1))
+    return joined.groupBy("month").agg(
+        n.cast("int").alias("n_lineitems"),
+        portable_round(F.sum("lag_days").cast("double") / n, 6).alias(
+            "mean_lag_days"
+        ),
+        portable_round(F.percentile("lag_days", F.lit(0.5)), 6).alias(
+            "p50_lag_days"
+        ),
+        portable_round(F.percentile("lag_days", F.lit(0.9)), 6).alias(
+            "p90_lag_days"
+        ),
+    )

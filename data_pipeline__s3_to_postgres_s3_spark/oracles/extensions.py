@@ -971,3 +971,25 @@ LIMIT {_PATH_K}
 """
 
 EXTENSION_ORACLES["top_session_paths"] = TOP_SESSION_PATHS
+
+# order_to_ship_lag_stats: exact integer day lags, same single-division
+# mean and portable_round-ed quantile_cont as the other percentile
+# rollups; month CAST to DATE like every calendar rollup.
+ORDER_TO_SHIP_LAG_STATS = f"""
+WITH lags AS (
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+            AS month,
+        date_diff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT month,
+    CAST(COUNT(*) AS INT) AS n_lineitems,
+    {portable_round_sql('CAST(SUM(lag_days) AS DOUBLE) / COUNT(*)', 6)}
+        AS mean_lag_days,
+    {portable_round_sql('quantile_cont(lag_days, 0.5)', 6)} AS p50_lag_days,
+    {portable_round_sql('quantile_cont(lag_days, 0.9)', 6)} AS p90_lag_days
+FROM lags GROUP BY month
+"""
+
+EXTENSION_ORACLES["order_to_ship_lag_stats"] = ORDER_TO_SHIP_LAG_STATS

@@ -34,6 +34,7 @@ from .operators.relational import (
     shipping_priority,
     small_quantity_revenue,
     order_priority_lateness,
+    order_to_ship_lag_stats,
     suppliers_kept_waiting,
     value_histogram,
     cube_orders,
@@ -351,6 +352,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_transition_matrix": event_transition_matrix,
     "purchases_pit_stage": purchases_pit_stage,
     "top_session_paths": top_session_paths,
+    "order_to_ship_lag_stats": order_to_ship_lag_stats,
 }
 
 ORACLES: dict[str, str] = {
