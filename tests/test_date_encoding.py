@@ -33,6 +33,8 @@ QUERIES_UNDER_TEST = [
     "order_priority_lateness", # o_orderdate bucketing
     "large_volume_orders",     # DATE-typed o_orderdate in the output
     "agg_public_holiday",      # flagship: ref view to_date mapping
+    "promo_revenue_share",     # date_trunc month on l_shipdate (r5)
+    "order_to_ship_lag_stats", # datediff across both tables' dates (r5)
 ]
 
 
