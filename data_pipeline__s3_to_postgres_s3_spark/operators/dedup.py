@@ -428,8 +428,8 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_keys(shingle_arrays: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) where minhash_p(doc) = MIN over shingles of
+def minhash_mins(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{PERMS-1}): minhash_p(doc) = MIN over shingles of
     (a_p·h(shingle) + b_p) mod PRIME, h = first 32 md5 bits.
 
     Execution shape: shingles explode, ONE md5 per shingle collapses to a
@@ -443,7 +443,7 @@ def minhash_band_keys(shingle_arrays: DataFrame) -> DataFrame:
     exploded = shingle_arrays.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", h.alias("h"))
-    mins = exploded.groupBy("doc_id").agg(
+    return exploded.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.col("h") * MINHASH_A[p] + MINHASH_B[p]) % MINHASH_PRIME
@@ -451,6 +451,12 @@ def minhash_band_keys(shingle_arrays: DataFrame) -> DataFrame:
             for p in range(MINHASH_PERMS)
         ]
     )
+
+
+def minhash_band_keys(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): the LSH banding over minhash_mins —
+    band_key = md5 of the band's comma-joined minima."""
+    mins = minhash_mins(shingle_arrays)
     n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
     band_cols = [
         F.struct(
@@ -802,4 +808,101 @@ def simhash_bucket_report(
         F.max("n").alias("max_bucket"),
         F.sum(F.when(over, 1).otherwise(0)).alias("oversized_buckets"),
         F.sum(F.when(over, F.col("n")).otherwise(0)).alias("fallback_entries"),
+    )
+
+
+def minhash_estimate_audit(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Sketch-quality audit for the MinHash estimator: on every LSH
+    candidate pair (NO similarity threshold — the audit wants the
+    estimator's behavior across the whole candidate range), the estimated
+    similarity (matching permutations / PERMS), the exact Jaccard, and
+    the absolute error. This is the accuracy report that justifies PERMS
+    and the banding parameters before anyone trusts the sketch at 100 TB
+    — the same audit posture as ngram_df_report and
+    simhash_bucket_report (caps and sketches are never silent).
+
+    Floats: est is matches/16 (exact division of small ints), exact
+    Jaccard is the shared verification expression, abs_err subtracts two
+    identically-derived doubles — all cross-engine deterministic.
+
+    Scale shape: signatures and band keys come from the same map-side
+    pipeline as dedup_minhash_lsh; the mins frame (|docs|×16 ints) is
+    localCheckpoint'd because it feeds the band index AND both sides of
+    the per-pair comparison; the estimator join touches only candidate
+    pairs (bucket-bounded), never all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(docs).localCheckpoint(eager=False)
+    mins = minhash_mins(arrays).localCheckpoint(eager=False)
+
+    n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{p}")
+                        for p in range(
+                            b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS
+                        )
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band"), F.col("bk.band_key"))
+    candidates = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where(F.array_size("docs") > 1)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{p}").alias(f"a{p}") for p in range(MINHASH_PERMS)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{p}").alias(f"b{p}") for p in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(MINHASH_PERMS)
+    )
+    est = matches.cast("double") / MINHASH_PERMS
+
+    aa = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    ab = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.array_size("sh_a") + F.array_size("sh_b") - inter
+    )
+    return (
+        candidates.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("est_sim", est)
+        .select("doc_a", "doc_b", "est_sim")
+        .join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_sim",
+            jac.alias("jaccard"),
+            F.abs(F.col("est_sim") - jac).alias("abs_err"),
+        )
     )

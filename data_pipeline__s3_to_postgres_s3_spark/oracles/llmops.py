@@ -977,3 +977,62 @@ FROM toks GROUP BY doc_id
 """
 
 LLMOPS_ORACLES["vocab_oov_report"] = VOCAB_OOV_REPORT
+
+# minhash_estimate_audit: the LSH candidate CTEs verbatim (same signatures,
+# same banding), est = matching permutations / PERMS, exact Jaccard from
+# the shared intersection form, abs_err of identically-derived doubles.
+MINHASH_ESTIMATE_AUDIT = f"""
+WITH {_SHINGLES},
+hashed AS (
+    SELECT doc_id, {_HEX7_TO_INT} AS h
+    FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+),
+mh AS (
+    SELECT doc_id, p,
+        MIN((({_A_LIST})[p + 1] * h + ({_B_LIST})[p + 1])
+            % {MINHASH_PRIME}) AS minhash
+    FROM hashed, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS t(p)
+    GROUP BY doc_id, p
+),
+bands AS (
+    SELECT doc_id, p // {MINHASH_BAND_ROWS} AS band,
+        md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY p)) AS band_key
+    FROM mh GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+        COUNT(CASE WHEN ma.minhash = mb.minhash THEN 1 END) AS n_match
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+    GROUP BY c.doc_a, c.doc_b
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+    CAST(e.n_match AS DOUBLE) / {MINHASH_PERMS} AS est_sim,
+    CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / (ca.n_shingles + cb.n_shingles - COALESCE(i.n_inter, 0))
+        AS jaccard,
+    ABS(CAST(e.n_match AS DOUBLE) / {MINHASH_PERMS}
+        - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / (ca.n_shingles + cb.n_shingles - COALESCE(i.n_inter, 0)))
+        AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN cnt ca ON ca.doc_id = e.doc_a
+JOIN cnt cb ON cb.doc_id = e.doc_b
+"""
+
+LLMOPS_ORACLES["minhash_estimate_audit"] = MINHASH_ESTIMATE_AUDIT

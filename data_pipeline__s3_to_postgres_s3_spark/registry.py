@@ -72,6 +72,7 @@ from .operators.dedup import (
     dedup_ngram_jaccard,
     dedup_simhash,
     incremental_dedup_minhash,
+    minhash_estimate_audit,
 )
 from .operators.similarity import (
     embedding_kmeans,
@@ -353,6 +354,7 @@ QUERIES: dict[str, QueryFn] = {
     "purchases_pit_stage": purchases_pit_stage,
     "top_session_paths": top_session_paths,
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
+    "minhash_estimate_audit": minhash_estimate_audit,
 }
 
 ORACLES: dict[str, str] = {

@@ -351,3 +351,29 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
     assert not jac  # resemblance never fires on the subset pair
     assert (1, 2) in cont and cont[(1, 2)] >= CONTAINMENT_THRESHOLD
     assert (2, 1) not in cont  # the big page is NOT contained in the snippet
+
+
+def test_minhash_estimate_audit_bounds_and_coverage(spark, sf_dir):
+    """The audit must cover every LSH candidate pair (superset of the
+    thresholded dedup output), and the 16-perm estimator must track exact
+    Jaccard: both in [0,1], mean absolute error well under the ~1/4
+    standard deviation of a 16-trial binomial."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        minhash_estimate_audit,
+    )
+
+    audit = minhash_estimate_audit(spark, sf_dir).collect()
+    assert audit
+    assert all(0.0 <= r["est_sim"] <= 1.0 for r in audit)
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in audit)
+    assert all(abs(r["abs_err"] - abs(r["est_sim"] - r["jaccard"])) < 1e-12
+               for r in audit)
+    mean_err = sum(r["abs_err"] for r in audit) / len(audit)
+    assert mean_err < 0.25, mean_err
+    audited = {(r["doc_a"], r["doc_b"]) for r in audit}
+    kept = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert kept <= audited
