@@ -623,3 +623,37 @@ def vocab_oov_report(
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / n_tokens).alias("oov_ratio"),
     )
+
+
+def lang_confusion_matrix(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Language-ID evaluation matrix: labeled lang × predicted lang with
+    counts and the per-cell share of the labeled row — the confusion
+    matrix that turns lang_id from a scoring function into an evaluated
+    classifier (precision/recall read straight off the cells; the 'und'
+    column is the abstention rate). Reuses lang_id's exact scoring
+    expressions, so the matrix can never drift from the classifier it
+    audits.
+
+    Zero extra passes: one scan computes the scores, one groupBy on the
+    |langs|² cell space with map-side combine; row totals come from a
+    window over THAT tiny frame. row_share is one long division."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("actual_lang"), *lang_score_cols()
+    ).select("actual_lang", predicted_lang_expr().alias("predicted_lang"))
+    cells = scored.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(tot)).alias(
+            "row_share"
+        ),
+    )

@@ -1036,3 +1036,28 @@ JOIN cnt cb ON cb.doc_id = e.doc_b
 """
 
 LLMOPS_ORACLES["minhash_estimate_audit"] = MINHASH_ESTIMATE_AUDIT
+
+# lang_confusion_matrix: nests the lang_id scoring verbatim, rolls up the
+# |langs|² cells, row share = one long division windowed over the cells.
+LANG_CONFUSION_MATRIX = f"""
+WITH scored AS (
+    SELECT lang AS actual_lang, {_SCORE_COLS}
+    FROM documents
+),
+with_best AS (
+    SELECT *, {_BEST} AS best_score FROM scored
+),
+pred AS (
+    SELECT actual_lang, {_PRED} AS predicted_lang FROM with_best
+),
+cells AS (
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY actual_lang, predicted_lang
+)
+SELECT actual_lang, predicted_lang, n_docs,
+    CAST(n_docs AS DOUBLE) /
+        SUM(n_docs) OVER (PARTITION BY actual_lang) AS row_share
+FROM cells
+"""
+
+LLMOPS_ORACLES["lang_confusion_matrix"] = LANG_CONFUSION_MATRIX

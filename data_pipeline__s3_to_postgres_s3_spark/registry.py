@@ -117,6 +117,7 @@ from .operators.textops import (
     bm25_topk,
     char_ngram_diversity,
     doc_fingerprint,
+    lang_confusion_matrix,
     lang_id,
     normalize_text,
     text_quality,
@@ -355,6 +356,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_session_paths": top_session_paths,
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
     "minhash_estimate_audit": minhash_estimate_audit,
+    "lang_confusion_matrix": lang_confusion_matrix,
 }
 
 ORACLES: dict[str, str] = {
