@@ -817,3 +817,54 @@ def order_to_ship_lag_stats(
             "p90_lag_days"
         ),
     )
+
+
+# TPC-H Q19-shaped disjunctive branches over the reduced schema (no
+# containers/shipmode columns in the synthetic part/lineitem): each branch
+# is (brand, size range, quantity band). Kept as data so the oracle renders
+# the identical CASE chain.
+Q19_BRANCHES = (
+    ("small", "Brand#1", 1, 5, 1, 11),
+    ("medium", "Brand#2", 1, 10, 10, 20),
+    ("large", "Brand#3", 1, 15, 20, 30),
+)
+
+
+def brand_band_revenue(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Discounted revenue per disjunctive (brand, size, quantity) branch —
+    TPC-H Q19's shape: a filter that is an OR of three conjunctive
+    alternatives, the classic test of whether complex predicates survive
+    to the scan instead of materializing the whole join. First matching
+    branch labels the row (branches are brand-disjoint, so order cannot
+    matter), non-matches are filtered BEFORE the aggregate.
+
+    Scale shape: part is broadcast; the disjunction prunes lineitem rows
+    at the join output before any shuffle; the rollup groups on a 3-value
+    label with map-side combine. Revenue is the exact 4-decimal integer
+    unit idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    label = F.lit(None).cast("string")
+    for name, brand, s_lo, s_hi, q_lo, q_hi in reversed(Q19_BRANCHES):
+        label = F.when(
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi),
+            F.lit(name),
+        ).otherwise(label)
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        joined.withColumn("branch", label)
+        .where(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(rev_c) / 10000.0).alias("revenue"),
+        )
+    )

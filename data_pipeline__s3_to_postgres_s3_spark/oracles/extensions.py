@@ -993,3 +993,26 @@ FROM lags GROUP BY month
 """
 
 EXTENSION_ORACLES["order_to_ship_lag_stats"] = ORDER_TO_SHIP_LAG_STATS
+
+# brand_band_revenue: the identical CASE chain rendered from Q19_BRANCHES
+# (branches brand-disjoint → order-independent), same exact revenue units.
+from ..operators.relational import Q19_BRANCHES
+
+_Q19_CASE = "CASE"
+for _name, _brand, _slo, _shi, _qlo, _qhi in Q19_BRANCHES:
+    _Q19_CASE += (
+        f" WHEN p_brand = '{_brand}' AND p_size BETWEEN {_slo} AND {_shi}"
+        f" AND l_quantity BETWEEN {_qlo} AND {_qhi} THEN '{_name}'"
+    )
+_Q19_CASE += " END"
+
+BRAND_BAND_REVENUE = f"""
+SELECT {_Q19_CASE} AS branch,
+    COUNT(*) AS n_lineitems,
+    SUM({_REV_C4}) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_Q19_CASE} IS NOT NULL
+GROUP BY branch
+"""
+
+EXTENSION_ORACLES["brand_band_revenue"] = BRAND_BAND_REVENUE

@@ -21,6 +21,7 @@ from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
+    brand_band_revenue,
     customer_churn_reconciliation,
     customer_order_distribution,
     dormant_high_value_customers,
@@ -357,6 +358,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
     "minhash_estimate_audit": minhash_estimate_audit,
     "lang_confusion_matrix": lang_confusion_matrix,
+    "brand_band_revenue": brand_band_revenue,
 }
 
 ORACLES: dict[str, str] = {
