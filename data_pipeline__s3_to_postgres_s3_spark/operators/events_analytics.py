@@ -360,3 +360,52 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(PATH_TOP_K)
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def active_users_rolling(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """DAU / trailing-WAU per calendar day — the standard engagement
+    series: (day, dau, wau) where wau counts distinct users active in the
+    trailing WAU_WINDOW_DAYS-day window ending that day.
+
+    COUNT(DISTINCT) over a sliding window is not a Spark window function;
+    the distributed formulation is the CONTRIBUTION EXPLODE: each distinct
+    (user, day) pair contributes to the WAU of days day..day+6, expanded
+    map-side as a 7-element sequence, then ONE groupBy(day) with
+    countDistinct. Days with no activity in the corpus window simply have
+    no row (matching the oracle's grouped form); the trailing window only
+    reports days that exist in the data.
+
+    Scale shape: the (user, day) distinct frame is one narrow shuffle of
+    the events scan; the ×7 explode multiplies that REDUCED frame, not the
+    raw events; both rollups are map-side-combined countDistincts. The
+    frame feeds the DAU and WAU branches, so it is localCheckpoint'd."""
+    ev = load_events(spark, sf_dir)
+    user_days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {WAU_WINDOW_DAYS - 1}),"
+                f" interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    # Inner join: only days with actual activity appear (a trailing window
+    # day with contributions but no DAU row is a pure artifact of the
+    # explode running past the corpus end — drop it via the DAU side).
+    return dau.join(wau, "day")

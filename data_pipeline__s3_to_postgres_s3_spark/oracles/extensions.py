@@ -1016,3 +1016,29 @@ GROUP BY branch
 """
 
 EXTENSION_ORACLES["brand_band_revenue"] = BRAND_BAND_REVENUE
+
+# active_users_rolling: DAU via grouped distinct; WAU via the interval
+# self-join twin of the contribution explode (user active in [d-6, d]);
+# inner-joined on the DAU days like the Spark side.
+from ..operators.events_analytics import WAU_WINDOW_DAYS
+
+ACTIVE_USERS_ROLLING = f"""
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+    FROM events
+),
+dau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS dau FROM user_days GROUP BY day
+),
+wau AS (
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+    FROM (SELECT DISTINCT day FROM user_days) d
+    JOIN user_days u
+      ON u.day BETWEEN d.day - {WAU_WINDOW_DAYS - 1} AND d.day
+    GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+EXTENSION_ORACLES["active_users_rolling"] = ACTIVE_USERS_ROLLING

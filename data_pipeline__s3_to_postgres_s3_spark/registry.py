@@ -48,6 +48,7 @@ from .operators.relational import (
 )
 from .operators.cdc import cdc_merge_customers
 from .operators.events_analytics import (
+    active_users_rolling,
     conversion_latency_stats,
     event_transition_matrix,
     funnel_conversion,
@@ -359,6 +360,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_estimate_audit": minhash_estimate_audit,
     "lang_confusion_matrix": lang_confusion_matrix,
     "brand_band_revenue": brand_band_revenue,
+    "active_users_rolling": active_users_rolling,
 }
 
 ORACLES: dict[str, str] = {

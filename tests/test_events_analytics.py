@@ -130,3 +130,18 @@ def test_item_cooccurrence_pairs_and_cap(spark, tmp_path, monkeypatch):
         for r in EA.item_cooccurrence(spark, str(tmp_path)).collect()
     }
     assert capped == {(1, 2): 1, (2, 3): 1}
+
+
+def test_active_users_rolling_invariants(spark, sf_dir):
+    """WAU dominates DAU on every day, and equals DAU on a day whose
+    whole trailing window is that single day (the corpus start)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics import (
+        active_users_rolling,
+    )
+
+    rows = sorted(
+        active_users_rolling(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    assert all(r["wau"] >= r["dau"] for r in rows)
+    assert rows[0]["wau"] == rows[0]["dau"]  # no earlier days to add users

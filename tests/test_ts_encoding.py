@@ -22,6 +22,7 @@ import pytest
 
 from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
 from data_pipeline__s3_to_postgres_s3_spark.operators.events_analytics import (
+    active_users_rolling,
     conversion_latency_stats,
     event_transition_matrix,
     funnel_conversion,
@@ -106,6 +107,7 @@ def _rows(df):
         events_gapfill_locf,
         purchase_last_view_asof,
         purchases_pit_stage,
+        active_users_rolling,
         conversion_latency_stats,
         event_transition_matrix,
         funnel_conversion,
