@@ -432,3 +432,106 @@ def gopher_quality(
         & (F.col("n_required_stop") >= GOPHER_MIN_REQUIRED_STOP)
     )
     return metrics.withColumn("gopher_pass", gopher_pass)
+
+
+def source_overlap(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every unordered source
+    pair (source_a < source_b), the Jaccard and containment of the two
+    sources' DISTINCT word-3-gram shingle sets, plus the set sizes —
+    the corpus-similarity diagnostic a data-mixture decision reads
+    (which feeds are near-copies of each other, which add novel text).
+    Shingle vocabulary overlap, not doc-level dup counting: the dedup_*
+    family answers "which documents repeat"; this answers "how much of
+    source A's CONTENT is already inside source B" even when no single
+    document is duplicated verbatim.
+
+    Reference scope: extension surface — the reference pipeline ingests
+    one feed and has no mixture tooling (SURVEY §2.1).
+
+    Physical shape (100 TB): ONE wide shuffle total.
+    1. Per-doc distinct shingles stay an array column (zero shuffle,
+       dedup.py:_shingle_arrays), explode map-side, and ONE
+       groupBy(shingle) with collect_set(source) both deduplicates
+       (shingle, source) pairs and builds the per-shingle source set —
+       collect_set merges partially map-side, and the set is bounded by
+       the number of sources (small), so no skew blowup.
+    2. Everything downstream reads that grouped frame twice (per-source
+       sizes via explode; pair intersections via an array-combination
+       explode, C(|srcs|,2) structs emitted row-locally). Static
+       exchange reuse does NOT fire across two consumers of one groupBy
+       subtree (CLAUDE.md lesson), so the frame is localCheckpoint-ed.
+    3. Pair/size aggregates shrink to O(#sources²) rows — driver-safe.
+    With thousands of sources the C(k,2) explode of universal shingles
+    would dominate; the scale path there is one MinHash signature per
+    source (minhash_mins over source keys) and estimated Jaccard —
+    same output surface, documented trade.
+
+    Dtype/float lockstep with oracles/curation.py:SOURCE_OVERLAP:
+    counts are BIGINT on both sides (COUNT, not SUM — no HUGEINT trap);
+    the two ratios divide the SAME named integer columns in the SAME
+    association and are portable_round-ed at scale 6 on both sides."""
+    from ..functions.numeric import portable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(docs, keys=("source",))
+    grouped = (
+        sh.select("source", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=False)
+    )
+    sz = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    combos = (
+        "flatten(transform(srcs, (x, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs)),"
+        "           y -> struct(x AS a, y AS b))))"
+    )
+    inter = (
+        grouped.where(F.array_size("srcs") >= 2)
+        .select(F.explode(F.expr(combos)).alias("p"))
+        .select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sz.alias("sa")
+        .join(sz.alias("sb"), F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    with_common = pairs.join(
+        inter, ["source_a", "source_b"], "left"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+    )
+    return with_common.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        portable_round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+        portable_round(
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+            6,
+        ).alias("containment"),
+    )

@@ -404,9 +404,13 @@ def ngram_df_report(
     )
 
 
-def _shingle_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles array<string>) — distinct word 3-grams as a
-    map-side array column.
+def _shingle_arrays(
+    docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(*keys, shingles array<string>) — distinct word 3-grams as a
+    map-side array column (one row per input doc; `keys` defaults to
+    doc_id but callers may carry a different grouping column, e.g.
+    curation.source_overlap keys by source).
 
     Built as zip_with over three shifted slices of the token array — an
     order of magnitude faster than transform(sequence(...), i ->
@@ -414,7 +418,7 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     the slice/zip_with shape walks each array once instead of doing indexed
     element_at lookups per position. slice length greatest(n-2, 0) makes
     short docs yield empty arrays (filtered out), matching the oracle."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = docs.select(*keys, F.split("text", " ").alias("toks"))
     n_sh = f"greatest(size(toks) - {NGRAM_N - 1}, 0)"
     sh = F.expr(
         f"array_distinct(zip_with("
@@ -423,7 +427,7 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
         f" slice(toks, 3, {n_sh}),"
         f" (x, y) -> concat(x, ' ', y)))"
     )
-    return toks.select("doc_id", sh.alias("shingles")).where(
+    return toks.select(*keys, sh.alias("shingles")).where(
         F.array_size("shingles") > 0
     )
 

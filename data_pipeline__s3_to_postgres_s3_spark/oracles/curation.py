@@ -260,3 +260,47 @@ FROM metrics
 """
 
 CURATION_ORACLES["gopher_quality"] = GOPHER_QUALITY
+
+
+# source_overlap: per-source DISTINCT word-3-gram sets → pairwise
+# Jaccard/containment. Counts are COUNT(*) BIGINT on both sides (no
+# HUGEINT trap — addition does not widen in DuckDB, only SUM does);
+# ratios divide the same named integer columns in the same association
+# as operators/curation.py:source_overlap and portable_round at 6.
+_SO_JAC = portable_round_sql(
+    "CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)", 6
+)
+_SO_CONT = portable_round_sql(
+    "CAST(n_common AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)", 6
+)
+
+SOURCE_OVERLAP = f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT source,
+        concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+        COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT sa.source AS source_a, sb.source AS source_b,
+        sa.n AS n_a, sb.n AS n_b,
+        COALESCE(i.n_common, 0) AS n_common
+    FROM sz sa
+    JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN inter i
+        ON i.source_a = sa.source AND i.source_b = sb.source
+)
+SELECT source_a, source_b, n_a, n_b, n_common,
+    {_SO_JAC} AS jaccard,
+    {_SO_CONT} AS containment
+FROM base
+"""
+
+CURATION_ORACLES["source_overlap"] = SOURCE_OVERLAP

@@ -64,6 +64,7 @@ from .operators.curation import (
     line_dedup,
     per_source_report,
     quality_gate,
+    source_overlap,
 )
 from .operators.graph import dedup_clusters, dedup_keep_best, item_triangles
 from .operators.dedup import (
@@ -361,6 +362,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_confusion_matrix": lang_confusion_matrix,
     "brand_band_revenue": brand_band_revenue,
     "active_users_rolling": active_users_rolling,
+    "source_overlap": source_overlap,
 }
 
 ORACLES: dict[str, str] = {

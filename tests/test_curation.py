@@ -358,3 +358,43 @@ def test_gopher_quality_is_shuffle_free(spark, sf_dir):
     )
 
     assert plans.exchange_count(gopher_quality(spark, sf_dir)) == 0
+
+
+def test_source_overlap_matrix_on_synthetic_corpus(spark, tmp_path):
+    """Pin source_overlap's set semantics on hand-computable shingle sets:
+    per-source DISTINCT 3-gram vocabularies (doc-level repeats collapse),
+    every unordered pair present including zero-overlap ones, and the
+    Jaccard/containment arithmetic."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        source_overlap,
+    )
+
+    rows = [
+        (1, "a b c d", "srcA"),  # shingles {a b c, b c d}
+        (2, "a b c", "srcA"),  # duplicate shingle — must not inflate n_a
+        (3, "b c d e", "srcB"),  # {b c d, c d e} — shares 1 with srcA
+        (4, "x y z w", "srcC"),  # disjoint
+        (5, "no", "srcD"),  # <3 tokens → no shingles → absent entirely
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(spark, str(tmp_path)).collect()
+    }
+    # srcD contributed no shingles → only the A/B/C pair grid remains.
+    assert set(got) == {
+        ("srcA", "srcB"),
+        ("srcA", "srcC"),
+        ("srcB", "srcC"),
+    }
+    ab = got[("srcA", "srcB")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 2, 1)
+    assert ab["jaccard"] == 0.333333  # portable_round(1/3, 6)
+    assert ab["containment"] == 0.5
+    for pair in (("srcA", "srcC"), ("srcB", "srcC")):
+        r = got[pair]
+        assert r["n_common"] == 0
+        assert r["jaccard"] == 0.0 and r["containment"] == 0.0
