@@ -1,0 +1,88 @@
+"""Embedding-encoding invariance: every embeddings consumer must return
+IDENTICAL results whether the producer wrote ``embedding`` as list<float>
+(today's layout) or list<double> (a legal driver re-encode — the same
+breakage class as round 3's events.ts nanos→micros flip, pinned for the
+similarity family here before it can happen).
+
+Why exact equality is the right bar: float→double widening is value-exact,
+and the engine never does float arithmetic on the column — `similarity._DOT`
+casts each element to DOUBLE inside zip_with, so both encodings feed
+bit-identical doubles into identical expression trees. A future edit that
+multiplies raw float elements (result type float, different rounding) would
+break this matrix before it could split engine from oracle under the
+driver's hash (DuckDB reads the same parquet and always computes in double).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+    embedding_kmeans,
+    embedding_neardup_pairs,
+    embedding_quantize,
+    semantic_dedup,
+    similarity_bruteforce_topk,
+    similarity_ivf_topk,
+    similarity_lsh_topk,
+)
+
+ENCODINGS = ("float32", "float64")
+
+
+@pytest.fixture(scope="module")
+def emb_dirs(sf_small, tmp_path_factory):
+    """The sf0.001 embeddings table in both element encodings, one
+    directory each (consumers take an sf_dir containing the parquet)."""
+    src = pq.read_table(f"{sf_small}/embeddings.parquet")
+    idx = src.schema.get_field_index("embedding")
+    widened = src.set_column(
+        idx,
+        pa.field("embedding", pa.list_(pa.float64())),
+        src.column(idx).cast(pa.list_(pa.float64())),
+    )
+    base = tmp_path_factory.mktemp("emb_encodings")
+    dirs: dict[str, str] = {}
+    for name, table in {"float32": src, "float64": widened}.items():
+        d = base / name
+        d.mkdir()
+        pq.write_table(table, str(d / "embeddings.parquet"))
+        # documents alongside for consumers that join doc metadata.
+        shutil.copy(
+            f"{sf_small}/documents.parquet", str(d / "documents.parquet")
+        )
+        dirs[name] = str(d)
+    return dirs
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        similarity_bruteforce_topk,
+        similarity_lsh_topk,
+        similarity_ivf_topk,
+        embedding_neardup_pairs,
+        embedding_kmeans,
+        embedding_quantize,
+        semantic_dedup,
+    ],
+    ids=lambda q: q.__name__,
+)
+def test_embedding_consumers_encoding_invariant(spark, emb_dirs, query):
+    results = {
+        name: _rows(query(spark, sf_dir)) for name, sf_dir in emb_dirs.items()
+    }
+    baseline = results[ENCODINGS[0]]
+    assert baseline, f"{query.__name__}: empty result can't pin invariance"
+    for name in ENCODINGS[1:]:
+        assert results[name] == baseline, (
+            f"{query.__name__} diverges under {name} encoding"
+        )
