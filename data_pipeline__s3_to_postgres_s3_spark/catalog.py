@@ -51,7 +51,32 @@ def _ensure_utc(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_utc(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_decimals(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_decimals(df: DataFrame) -> DataFrame:
+    """Cast any DECIMAL column to DOUBLE at load (a no-op on today's
+    all-double testdata).
+
+    Same hazard class as ``normalize_event_ts``: the driver regenerates
+    testdata between rounds and may change physical encodings, and the
+    TPC-H-spec layout for the money columns (l_extendedprice, l_discount,
+    o_totalprice, …) is DECIMAL(12,2), not double. Without this cast a
+    re-encode would flow DecimalType through every price expression —
+    Spark decimal arithmetic widens precision differently from DuckDB,
+    and toPandas materializes decimals as object(Decimal) where DuckDB's
+    .df() gives float64, so the driver's value hash would split even on
+    equal values. Normalizing at the single load chokepoint keeps every
+    consumer double-typed under any numeric layout; the cents-based
+    oracles stay exact because a DECIMAL(_,2)'s value scaled by 100 is an
+    integer both engines recover identically (pinned driver-faithfully in
+    tests/test_money_encoding.py)."""
+    from pyspark.sql.types import DecimalType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            df = df.withColumn(f.name, F.col(f.name).cast("double"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
