@@ -281,7 +281,10 @@ WITH big AS (
 )
 SELECT c_custkey, c_name, o_orderkey,
     CAST(o_orderdate AS DATE) AS o_orderdate,
-    o_totalprice AS total_price,
+    -- DOUBLE-pinned like the DATE cast above: under a DECIMAL(12,2)
+    -- money layout a raw pass-through would come back Decimal-typed
+    -- (tests/test_money_encoding.py); cast is a no-op on today's double.
+    CAST(o_totalprice AS DOUBLE) AS total_price,
     qty_c / 100.0 AS sum_qty
 FROM orders
 JOIN big ON o_orderkey = l_orderkey

@@ -17,6 +17,7 @@ Two halves make the gate hold:
 
 from __future__ import annotations
 
+import re
 import shutil
 
 import pyarrow as pa
@@ -36,16 +37,14 @@ MONEY_COLS = {
     "supplier": ["s_acctbal"],
 }
 
-QUERIES_UNDER_TEST = [
-    "pricing_summary",                  # the cents idiom end-to-end
-    "top_revenue_customers_per_region", # o_totalprice rollup + rank
-    "monthly_revenue_growth",           # lag-window over revenue cents
-    "small_quantity_revenue",           # AVG(l_quantity) sub-select gate
-    "promo_revenue_share",              # ratio of conditional price sums
-    "brand_band_revenue",               # disjunctive quantity-band filter
-    "customer_revenue_deciles",         # ntile over acctbal + revenue
-    "shipping_priority",                # revenue expr in a 3-way join
-]
+# Auto-derived membership: EVERY oracle whose SQL touches a money column
+# is pinned, so a future money query joins the matrix by existing.
+_MONEY_RE = "|".join(sorted({c for cols in MONEY_COLS.values() for c in cols}))
+QUERIES_UNDER_TEST = sorted(
+    name
+    for name, sql in ORACLES.items()
+    if name in QUERIES and re.search(_MONEY_RE, sql)
+)
 
 
 @pytest.fixture(scope="module")
