@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
     embedding_kmeans,
     embedding_neardup_pairs,
@@ -51,10 +53,11 @@ def emb_dirs(sf_small, tmp_path_factory):
         d = base / name
         d.mkdir()
         pq.write_table(table, str(d / "embeddings.parquet"))
-        # documents alongside for consumers that join doc metadata.
-        shutil.copy(
-            f"{sf_small}/documents.parquet", str(d / "documents.parquet")
-        )
+        # Every other table alongside, unchanged — consumers join doc
+        # metadata, and the oracle harness creates a view per table.
+        for t in TABLES:
+            if t != "embeddings":
+                shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
         dirs[name] = str(d)
     return dirs
 
@@ -86,3 +89,36 @@ def test_embedding_consumers_encoding_invariant(spark, emb_dirs, query):
         assert results[name] == baseline, (
             f"{query.__name__} diverges under {name} encoding"
         )
+
+
+# --- driver-faithful form: the differential gate itself must stay green
+# under the widened layout (DuckDB reads the same float64 parquet — its
+# list-lambda arithmetic must agree with Spark's double expressions on
+# widened inputs exactly as it does on float32 today).
+
+GATE_QUERIES = sorted(
+    name
+    for name in (
+        "similarity_bruteforce_topk",
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "embedding_neardup_pairs",
+        "embedding_kmeans",
+        "embedding_quantize",
+        "semantic_dedup",
+    )
+    if name in ORACLES and name in QUERIES
+)
+
+
+@pytest.mark.parametrize("name", GATE_QUERIES)
+def test_oracle_gate_green_under_float64_embeddings(spark, emb_dirs, name):
+    from .oracle_harness import compare, duckdb_connection
+
+    d = emb_dirs["float64"]
+    con = duckdb_connection(d)
+    try:
+        report = compare(QUERIES[name](spark, d), con, ORACLES[name])
+        assert report["ok"], f"{name} under float64 embeddings: {report}"
+    finally:
+        con.close()
