@@ -443,7 +443,10 @@ def char_ngram_diversity(
     row with array expressions (sort the trigram array, mark run ends by
     comparing against the shifted-by-one array, run lengths = differences
     of end positions), the winnow_fingerprints lesson applied to
-    frequency counting. The oracle replicates semantics with a plain
+    frequency counting. (A fused single-pass aggregate() RLE with a
+    struct accumulator was A/B'd in separate processes, r5: 3.2 s vs
+    3.55 s warm at sf0.1 — ~10%, inside the noise band; not worth the
+    churn. Both shapes are HOF-interpreted; the array cost dominates.) The oracle replicates semantics with a plain
     unnest + GROUP BY; results agree because the math is count-exact.
     (Char indexing is UTF-16-code-unit on the JVM vs codepoint in DuckDB
     — identical for BMP text, which the corpus is; non-BMP corpora would
