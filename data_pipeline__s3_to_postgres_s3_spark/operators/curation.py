@@ -535,3 +535,61 @@ def source_overlap(
             6,
         ).alias("containment"),
     )
+
+
+def source_overlap_minhash(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The documented 100 TB scale path for ``source_overlap``: pairwise
+    source similarity ESTIMATED from one MinHash signature per source —
+    (source_a, source_b, n_match, est_jaccard) where est_jaccard is the
+    fraction of the MINHASH_PERMS permutation minima the two sources
+    share (an unbiased Jaccard estimator, stderr ≈ √(J(1−J)/P)).
+
+    Where the exact matrix explodes C(|srcs|,2) structs per universal
+    shingle, this plan reduces each source to MINHASH_PERMS ints FIRST:
+    shingles explode map-side, ONE groupBy(source) takes the 16 minima
+    with map-side combine (the wire carries |sources|·16 ints no matter
+    how many shingles exist), and the pair grid is a self-join of k
+    signature rows — broadcast-trivial at any corpus size. Signature
+    machinery is shared verbatim with dedup (``minhash_mins`` keyed by
+    source), so estimator and dedup sketches can never drift apart.
+
+    Float lockstep: est_jaccard = CAST(n_match AS DOUBLE) / CAST(P AS
+    DOUBLE) — an exact small-int division (P a power of two), bit-equal
+    cross-engine; n_match is a BIGINT-cast conditional SUM on the oracle
+    side (HUGEINT rule)."""
+    from .dedup import MINHASH_PERMS, minhash_mins
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(docs, keys=("source",))
+    mins = minhash_mins(sh, key="source")
+    a = mins.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"mh{p}").alias(f"a{p}") for p in range(MINHASH_PERMS)],
+    )
+    b = mins.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"mh{p}").alias(f"b{p}") for p in range(MINHASH_PERMS)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(MINHASH_PERMS)
+    ).cast("long")
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            n_match.alias("n_match"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_match",
+            (
+                F.col("n_match").cast("double")
+                / F.lit(MINHASH_PERMS).cast("double")
+            ).alias("est_jaccard"),
+        )
+    )

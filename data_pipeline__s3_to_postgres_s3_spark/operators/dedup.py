@@ -432,9 +432,12 @@ def _shingle_arrays(
     )
 
 
-def minhash_mins(shingle_arrays: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{PERMS-1}): minhash_p(doc) = MIN over shingles of
-    (a_p·h(shingle) + b_p) mod PRIME, h = first 32 md5 bits.
+def minhash_mins(shingle_arrays: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, mh0..mh{PERMS-1}): minhash_p(key) = MIN over shingles of
+    (a_p·h(shingle) + b_p) mod PRIME, h = first 32 md5 bits. `key` is
+    doc_id for the dedup family; curation.source_overlap_minhash keys the
+    same signatures by source (MIN ignores the cross-doc duplicate
+    shingles the coarser key introduces).
 
     Execution shape: shingles explode, ONE md5 per shingle collapses to a
     32-bit int, the 16 affine permutations are codegen'd integer columns,
@@ -445,9 +448,9 @@ def minhash_mins(shingle_arrays: DataFrame) -> DataFrame:
     slower: md5 dominates, and higher-order functions run interpreted.)"""
     h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     exploded = shingle_arrays.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).select("doc_id", h.alias("h"))
-    return exploded.groupBy("doc_id").agg(
+        key, F.explode("shingles").alias("shingle")
+    ).select(key, h.alias("h"))
+    return exploded.groupBy(key).agg(
         *[
             F.min(
                 (F.col("h") * MINHASH_A[p] + MINHASH_B[p]) % MINHASH_PRIME

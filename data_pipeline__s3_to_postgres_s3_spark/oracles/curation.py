@@ -304,3 +304,44 @@ FROM base
 """
 
 CURATION_ORACLES["source_overlap"] = SOURCE_OVERLAP
+
+
+# source_overlap_minhash: replica of the Spark signature pipeline keyed by
+# source — same md5-hex7 hash chain and affine permutations as the dedup
+# minhash oracles (imported fragments, so sketches can't drift), long-form
+# (source, p, minhash) join instead of a 16-column pivot. n_match is a
+# BIGINT-cast conditional SUM (HUGEINT rule); est_jaccard divides two
+# DOUBLE casts exactly like the Column expression.
+from ..operators.dedup import MINHASH_PERMS, MINHASH_PRIME
+from .llmops import _A_LIST, _B_LIST, _HEX7_TO_INT
+
+SOURCE_OVERLAP_MINHASH = f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT source,
+        concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+hashed AS (
+    SELECT source, {_HEX7_TO_INT} AS h
+    FROM (SELECT source, md5(shingle) AS m FROM sh)
+),
+mh AS (
+    SELECT source, p,
+        MIN((({_A_LIST})[p + 1] * h + ({_B_LIST})[p + 1])
+            % {MINHASH_PRIME}) AS minhash
+    FROM hashed, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS t(p)
+    GROUP BY source, p
+)
+SELECT a.source AS source_a, b.source AS source_b,
+    CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_match,
+    CAST(CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+              AS BIGINT) AS DOUBLE)
+        / CAST({MINHASH_PERMS} AS DOUBLE) AS est_jaccard
+FROM mh a
+JOIN mh b ON a.p = b.p AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+CURATION_ORACLES["source_overlap_minhash"] = SOURCE_OVERLAP_MINHASH

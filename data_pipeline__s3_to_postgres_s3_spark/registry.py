@@ -65,6 +65,7 @@ from .operators.curation import (
     per_source_report,
     quality_gate,
     source_overlap,
+    source_overlap_minhash,
 )
 from .operators.graph import dedup_clusters, dedup_keep_best, item_triangles
 from .operators.dedup import (
@@ -363,6 +364,7 @@ QUERIES: dict[str, QueryFn] = {
     "brand_band_revenue": brand_band_revenue,
     "active_users_rolling": active_users_rolling,
     "source_overlap": source_overlap,
+    "source_overlap_minhash": source_overlap_minhash,
 }
 
 ORACLES: dict[str, str] = {

@@ -398,3 +398,27 @@ def test_source_overlap_matrix_on_synthetic_corpus(spark, tmp_path):
         r = got[pair]
         assert r["n_common"] == 0
         assert r["jaccard"] == 0.0 and r["containment"] == 0.0
+
+
+def test_source_overlap_minhash_tracks_exact_jaccard(spark, sf_dir):
+    """The estimator twin must track the exact matrix: with P=16
+    permutations the stderr is ~√(J(1−J)/16) ≤ 0.125, so over 190 pairs
+    the MEAN absolute estimation error should sit well inside one stderr
+    (estimator granularity is 1/16 = 0.0625). Also pins the shared pair
+    grid (same source pairs as the exact op)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        source_overlap,
+        source_overlap_minhash,
+    )
+
+    exact = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_overlap(spark, sf_dir).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in source_overlap_minhash(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    errs = [abs(est[k] - exact[k]) for k in exact]
+    assert sum(errs) / len(errs) <= 0.08, sorted(errs)[-5:]
