@@ -593,3 +593,46 @@ def source_overlap_minhash(
             ).alias("est_jaccard"),
         )
     )
+
+
+def cross_source_neardups(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Document-level completion of the source-overlap story: the actual
+    near-duplicate DOCUMENT pairs that leak between feeds — (doc_a,
+    doc_b, source_a, source_b, jaccard) for every verified MinHash-LSH
+    pair whose endpoints live in DIFFERENT sources. ``source_overlap``
+    says two feeds share vocabulary; this names the concrete cross-feed
+    dup pairs a mixture decision would dedup before weighting sources
+    (within-feed dups are the dedup family's business and are filtered
+    out here).
+
+    Composition, not re-implementation: the pair frame IS
+    ``dedup_minhash_lsh`` (same signatures, banding, verification — the
+    two queries can never disagree about what a near-dup is). The only
+    additions are two slim (doc_id, source) joins — the verified pair
+    set is tiny relative to the corpus, so at scale these are
+    AQE-broadcast of the PAIRS against the id→source projection, and the
+    source inequality prunes last (cheap, non-selective-safe)."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir, cfg)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "doc_b",
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )

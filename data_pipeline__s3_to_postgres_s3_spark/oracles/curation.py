@@ -345,3 +345,20 @@ GROUP BY 1, 2
 """
 
 CURATION_ORACLES["source_overlap_minhash"] = SOURCE_OVERLAP_MINHASH
+
+
+# cross_source_neardups: the MinHash-LSH pair oracle composed verbatim as
+# a CTE (imported string — the dedup definition can't drift), plus the two
+# id→source joins and the cross-feed filter.
+from .llmops import DEDUP_MINHASH_LSH as _DEDUP_MINHASH_LSH
+
+CROSS_SOURCE_NEARDUPS = f"""
+WITH pairs AS ({_DEDUP_MINHASH_LSH})
+SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+WHERE da.source <> db.source
+"""
+
+CURATION_ORACLES["cross_source_neardups"] = CROSS_SOURCE_NEARDUPS

@@ -62,6 +62,7 @@ from .operators.curation import (
     event_props_extract,
     gopher_quality,
     line_dedup,
+    cross_source_neardups,
     per_source_report,
     quality_gate,
     source_overlap,
@@ -365,6 +366,7 @@ QUERIES: dict[str, QueryFn] = {
     "active_users_rolling": active_users_rolling,
     "source_overlap": source_overlap,
     "source_overlap_minhash": source_overlap_minhash,
+    "cross_source_neardups": cross_source_neardups,
 }
 
 ORACLES: dict[str, str] = {

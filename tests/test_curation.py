@@ -422,3 +422,34 @@ def test_source_overlap_minhash_tracks_exact_jaccard(spark, sf_dir):
     assert set(est) == set(exact)
     errs = [abs(est[k] - exact[k]) for k in exact]
     assert sum(errs) / len(errs) <= 0.08, sorted(errs)[-5:]
+
+
+def test_cross_source_neardups_is_the_cross_feed_slice(spark, sf_dir):
+    """Pin the composition: exactly the dedup_minhash_lsh pair set minus
+    within-source pairs — no pair invented, none lost."""
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        cross_source_neardups,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    all_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    expected = {(a, b) for (a, b) in all_pairs if src[a] != src[b]}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in cross_source_neardups(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "sf corpus should contain cross-source near-dups"
+    assert expected != all_pairs, "within-source pairs must be filtered"
