@@ -309,9 +309,11 @@ def line_dedup(
        doc_id) collapses to COUNT after the pairwise expand. The census
        output is filtered to heavy hitters (df >= LINE_DF_CAP) BEFORE the
        join, so the boilerplate set is tiny relative to the corpus
-       (Zipf: few lines repeat across >= 3 pages) and broadcasts; if a
-       pathological corpus outgrows the broadcast threshold the same plan
-       degrades to a shuffle join, never a collect.
+       (Zipf: few lines repeat across >= 3 pages) and AQE picks a
+       broadcast join from its measured runtime size — no explicit
+       broadcast hint, so a pathological census that outgrows the
+       threshold genuinely degrades to a shuffle join, never a collect
+       or a forced over-threshold broadcast (ADVICE r5).
     2. per-doc re-assembly: one groupBy(doc_id); line order restored via
        sort_array over (pos, line) structs, so the aggregation itself
        needs no sorted shuffle and stays partial-aggregable.
@@ -327,7 +329,7 @@ def line_dedup(
         .where(F.col("line_df") >= LINE_DF_CAP)
         .select("norm", F.lit(True).alias("is_bp"))
     )
-    flagged = lines.join(F.broadcast(boiler), "norm", "left")
+    flagged = lines.join(boiler, "norm", "left")
     kept = F.when(F.col("is_bp").isNull(), F.struct(F.col("pos"), F.col("norm")))
     agg = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_lines"),
@@ -387,15 +389,21 @@ def gopher_quality(
     ratios are single IEEE divisions of exact integers, bit-identical in
     the oracle (same operands, same order)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # Words split on an EXPLICIT whitespace class (ADVICE r5: space-only
+    # splitting merged words across line breaks and counted newlines as
+    # word chars on multi-line docs, deviating from the published Gopher
+    # metric). The literal class [ \t\n\r\f] — not \s — because Java's \s
+    # includes \x0B where RE2's does not; the explicit class is
+    # bit-identical in the DuckDB oracle.
+    words = F.split(F.col("text"), "[ \\t\\n\\r\\f]+")
     lines = F.split(F.col("text"), "\n")
     staged = docs.select(
         "doc_id",
         words.alias("ws"),
         lines.alias("ls"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
-            "n_wchars"
-        ),
+        F.length(
+            F.regexp_replace(F.col("text"), "[ \\t\\n\\r\\f]", "")
+        ).alias("n_wchars"),
         F.regexp_count("text", F.lit("#|…|\\.\\.\\.")).alias("n_symbols"),
     )
     n_words = F.array_size(F.col("ws"))

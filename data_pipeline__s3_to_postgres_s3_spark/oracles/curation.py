@@ -203,8 +203,10 @@ FROM flagged GROUP BY doc_id
 CURATION_ORACLES["line_dedup"] = LINE_DEDUP
 
 # gopher_quality: mirrors operators/curation.py:gopher_quality — same split
-# units (space words / chr(10) lines), same regexes (disjoint-first-char
-# alternation so Java-leftmost-first and RE2-leftmost-longest agree), same
+# units (explicit-whitespace-class words / chr(10) lines; the literal
+# class [ \t\n\r\f] rather than \s because Java's \s includes \x0B where
+# RE2's does not), same regexes (disjoint-first-char alternation so
+# Java-leftmost-first and RE2-leftmost-longest agree), same
 # single-division ratio arithmetic. Counts cast to INT to match Spark's
 # array_size; ratios divide identical operands so IEEE results are
 # bit-identical.
@@ -226,9 +228,9 @@ _REQ_LIST = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
 GOPHER_QUALITY = f"""
 WITH staged AS (
     SELECT doc_id,
-        string_split(text, ' ') AS ws,
+        regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS ws,
         string_split(text, chr(10)) AS ls,
-        len(replace(text, ' ', '')) AS n_wchars,
+        len(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS n_wchars,
         len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS n_symbols
     FROM documents
 ),

@@ -710,18 +710,22 @@ EXTENSION_ORACLES = {
 # (user, item) basket base, same CAP-smallest-items guard (ROW_NUMBER ORDER
 # BY item ↔ slice(sort_array(...))), pair expansion as a plain self-join
 # (independent formulation of the in-row expansion), and the lift quotient
-# divides the SAME exact long products on both engines.
+# divides the SAME exact long products on both engines. TRY_CAST-then-filter
+# mirrors Spark's cast-then-filter: a non-integer '$.k' payload (the props
+# re-encode hazard class) drops the row on both engines instead of
+# hard-erroring in DuckDB.
 from ..operators.events_analytics import BASKET_EVENT_TYPES, BASKET_ITEM_CAP
 
 _BASKET_TYPES_SQL = ", ".join(f"'{t}'" for t in BASKET_EVENT_TYPES)
 
 ITEM_COOCCURRENCE = f"""
 WITH items AS (
-    SELECT DISTINCT user_id,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-    FROM events
-    WHERE event_type IN ({_BASKET_TYPES_SQL})
-      AND json_extract_string(props, '$.k') IS NOT NULL
+    SELECT DISTINCT user_id, item FROM (
+        SELECT user_id,
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE event_type IN ({_BASKET_TYPES_SQL}))
+    WHERE item IS NOT NULL
 ),
 capped AS (
     SELECT user_id, item FROM (
@@ -842,11 +846,12 @@ from ..operators.graph import COOC_TRIANGLE_MIN_USERS
 
 ITEM_TRIANGLES = f"""
 WITH items AS (
-    SELECT DISTINCT user_id,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-    FROM events
-    WHERE event_type IN ({_BASKET_TYPES_SQL})
-      AND json_extract_string(props, '$.k') IS NOT NULL
+    SELECT DISTINCT user_id, item FROM (
+        SELECT user_id,
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE event_type IN ({_BASKET_TYPES_SQL}))
+    WHERE item IS NOT NULL
 ),
 capped AS (
     SELECT user_id, item FROM (

@@ -1,5 +1,6 @@
 from .explain import (
     broadcast_join_count,
+    final_broadcast_join_count,
     exchange_count,
     formatted_plan,
     pushed_filters,
@@ -11,6 +12,7 @@ from .explain import (
 
 __all__ = [
     "broadcast_join_count",
+    "final_broadcast_join_count",
     "exchange_count",
     "formatted_plan",
     "pushed_filters",

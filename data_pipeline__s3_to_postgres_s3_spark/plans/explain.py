@@ -74,6 +74,22 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.MULTILINE))
 
 
+def final_broadcast_join_count(df: DataFrame) -> int:
+    """BroadcastHashJoin count in the AQE-FINAL plan (forces execution).
+
+    For joins that rely on AQE's runtime size measurement instead of an
+    explicit broadcast hint (e.g. line_dedup's census join, ADVICE r5),
+    the static plan shows SortMergeJoin — the broadcast decision only
+    exists after the upstream query stage materializes. Diagnostic/test
+    use only."""
+    ep = df._jdf.queryExecution().executedPlan()
+    try:
+        plan_str = ep.finalPhysicalPlan().toString()
+    except Exception:  # non-AQE plan
+        plan_str = ep.toString()
+    return len(re.findall(r"BroadcastHashJoin", plan_str))
+
+
 def wholestage_codegen_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans in the FINAL adaptive plan.
 
