@@ -1,5 +1,6 @@
 from .explain import (
     broadcast_join_count,
+    checkpoint_audit,
     final_broadcast_join_count,
     exchange_count,
     formatted_plan,
@@ -12,6 +13,7 @@ from .explain import (
 
 __all__ = [
     "broadcast_join_count",
+    "checkpoint_audit",
     "final_broadcast_join_count",
     "exchange_count",
     "formatted_plan",

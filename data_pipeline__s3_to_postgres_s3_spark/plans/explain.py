@@ -14,6 +14,7 @@ inside plain driver sessions.
 
 from __future__ import annotations
 
+import contextlib
 import re
 
 from pyspark.sql import DataFrame
@@ -72,6 +73,62 @@ def exchange_count(df: DataFrame) -> int:
     Formatted mode titles shuffle nodes plain 'Exchange' and broadcast ones
     'BroadcastExchange'."""
     return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.MULTILINE))
+
+
+@contextlib.contextmanager
+def checkpoint_audit():
+    """Record plan metrics of every frame at the moment it is
+    localCheckpoint-ed (VERDICT r5 'What's wrong #2': checkpoints
+    truncate lineage, so post-hoc plan inspection counts only
+    post-checkpoint exchanges — understating exactly the queries that
+    were expensive enough to checkpoint).
+
+    Usage::
+
+        with plans.checkpoint_audit() as ckpts:
+            df = some_query(spark, sf_dir)
+        true_exch = plans.exchange_count(df) + sum(c["exch"] for c in ckpts)
+
+    Each record is the ORIGIN plan of one checkpoint call, measured
+    before truncation; a later checkpoint whose lineage builds on an
+    earlier one is itself already truncated, so summing never double
+    counts. Iterative operators (pointer-jumping CC, kmeans) checkpoint
+    once per round during construction — every round's record appears,
+    which is the honest end-to-end cost. Diagnostic/test use only (the
+    patch is process-global while active)."""
+    records: list[dict] = []
+    # Spark 4 routes instances through pyspark.sql.classic.dataframe.
+    # DataFrame, which OVERRIDES the abstract base's localCheckpoint —
+    # patch every class in play so the audit can't silently miss calls.
+    targets = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+        targets.append(_ClassicDF)
+    except ImportError:  # pre-Connect Spark: one class only
+        pass
+    origs = {t: t.localCheckpoint for t in targets}
+
+    def make_patched(orig):
+        def patched(self, eager: bool = True):
+            records.append(
+                {
+                    "exch": exchange_count(self),
+                    "bhj": broadcast_join_count(self),
+                    "smj": sortmerge_join_count(self),
+                }
+            )
+            return orig(self, eager=eager)
+
+        return patched
+
+    for t in targets:
+        t.localCheckpoint = make_patched(origs[t])  # type: ignore[method-assign]
+    try:
+        yield records
+    finally:
+        for t in targets:
+            t.localCheckpoint = origs[t]  # type: ignore[method-assign]
 
 
 def final_broadcast_join_count(df: DataFrame) -> int:
