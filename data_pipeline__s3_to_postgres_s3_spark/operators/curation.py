@@ -442,6 +442,219 @@ def gopher_quality(
     return metrics.withColumn("gopher_pass", gopher_pass)
 
 
+# Gopher repetition rule set (Rae et al. 2021 table A1, the companion to
+# the quality rules above — reused by RefinedWeb/FineWeb/Dolma): duplicate
+# line fraction + duplicate-line CHARACTER fraction, top word-n-gram
+# character fractions, and duplicated-n-gram character fractions.
+# Implemented subset: dup-line (the sf corpora have no paragraphs — the
+# published dup-paragraph twin is the same expression over a '\n\n' split),
+# top-{2,3}-gram, dup-5-gram (top-4 / dup-6..10 are the same machinery at
+# the published thresholds 0.16 / 0.14..0.10).
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP2GRAM_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP3GRAM_CHAR_FRAC = 0.18
+GOPHER_MAX_DUP5GRAM_CHAR_FRAC = 0.15
+
+
+def _wordgrams_sql(n: int, arr: str = "ws") -> str:
+    """Spark-SQL expression for the word n-gram array of ``arr``, empty
+    when the doc has fewer than n words. element_at concatenation (not
+    slice+concat_ws) so the DuckDB oracle mirrors it token-for-token;
+    the size guard matters because Spark's sequence(1, 0) DESCENDS."""
+    cat = ", ' ', ".join(f"element_at({arr}, i + {j})" for j in range(n))
+    return (
+        f"IF(size({arr}) >= {n}, "
+        f"transform(sequence(1, size({arr}) - {n - 1}), i -> concat({cat})), "
+        f"array())"
+    )
+
+
+def _top_gram_key_sql(garr: str, n: int) -> str:
+    """Encode (count, charlen) of every distinct n-gram as ONE bigint —
+    count * 10^7 + charlen — so the 'most frequent, longest-on-ties'
+    gram is a plain integer array_max: no cross-engine struct-comparison
+    or string-collation semantics in the hot path. charlen excludes the
+    n-1 joiner spaces; grams are < 10^7 chars by construction."""
+    return (
+        f"array_max(transform(array_distinct({garr}), "
+        f"g -> bigint(size(filter({garr}, x -> x = g))) * 10000000L "
+        f"+ (length(g) - {n - 1})))"
+    )
+
+
+def gopher_repetition(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Gopher repetition report per document: dup-line fraction and
+    char-fraction, top-{2,3}-gram char fractions, dup-5-gram char
+    fraction, plus the combined `gopher_rep_pass` verdict.
+
+    Complements gopher_quality (shape rules) and doc_repetition
+    (distinct-ratio signals): these are the published CHARACTER-coverage
+    repetition rules — the strongest cheap predictor of machine-generated
+    boilerplate. The dup-5-gram numerator counts every occurrence of each
+    duplicated gram (the standard open-implementation simplification;
+    the published interval-union variant needs per-char overlap
+    resolution), so the fraction can exceed 1 on degenerate docs — the
+    threshold comparison is unaffected.
+
+    Scale shape: ZERO shuffle — every metric is an array expression over
+    the row's own text inside the scan projection (same plan class as
+    gopher_quality/char_ngram_diversity). Exact integer arithmetic
+    (counts, char lengths, the encoded (count, charlen) bigint key) up
+    to one IEEE division per ratio, bit-identical in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "[ \\t\\n\\r\\f]+").alias("ws"),
+        F.split(F.col("text"), "\n").alias("ls"),
+        F.length(
+            F.regexp_replace(F.col("text"), "[ \\t\\n\\r\\f]", "")
+        ).alias("n_wchars"),
+        F.length(
+            F.replace(F.col("text"), F.lit("\n"), F.lit(""))
+        ).alias("n_lchars"),
+    ).select(
+        "doc_id",
+        "ws",
+        "ls",
+        "n_wchars",
+        "n_lchars",
+        F.expr(_wordgrams_sql(2)).alias("g2"),
+        F.expr(_wordgrams_sql(3)).alias("g3"),
+        F.expr(_wordgrams_sql(5)).alias("g5"),
+    )
+    n_lines = F.array_size("ls")
+    n_dlines = F.array_size(F.array_distinct("ls"))
+    dup_line_chars = F.expr(
+        "aggregate(array_distinct(ls), 0L, (acc, l) -> acc + "
+        "IF(size(filter(ls, x -> x = l)) > 1, "
+        "bigint(size(filter(ls, x -> x = l))) * length(l), 0L))"
+    )
+    dup5_chars = F.expr(
+        "aggregate(array_distinct(g5), 0L, (acc, g) -> acc + "
+        "IF(size(filter(g5, x -> x = g)) > 1, "
+        "bigint(size(filter(g5, x -> x = g))) * (length(g) - 4), 0L))"
+    )
+
+    def safe_div(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    # Keys materialized once per n (the array_max over the distinct-gram
+    # transform is the expensive expression — don't evaluate it twice for
+    # the DIV and % decode).
+    keyed = staged.select(
+        "doc_id",
+        "ls",
+        "g5",
+        "n_wchars",
+        "n_lchars",
+        F.expr(_top_gram_key_sql("g2", 2)).alias("k2"),
+        F.expr(_top_gram_key_sql("g3", 3)).alias("k3"),
+    )
+
+    def top_frac(key: str) -> F.Column:
+        # Integer DIV/% decode — never float division on the key.
+        covered = F.expr(f"({key} div 10000000L) * ({key} % 10000000L)")
+        return F.when(
+            F.col(key).isNotNull() & (F.col("n_wchars") > 0),
+            covered.cast("double") / F.col("n_wchars"),
+        ).otherwise(F.lit(0.0))
+
+    metrics = keyed.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        (
+            F.lit(1.0) - n_dlines.cast("double") / n_lines
+        ).alias("dup_line_frac"),
+        safe_div(dup_line_chars, F.col("n_lchars")).alias(
+            "dup_line_char_frac"
+        ),
+        top_frac("k2").alias("top_2gram_char_frac"),
+        top_frac("k3").alias("top_3gram_char_frac"),
+        safe_div(dup5_chars, F.col("n_wchars")).alias("dup_5gram_char_frac"),
+    )
+    rep_pass = (
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("top_2gram_char_frac") <= GOPHER_MAX_TOP2GRAM_CHAR_FRAC)
+        & (F.col("top_3gram_char_frac") <= GOPHER_MAX_TOP3GRAM_CHAR_FRAC)
+        & (F.col("dup_5gram_char_frac") <= GOPHER_MAX_DUP5GRAM_CHAR_FRAC)
+    )
+    return metrics.withColumn("gopher_rep_pass", rep_pass)
+
+
+# CCNet-style quality bucketing (Wenzek et al. 2020): score every document
+# with a corpus language model, split the corpus into equal-sized
+# head/middle/tail terciles by score. CCNet's KenLM 5-gram perplexity is
+# replaced by a corpus-trained unigram-frequency proxy (no LM libs in the
+# sandbox, and the bucketing machinery — the part a Spark pipeline owns —
+# is identical): mean corpus frequency of a doc's tokens, higher = more
+# "head"-like. OOV tokens score 1 (singleton frequency).
+CCNET_VOCAB_K = 256
+
+
+def ccnet_quality_buckets(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-document LM-score tercile bucketing à la CCNet:
+    (doc_id, n_tokens, sum_tok_counts, mean_tok_count, ppl_bucket).
+
+    Scale shape: one map-side-combined groupBy(token) census +
+    TakeOrdered(K) — only K rows reach the driver (the sanctioned ≤K-row
+    collect; vocab_oov_report precedent). The frequency table re-enters
+    the plan as a K-entry MAP LITERAL, so scoring is ZERO shuffle — an
+    element_at lookup inside the scan projection. The tercile split is
+    an NTILE(3) over the REDUCED (doc_id, score) projection — exact
+    equal-thirds semantics, which is what CCNet defines; at 100 TB the
+    swap is a percentile_approx cutoff broadcast (sketch-based, the
+    documented approx swap — profile_orders precedent) because a global
+    NTILE funnels the reduced rows through one window partition.
+
+    Determinism: census tie-break (count DESC, token ASC) is total;
+    mean_tok_count is one IEEE division of exact integers; the NTILE
+    ordering (mean DESC, doc_id ASC) is total, so buckets are
+    reproducible and oracle-identical."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    vocab_rows = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(CCNET_VOCAB_K)
+        .collect()
+    )
+    freq_map = F.create_map(
+        *[c for r in vocab_rows for c in (F.lit(r["tok"]), F.lit(r["c"]))]
+    )
+    scored = toks.select(
+        "doc_id",
+        F.array_size("t").alias("n_tokens"),
+        F.aggregate(
+            "t",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(
+                F.element_at(freq_map, x), F.lit(1).cast("long")
+            ),
+        ).alias("sum_tok_counts"),
+    ).withColumn(
+        "mean_tok_count",
+        F.col("sum_tok_counts").cast("double") / F.col("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("mean_tok_count"), F.asc("doc_id"))
+    bucket = F.ntile(3).over(w)
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 def source_overlap(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

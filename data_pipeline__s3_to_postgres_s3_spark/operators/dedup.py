@@ -913,3 +913,94 @@ def minhash_estimate_audit(
             F.abs(F.col("est_sim") - jac).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring span mining (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): the suffix-array exact-
+# substring dedup, re-expressed as distributed gram-diagonal run detection.
+# A shared token span of length L appears as a run of L - K + 1 consecutive
+# matching K-grams on ONE diagonal (pos_a - pos_b constant), so the longest
+# shared span falls out of a window + groupBy over the gram-match table —
+# no suffix array, no per-node state, fully shuffle-parallel.
+SPAN_GRAM_TOKENS = 8  # K: tokens per gram; spans shorter than K invisible
+SPAN_GRAM_DF_CAP = 10  # grams in more docs are boilerplate — pruned (audited
+# by the same rationale as NGRAM_DF_CAP: a gram in k docs contributes k²/2
+# match rows; the cap is oracle-symmetric so results stay bit-identical)
+SPAN_MIN_RUN_GRAMS = 2  # report pairs sharing ≥ K+1 consecutive tokens
+
+
+def exact_span_dedup(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Cross-doc repeated-span report: for every doc pair sharing at least
+    one run of SPAN_MIN_RUN_GRAMS consecutive SPAN_GRAM_TOKENS-grams,
+    (doc_a, doc_b, n_gram_matches, max_run_grams, longest_span_tokens).
+
+    Scale shape (100 TB):
+    1. gram build: per-doc positional K-grams as md5 keys (32-char
+       portable hash — the oracle computes the identical md5), one row
+       per token position after the in-row transform.
+    2. boilerplate guard: grams in > SPAN_GRAM_DF_CAP docs are dropped
+       via an anti-join against the heavy-hitter census (tiny by Zipf;
+       AQE broadcasts it from measured size — line_dedup precedent).
+    3. match: equi-join on gram key — the inverted-index shuffle, DF-cap
+       bounded exactly like the Jaccard posting lists.
+    4. runs: islands trick — pos_a − row_number() within (pair, diagonal)
+       groups consecutive matches; a window + groupBy, both partitioned
+       by (pair, diag) so no global sort anywhere.
+    The sf corpora are word-soup (no cross-doc 8-gram overlap except
+    exact-duplicate docs), so at sf the output is exactly the exact-dup
+    pairs; the multi-span/partial-overlap logic is pinned by the
+    synthetic-corpus tests (chunk_documents/line_dedup precedent)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    k = SPAN_GRAM_TOKENS
+    cat = ", ' ', ".join(f"element_at(ws, i + {j})" for j in range(k))
+    arrays = staged.select(
+        "doc_id",
+        F.expr(
+            f"IF(size(ws) >= {k}, "
+            f"transform(sequence(1, size(ws) - {k - 1}), "
+            f"i -> struct(i AS pos, md5(concat({cat})) AS g)), array())"
+        ).alias("grams"),
+    ).localCheckpoint(eager=False)  # feeds the census AND the match join
+    grams = arrays.select(
+        "doc_id", F.explode("grams").alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+
+    heavy = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") > SPAN_GRAM_DF_CAP)
+        .select("g")
+    )
+    kept = grams.join(heavy, "g", "left_anti")
+
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    m = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("island", F.col("pa") - F.row_number().over(w))
+    runlens = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runlens.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("run_len").alias("n_gram_matches"),
+            F.max("run_len").alias("max_run_grams"),
+            (F.max("run_len") + F.lit(k - 1)).alias("longest_span_tokens"),
+        )
+        .where(F.col("max_run_grams") >= SPAN_MIN_RUN_GRAMS)
+    )

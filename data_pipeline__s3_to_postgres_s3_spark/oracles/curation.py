@@ -264,6 +264,137 @@ FROM metrics
 CURATION_ORACLES["gopher_quality"] = GOPHER_QUALITY
 
 
+# gopher_repetition: mirrors operators/curation.py:gopher_repetition —
+# same explicit-whitespace word split / chr(10) line split, same
+# element-by-element n-gram concatenation, same (count*10^7 + charlen)
+# bigint encoding for the top-gram pick (plain integer max on both
+# engines — no struct/collation comparison), same single-IEEE-division
+# ratios of exact integers. list_aggregate sums are HUGEINT → cast to
+# DOUBLE before the division (operands equal ⇒ doubles equal).
+from ..operators.curation import (
+    GOPHER_MAX_DUP5GRAM_CHAR_FRAC,
+    GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+    GOPHER_MAX_DUP_LINE_FRAC,
+    GOPHER_MAX_TOP2GRAM_CHAR_FRAC,
+    GOPHER_MAX_TOP3GRAM_CHAR_FRAC,
+)
+
+
+def _dd_wordgrams(n: int) -> str:
+    cat = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"list_transform(generate_series(1, len(ws) - {n - 1}), i -> {cat}) "
+        f"ELSE [] END"
+    )
+
+
+def _dd_top_key(garr: str, n: int) -> str:
+    return (
+        f"list_aggregate(list_transform(list_distinct({garr}), "
+        f"g -> CAST(len(list_filter({garr}, x -> x = g)) AS BIGINT) "
+        f"* 10000000 + (length(g) - {n - 1})), 'max')"
+    )
+
+
+def _dd_dup_chars(garr: str, joiners: int) -> str:
+    return (
+        f"coalesce(list_aggregate(list_transform(list_distinct({garr}), "
+        f"g -> CASE WHEN len(list_filter({garr}, x -> x = g)) > 1 "
+        f"THEN CAST(len(list_filter({garr}, x -> x = g)) AS BIGINT) "
+        f"* (length(g) - {joiners}) ELSE 0 END), 'sum'), 0)"
+    )
+
+
+GOPHER_REPETITION = f"""
+WITH staged AS (
+    SELECT doc_id,
+        regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS ws,
+        string_split(text, chr(10)) AS ls,
+        len(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS n_wchars,
+        len(replace(text, chr(10), '')) AS n_lchars
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, ls, n_wchars, n_lchars,
+        {_dd_wordgrams(2)} AS g2,
+        {_dd_wordgrams(3)} AS g3,
+        {_dd_wordgrams(5)} AS g5
+    FROM staged
+),
+keyed AS (
+    SELECT doc_id, ls, g5, n_wchars, n_lchars,
+        {_dd_top_key('g2', 2)} AS k2,
+        {_dd_top_key('g3', 3)} AS k3
+    FROM grams
+),
+metrics AS (
+    SELECT doc_id,
+        CAST(len(ls) AS INT) AS n_lines,
+        1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+            AS dup_line_frac,
+        CASE WHEN n_lchars > 0
+             THEN CAST({_dd_dup_chars('ls', 0)} AS DOUBLE) / n_lchars
+             ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN k2 IS NOT NULL AND n_wchars > 0
+             THEN CAST((k2 // 10000000) * (k2 % 10000000) AS DOUBLE)
+                  / n_wchars
+             ELSE 0.0 END AS top_2gram_char_frac,
+        CASE WHEN k3 IS NOT NULL AND n_wchars > 0
+             THEN CAST((k3 // 10000000) * (k3 % 10000000) AS DOUBLE)
+                  / n_wchars
+             ELSE 0.0 END AS top_3gram_char_frac,
+        CASE WHEN n_wchars > 0
+             THEN CAST({_dd_dup_chars('g5', 4)} AS DOUBLE) / n_wchars
+             ELSE 0.0 END AS dup_5gram_char_frac
+    FROM keyed
+)
+SELECT *,
+    (dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+     AND dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+     AND top_2gram_char_frac <= {GOPHER_MAX_TOP2GRAM_CHAR_FRAC}
+     AND top_3gram_char_frac <= {GOPHER_MAX_TOP3GRAM_CHAR_FRAC}
+     AND dup_5gram_char_frac <= {GOPHER_MAX_DUP5GRAM_CHAR_FRAC})
+        AS gopher_rep_pass
+FROM metrics
+"""
+
+CURATION_ORACLES["gopher_repetition"] = GOPHER_REPETITION
+
+
+# ccnet_quality_buckets: same census (count DESC, tok ASC LIMIT K — exact
+# deterministic tie-break), but scored via explode + LEFT JOIN instead of
+# the literal map — an independent formulation of the same lookup.
+# SUM(BIGINT) is HUGEINT → cast back to BIGINT for the output column and
+# to DOUBLE before the mean division (identical operands ⇒ identical
+# doubles ⇒ identical NTILE order).
+from ..operators.curation import CCNET_VOCAB_K
+
+CCNET_QUALITY_BUCKETS = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok LIMIT {CCNET_VOCAB_K}
+),
+scored AS (
+    SELECT t.doc_id,
+        CAST(COUNT(*) AS INT) AS n_tokens,
+        CAST(SUM(coalesce(v.c, 1)) AS BIGINT) AS sum_tok_counts,
+        CAST(SUM(coalesce(v.c, 1)) AS DOUBLE) / COUNT(*) AS mean_tok_count
+    FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, sum_tok_counts, mean_tok_count,
+    CASE NTILE(3) OVER (ORDER BY mean_tok_count DESC, doc_id)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+    END AS ppl_bucket
+FROM scored
+"""
+
+CURATION_ORACLES["ccnet_quality_buckets"] = CCNET_QUALITY_BUCKETS
+
+
 # source_overlap: per-source DISTINCT word-3-gram sets → pairwise
 # Jaccard/containment. Counts are COUNT(*) BIGINT on both sides (no
 # HUGEINT trap — addition does not widen in DuckDB, only SUM does);

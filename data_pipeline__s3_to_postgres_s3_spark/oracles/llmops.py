@@ -1061,3 +1061,58 @@ FROM cells
 """
 
 LLMOPS_ORACLES["lang_confusion_matrix"] = LANG_CONFUSION_MATRIX
+
+# exact_span_dedup: mirrors operators/dedup.py:exact_span_dedup — same
+# space-split tokens, same element-by-element md5 K-gram keys (md5 is the
+# portable cross-engine hash), same DF cap, same diagonal-islands run
+# detection (pos - ROW_NUMBER within (pair, diag) — ties impossible since
+# (doc, pos) rows are unique). Counts cast back to BIGINT (HUGEINT trap).
+from ..operators.dedup import (
+    SPAN_GRAM_DF_CAP,
+    SPAN_GRAM_TOKENS,
+    SPAN_MIN_RUN_GRAMS,
+)
+
+_SPAN_CAT = " || ' ' || ".join(
+    f"ws[i + {j}]" for j in range(SPAN_GRAM_TOKENS)
+)
+
+EXACT_SPAN_DEDUP = f"""
+WITH staged AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+    SELECT doc_id, i AS pos, md5({_SPAN_CAT}) AS g
+    FROM staged,
+        unnest(generate_series(
+            1, greatest(len(ws) - {SPAN_GRAM_TOKENS - 1}, 0))) AS t(i)
+),
+heavy AS (
+    SELECT g FROM grams GROUP BY g
+    HAVING COUNT(DISTINCT doc_id) > {SPAN_GRAM_DF_CAP}
+),
+kept AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM heavy)),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+        a.pos - b.pos AS diag
+    FROM kept a JOIN kept b USING (g)
+    WHERE a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, diag,
+        pa - ROW_NUMBER() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+    FROM m
+),
+runlens AS (
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+    CAST(SUM(run_len) AS BIGINT) AS n_gram_matches,
+    CAST(MAX(run_len) AS BIGINT) AS max_run_grams,
+    CAST(MAX(run_len) + {SPAN_GRAM_TOKENS - 1} AS BIGINT)
+        AS longest_span_tokens
+FROM runlens GROUP BY doc_a, doc_b
+HAVING MAX(run_len) >= {SPAN_MIN_RUN_GRAMS}
+"""
+
+LLMOPS_ORACLES["exact_span_dedup"] = EXACT_SPAN_DEDUP

@@ -57,10 +57,12 @@ from .operators.events_analytics import (
     retention_cohorts,
 )
 from .operators.curation import (
+    ccnet_quality_buckets,
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
     gopher_quality,
+    gopher_repetition,
     line_dedup,
     cross_source_neardups,
     per_source_report,
@@ -71,6 +73,7 @@ from .operators.curation import (
 from .operators.graph import dedup_clusters, dedup_keep_best, item_triangles
 from .operators.dedup import (
     dedup_containment,
+    exact_span_dedup,
     dedup_exact,
     dedup_jaccard_prefix,
     dedup_minhash_lsh,
@@ -353,6 +356,12 @@ QUERIES: dict[str, QueryFn] = {
     "dormant_high_value_customers": dormant_high_value_customers,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
+    # -- new in round 6: enters the tail first under the one-round grace
+    #    (TAIL_GRACE_NEW_THIS_ROUND in test_registry_contract.py), rotates
+    #    into the driver window next round per the rotation contract. ----
+    "gopher_repetition": gopher_repetition,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
+    "exact_span_dedup": exact_span_dedup,
 }
 
 ORACLES: dict[str, str] = {

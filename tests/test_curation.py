@@ -468,3 +468,133 @@ def test_cross_source_neardups_is_the_cross_feed_slice(spark, sf_dir):
     assert got == expected
     assert expected, "sf corpus should contain cross-source near-dups"
     assert expected != all_pairs, "within-source pairs must be filtered"
+
+
+def test_gopher_repetition_metrics_on_synthetic_corpus(spark, tmp_path):
+    """The sf corpora are single-line word-soup, so pin every repetition
+    metric on hand-computed docs: dup-line fraction + char fraction,
+    top-{2,3}-gram char fractions (count*charlen of the (count, charlen)
+    max), the dup-5-gram overlap-proxy (documented: can exceed 1), and
+    the degenerate empty-text doc."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        gopher_repetition,
+    )
+
+    rows = [
+        (1, "a b\nc d\na b"),                 # repeated line + bigram
+        (2, ("x y z w v " * 3).strip()),      # period-5 token stream
+        (3, ""),                              # degenerate
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in gopher_repetition(spark, str(tmp_path)).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == 1.0 - 2 / 3
+    # "a b" (3 chars) appears twice -> 6 of 9 non-newline chars
+    assert r1["dup_line_char_frac"] == 6 / 9
+    # words: a b c d a b -> top bigram "a b" c=2, charlen 2; n_wchars 6
+    assert r1["top_2gram_char_frac"] == 4 / 6
+    # all trigrams distinct -> c=1, charlen 3
+    assert r1["top_3gram_char_frac"] == 3 / 6
+    assert r1["dup_5gram_char_frac"] == 0.0
+    assert not r1["gopher_rep_pass"]  # dup_line + top2 over threshold
+
+    r2 = got[2]
+    # 15 tokens of period 5: every 5-gram duplicated; overlap proxy
+    # (3 + 2*4) * 5 chars over 15 word chars = 55/15 > 1 -> fails dup5
+    assert r2["dup_5gram_char_frac"] == 55 / 15
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+    assert not r2["gopher_rep_pass"]
+
+    r3 = got[3]
+    assert r3["n_lines"] == 1
+    assert r3["dup_line_frac"] == 0.0
+    assert r3["dup_line_char_frac"] == 0.0
+    assert r3["top_2gram_char_frac"] == 0.0
+    assert r3["dup_5gram_char_frac"] == 0.0
+    assert r3["gopher_rep_pass"]
+
+
+def test_gopher_repetition_oracle_parity_on_synthetic_corpus(spark, tmp_path):
+    """Spark ↔ DuckDB parity where the repetition rules actually fire
+    (multi-line docs, duplicated grams, tabs, empty docs)."""
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        gopher_repetition,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.oracles.curation import (
+        GOPHER_REPETITION,
+    )
+
+    rows = [
+        (1, "a b\nc d\na b"),
+        (2, ("x y z w v " * 3).strip()),
+        (3, ""),
+        (4, "one\ttab  double space\nline two\nline two"),
+        (5, "the the the the the the"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        tuple(r) for r in gopher_repetition(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(GOPHER_REPETITION).fetchall())
+    assert got == want
+
+
+def test_ccnet_quality_buckets_equal_terciles_and_order(spark, tmp_path):
+    """CCNet semantics: equal-thirds split, highest mean corpus frequency
+    -> head. Nine docs built so mean frequency strictly orders them."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        ccnet_quality_buckets,
+    )
+
+    # "c" appears 9x, "m" 6x, rare tokens once each: mean freq descends
+    # from all-common docs to all-rare docs.
+    rows = [
+        (1, "c c c"), (2, "c c c"), (3, "c c c"),
+        (4, "m m"), (5, "m m"), (6, "m m"),
+        (7, "r1 r2"), (8, "r3 r4"), (9, "r5 r6"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in ccnet_quality_buckets(spark, str(tmp_path)).collect()}
+    assert [got[i]["ppl_bucket"] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert got[1]["mean_tok_count"] == 9.0
+    assert got[4]["mean_tok_count"] == 6.0
+    assert got[7]["mean_tok_count"] == 1.0
+    # Determinism: a second run assigns identical buckets.
+    again = {r["doc_id"]: r["ppl_bucket"]
+             for r in ccnet_quality_buckets(spark, str(tmp_path)).collect()}
+    assert again == {i: got[i]["ppl_bucket"] for i in range(1, 10)}
+
+
+def test_gopher_repetition_and_ccnet_plan_shapes(spark, sf_dir):
+    """gopher_repetition is a pure scan projection (ZERO shuffle);
+    ccnet's scoring pass adds only the census + the tercile window over
+    the reduced projection."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        ccnet_quality_buckets,
+        gopher_repetition,
+    )
+
+    assert plans.exchange_count(gopher_repetition(spark, sf_dir)) == 0
+    # census shuffle happens at build time (collect); the returned plan
+    # carries only the NTILE window's single exchange.
+    assert plans.exchange_count(ccnet_quality_buckets(spark, sf_dir)) <= 1

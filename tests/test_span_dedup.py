@@ -1,0 +1,126 @@
+"""exact_span_dedup semantic pins (operators/dedup.py).
+
+The sf corpora are word-soup, so cross-doc 8-gram overlap only occurs on
+exact-duplicate docs — the multi-span / partial-overlap / DF-cap logic
+must be pinned on synthetic corpora (chunk_documents/line_dedup
+precedent). Oracle parity at sf runs in test_correctness_oracle via the
+registry; here we also run parity on a corpus where the interesting
+paths fire.
+"""
+
+from __future__ import annotations
+
+from data_pipeline__s3_to_postgres_s3_spark import plans
+from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+    SPAN_GRAM_DF_CAP,
+    SPAN_GRAM_TOKENS,
+    exact_span_dedup,
+)
+
+
+def _toks(prefix: str, n: int, start: int = 0) -> list[str]:
+    return [f"{prefix}{i}" for i in range(start, start + n)]
+
+
+def _write_docs(spark, tmp_path, rows) -> str:
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_span_lengths_and_multi_span_pairs(spark, tmp_path):
+    assert SPAN_GRAM_TOKENS == 8
+    base = _toks("t", 20)  # t0..t19, all unique words
+    doc1 = " ".join(base)
+    # doc2 shares the 12-token run t5..t16 → 5 consecutive grams.
+    doc2 = " ".join(_toks("u", 3) + base[5:17] + _toks("v", 3))
+    # doc3 shares two separate runs with doc1: t0..t8 (9 toks → 2 grams)
+    # and t12..t19 (8 toks → 1 gram), split by a unique token.
+    doc3 = " ".join(base[0:9] + ["zzz"] + base[12:20])
+    # doc4 shares exactly one 8-gram (t0..t7) → below SPAN_MIN_RUN_GRAMS.
+    doc4 = " ".join(base[0:8] + _toks("w", 5))
+    sf = _write_docs(
+        spark, tmp_path, [(1, doc1), (2, doc2), (3, doc3), (4, doc4)]
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in exact_span_dedup(spark, sf).collect()
+    }
+    r12 = got[(1, 2)]
+    assert r12["max_run_grams"] == 5
+    assert r12["longest_span_tokens"] == 12
+    assert r12["n_gram_matches"] == 5
+    r13 = got[(1, 3)]
+    assert r13["max_run_grams"] == 2
+    assert r13["longest_span_tokens"] == 9
+    assert r13["n_gram_matches"] == 3  # 2-gram run + 1-gram run
+    # doc4's single-gram overlap is below the run floor; doc2/doc3 share
+    # t5..t8∩... too short to form an 8-gram on a common diagonal.
+    assert (1, 4) not in got
+    assert set(got) <= {(1, 2), (1, 3), (2, 3)}
+
+
+def test_boilerplate_gram_cap_prunes_mass_matches(spark, tmp_path):
+    """A phrase shared by > SPAN_GRAM_DF_CAP docs is boilerplate: its
+    grams must be pruned, producing NO pairs (k²/2 blowup guard)."""
+    phrase = _toks("p", SPAN_GRAM_TOKENS)  # exactly one gram per doc
+    rows = [
+        (i, " ".join(phrase + [f"filler{i}a", f"filler{i}b"]))
+        for i in range(SPAN_GRAM_DF_CAP + 2)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    assert exact_span_dedup(spark, sf).count() == 0
+
+
+def test_exact_duplicate_docs_full_span(spark, tmp_path):
+    toks = _toks("d", 15)
+    sf = _write_docs(
+        spark, tmp_path, [(1, " ".join(toks)), (2, " ".join(toks))]
+    )
+    got = exact_span_dedup(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["max_run_grams"] == 15 - SPAN_GRAM_TOKENS + 1
+    assert r["longest_span_tokens"] == 15
+
+
+def test_span_dedup_oracle_parity_on_synthetic_corpus(spark, tmp_path):
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.oracles.llmops import (
+        EXACT_SPAN_DEDUP,
+    )
+
+    base = _toks("t", 20)
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(_toks("u", 3) + base[5:17] + _toks("v", 3))),
+        (3, " ".join(base[0:9] + ["zzz"] + base[12:20])),
+        (4, " ".join(base)),  # exact dup of doc1
+        (5, "short doc"),  # under 8 tokens → no grams
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = sorted(tuple(r) for r in exact_span_dedup(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(EXACT_SPAN_DEDUP).fetchall())
+    assert got == want
+
+
+def test_span_dedup_plan_shape(spark, sf_dir):
+    """Bounded exchanges: gram census + anti-join + match join + the
+    (pair, diag)-partitioned window/groupBy — no global sort, no
+    cartesian. The checkpointed gram-array frame's origin plan is
+    audited separately (checkpoint_audit)."""
+    with plans.checkpoint_audit() as ckpts:
+        df = exact_span_dedup(spark, sf_dir)
+    assert len(ckpts) == 1  # the shared gram-array frame, exactly once
+    true_exch = plans.exchange_count(df) + sum(c["exch"] for c in ckpts)
+    assert true_exch <= 7
+    assert "Cartesian" not in plans.simple_plan(df)
