@@ -266,15 +266,14 @@ def test_line_dedup_oracle_parity_on_multiline_corpus(spark, tmp_path):
 
 
 def test_line_dedup_plan_shape(spark, tmp_path, sf_dir):
-    """Census join broadcasts at runtime via AQE's measured size — no
-    explicit hint, so a pathological census genuinely degrades to a
-    shuffle join instead of a forced over-threshold broadcast (ADVICE
-    r5). The static plan therefore shows SMJ; the pin checks the
-    AQE-final plan — on a corpus where the census actually fires,
-    because on the single-line sf corpora the census is EMPTY and AQE
-    eliminates the join node outright (also worth pinning: the
-    degenerate path costs no join at all). Exchange bound guards
-    against a sorted shuffle sneaking into line reassembly."""
+    """Census join is SIZE-DISPATCHED (ADVICE r5 + r6 measurement): the
+    checkpointed census is counted, and the broadcast hint applied only
+    below LINE_BC_MAX_ROWS — so the common path never shuffle-writes
+    the corpus side (hintless AQE still pays that map write before
+    converting SMJ→BHJ; measured 2.9 s vs 0.6 s cold at sf0.1) while a
+    pathological census degrades to a genuine shuffle join. Pin: the
+    small-census branch broadcasts, the whole op checkpoints the census
+    exactly once, and no sorted shuffle sneaks into line reassembly."""
     from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
         line_dedup,
     )
@@ -284,14 +283,14 @@ def test_line_dedup_plan_shape(spark, tmp_path, sf_dir):
     spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
         "overwrite"
     ).parquet(str(tmp_path / "documents.parquet"))
-    df = line_dedup(spark, str(tmp_path))
-    assert plans.final_broadcast_join_count(df) >= 1
-    # Static plan keeps the hintless SMJ's two join-side exchanges (AQE
-    # elides them at runtime once the census measures tiny); the bound
-    # still catches an accidental extra sorted shuffle in reassembly.
-    assert plans.exchange_count(df) <= 6
-    # Degenerate sf path: empty census → AQE removes the join entirely.
-    assert plans.final_broadcast_join_count(line_dedup(spark, sf_dir)) == 0
+    with plans.checkpoint_audit() as ckpts:
+        df = line_dedup(spark, str(tmp_path))
+    assert len(ckpts) == 1  # census materialized once for count + join
+    assert plans.broadcast_join_count(df) >= 1  # hint → static BHJ
+    true_exch = plans.exchange_count(df) + sum(c["exch"] for c in ckpts)
+    assert true_exch <= 3
+    # sf corpora are single-line: the census is empty, still broadcast.
+    assert plans.broadcast_join_count(line_dedup(spark, sf_dir)) >= 1
 
 
 def test_gopher_quality_rule_paths_on_synthetic_corpus(spark, tmp_path):
