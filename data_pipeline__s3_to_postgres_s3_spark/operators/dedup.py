@@ -1004,3 +1004,99 @@ def exact_span_dedup(
         )
         .where(F.col("max_run_grams") >= SPAN_MIN_RUN_GRAMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental exact dedup — the production membership-test
+# shape at 100 TB: the standing corpus is summarized as a Bloom filter whose
+# state is BLOOM_NUM_BITS bits (16 KB of packed longs at 2^20) regardless of
+# corpus size; a fresh increment probes the filter and only probable members
+# pay the exact verification join. Spark ships no SQL-exposed
+# bloom_filter_agg, so the filter is built with pure DataFrame algebra:
+# Kirsch–Mitzenmacher double hashing (pos_i = (h1 + i·h2) mod bits) over
+# xxhash64, positions packed into (word_idx, bit mask) rows, and ONE
+# bit_or groupBy produces the filter as a ≤ bits/64-row frame. Bit-OR is
+# commutative/associative, so the filter is deterministic regardless of
+# partition order, and Bloom filters have NO false negatives — the verified
+# output below is therefore bit-identical to exact incremental dedup and
+# fully oracle-checkable; the bloom layer is pure I/O savings.
+BLOOM_NUM_BITS = 1 << 20
+BLOOM_NUM_HASHES = 5
+
+
+def incremental_dedup_bloom(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Incremental exact dedup via Bloom prefilter: for every NEW doc
+    whose text already exists in the standing corpus,
+    (new_doc_id, canonical_corpus_doc_id, n_corpus_copies).
+
+    Same increment boundary as incremental_dedup_minhash ((max·9)//10 —
+    the daily-partition stand-in; 1-row scalar max is the sanctioned
+    watermark aggregate). Scale shape: corpus → one narrow groupBy into
+    the 16 KB filter frame (precomputable/persistable like the minhash
+    corpus bands); increment → K probe positions each, broadcast-joined
+    against the filter; only probable members reach the exact md5 join.
+    The DuckDB oracle computes the same result with a plain hash join —
+    equality holds because Bloom filters never produce false negatives."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    thr = (int(m) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
+
+    hashed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.xxhash64("text").alias("h1"),
+        F.xxhash64("text", F.lit("bloom-salt")).alias("h2"),
+        (F.col("doc_id") >= F.lit(thr)).alias("is_new"),
+    )
+    # Both hashes reduced mod bits BEFORE the Kirsch–Mitzenmacher combine:
+    # raw h1 + i·h2 overflows int64 (an error under Spark 4's default ANSI
+    # mode); pmod-first keeps every intermediate < 5·2^20 with an
+    # equivalent double-hash family.
+    probe = F.expr(
+        f"transform(sequence(0, {BLOOM_NUM_HASHES - 1}), "
+        f"i -> pmod(pmod(h1, {BLOOM_NUM_BITS}L) "
+        f"+ i * pmod(h2, {BLOOM_NUM_BITS}L), {BLOOM_NUM_BITS}L))"
+    )
+    positions = hashed.select(
+        "doc_id", "h", "is_new", F.explode(probe).alias("pos")
+    ).select(
+        "doc_id",
+        "h",
+        "is_new",
+        F.expr("pos div 64").alias("word_idx"),
+        F.expr("shiftleft(1L, int(pos % 64))").alias("mask"),
+    )
+    bloom_words = (
+        positions.where(~F.col("is_new"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probes = (
+        positions.where(F.col("is_new"))
+        .join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(
+            "doc_id",
+            "h",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+             != 0).alias("hit"),
+        )
+    )
+    candidates = (
+        probes.groupBy("doc_id", "h")
+        .agg(F.min("hit").alias("all_hit"))
+        .where(F.col("all_hit"))
+        .select(F.col("doc_id").alias("new_doc_id"), "h")
+    )
+    corpus_hashes = hashed.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("corpus_doc_id"), "h"
+    )
+    return (
+        candidates.join(corpus_hashes, "h")
+        .groupBy("new_doc_id")
+        .agg(
+            F.min("corpus_doc_id").alias("canonical_corpus_doc_id"),
+            F.count(F.lit(1)).alias("n_corpus_copies"),
+        )
+    )

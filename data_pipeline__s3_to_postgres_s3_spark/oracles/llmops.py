@@ -1116,3 +1116,33 @@ HAVING MAX(run_len) >= {SPAN_MIN_RUN_GRAMS}
 """
 
 LLMOPS_ORACLES["exact_span_dedup"] = EXACT_SPAN_DEDUP
+
+# incremental_dedup_bloom: the oracle computes the EXACT incremental
+# dedup result with a plain hash join over the same (max*9)//10 boundary —
+# the Spark side's Bloom prefilter is pure I/O savings (no false
+# negatives), so the verified outputs are identical by construction.
+from ..operators.dedup import (
+    INCREMENTAL_NEW_FRAC_DEN,
+    INCREMENTAL_NEW_FRAC_NUM,
+)
+
+INCREMENTAL_DEDUP_BLOOM = f"""
+WITH thr AS (
+    SELECT (MAX(doc_id) * {INCREMENTAL_NEW_FRAC_NUM})
+           // {INCREMENTAL_NEW_FRAC_DEN} AS t
+    FROM documents
+),
+corpus AS (
+    SELECT doc_id, md5(text) AS h FROM documents, thr WHERE doc_id < t
+),
+fresh AS (
+    SELECT doc_id, md5(text) AS h FROM documents, thr WHERE doc_id >= t
+)
+SELECT f.doc_id AS new_doc_id,
+    MIN(c.doc_id) AS canonical_corpus_doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_corpus_copies
+FROM fresh f JOIN corpus c USING (h)
+GROUP BY f.doc_id
+"""
+
+LLMOPS_ORACLES["incremental_dedup_bloom"] = INCREMENTAL_DEDUP_BLOOM

@@ -74,6 +74,7 @@ from .operators.graph import dedup_clusters, dedup_keep_best, item_triangles
 from .operators.dedup import (
     dedup_containment,
     exact_span_dedup,
+    incremental_dedup_bloom,
     dedup_exact,
     dedup_jaccard_prefix,
     dedup_minhash_lsh,
@@ -362,6 +363,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_repetition": gopher_repetition,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "exact_span_dedup": exact_span_dedup,
+    "incremental_dedup_bloom": incremental_dedup_bloom,
 }
 
 ORACLES: dict[str, str] = {

@@ -87,6 +87,7 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     "gopher_repetition",
     "ccnet_quality_buckets",
     "exact_span_dedup",
+    "incremental_dedup_bloom",
 }
 
 
