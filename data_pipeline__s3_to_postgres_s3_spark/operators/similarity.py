@@ -84,6 +84,48 @@ def similarity_bruteforce_topk(
     )
 
 
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Top-TOP_K most-similar OTHER-label vectors per query — the hard
+    negatives a contrastive/embedding-training pipeline mines: the
+    highest-cosine corpus vectors the model must learn to push away
+    (in-batch random negatives are too easy; the informative ones are the
+    near-misses across the label boundary).
+
+    Same scale shape as similarity_bruteforce_topk (broadcast query
+    block × corpus scan, per-query window) with the label inequality
+    pushed into the join filter, so the pair stream shrinks BEFORE
+    scoring. The exact scan is the auditable baseline; at 100 TB the
+    candidate generator swaps to the LSH/IVF path exactly as top-k
+    search does (same documented swap)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("label") != F.col("query_label")
+    )
+    sim = portable_round(
+        _cosine("q_embedding", "embedding", "q_norm", "norm"), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
 def _sign_bucket(table: int, bits: int = LSH_BITS) -> F.Column:
     """Sign-bit bucket string for hash table `table` (dims bits·t+1 ..
     bits·t+bits). A fixed axis-aligned hyperplane family — deterministic so

@@ -1146,3 +1146,32 @@ GROUP BY f.doc_id
 """
 
 LLMOPS_ORACLES["incremental_dedup_bloom"] = INCREMENTAL_DEDUP_BLOOM
+
+# hard_negative_mining: brute-force oracle twin with the label inequality
+# in the join predicate — same cosine association and portable rounding as
+# SIMILARITY_BRUTEFORCE_TOPK, same (sim DESC, vec_id ASC) total ordering.
+HARD_NEGATIVE_MINING = f"""
+WITH el AS (
+    SELECT vec_id, label, embedding,
+        sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+    FROM embeddings
+),
+q AS (SELECT * FROM el WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+        e.vec_id AS vec_id, e.label AS neg_label,
+        {_COS_AB} AS sim
+    FROM q, el e
+    WHERE e.label <> q.label
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label, sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+LLMOPS_ORACLES["hard_negative_mining"] = HARD_NEGATIVE_MINING

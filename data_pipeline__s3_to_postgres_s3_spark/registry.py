@@ -85,6 +85,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import (
     embedding_kmeans,
+    hard_negative_mining,
     embedding_neardup_pairs,
     embedding_quantize,
     semantic_dedup,
@@ -364,6 +365,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "exact_span_dedup": exact_span_dedup,
     "incremental_dedup_bloom": incremental_dedup_bloom,
+    "hard_negative_mining": hard_negative_mining,
 }
 
 ORACLES: dict[str, str] = {

@@ -88,6 +88,7 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     "ccnet_quality_buckets",
     "exact_span_dedup",
     "incremental_dedup_bloom",
+    "hard_negative_mining",
 }
 
 

@@ -238,3 +238,25 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
         hits += len(exact & approx)
         total += len(exact)
     assert hits / total >= 0.9
+
+
+def test_hard_negative_mining_labels_and_ranks(spark, sf_dir):
+    """Every mined negative crosses the label boundary, each query gets
+    exactly TOP_K negatives ranked by descending similarity, and the
+    rank-1 negative is at least as similar as every other returned
+    negative for that query."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        TOP_K,
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == TOP_K
+        rs = sorted(rs, key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
