@@ -418,3 +418,54 @@ def user_value_mad(
         .cast("int")
         .alias("n_outliers"),
     )
+
+
+def customer_nation_value_rank(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-customer position within their nation's revenue distribution:
+    percent_rank (relative rank), cume_dist (fraction at-or-above in the
+    ordering), and the nation's top/bottom revenue via
+    first_value/last_value over the full-partition frame — the analytic
+    window quartet no other query exercises (SURVEY §2.5 completeness).
+
+    Determinism: the window ordering (rev_c DESC, custkey ASC) is total,
+    so percent_rank/cume_dist are exact (rank-1)/(n-1) and rank/n
+    rational values — integer-derived doubles, bit-identical in the
+    oracle. last_value uses the UNBOUNDED-to-UNBOUNDED frame (the
+    default RANGE frame would return the current row's value — the
+    classic last_value trap, pinned here on purpose).
+
+    Scale posture: revenue pre-aggregates per customer before the window
+    (|customers| rows, not |orders|); the window partitions by nation —
+    never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev_c")
+    )
+    enriched = per_cust.join(
+        customer.select("c_custkey", "c_nationkey"),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_c"), F.asc("c_custkey")
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return enriched.select(
+        F.col("n_name").alias("nation"),
+        "c_custkey",
+        F.col("rev_c").alias("revenue_cents"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_frac"),
+        F.first_value(F.col("rev_c")).over(w_full).alias("nation_top_cents"),
+        F.last_value(F.col("rev_c")).over(w_full).alias(
+            "nation_bottom_cents"
+        ),
+    )

@@ -1050,3 +1050,37 @@ FROM dau JOIN wau ON dau.day = wau.day
 """
 
 EXTENSION_ORACLES["active_users_rolling"] = ACTIVE_USERS_ROLLING
+
+# customer_nation_value_rank: mirrors operators/windows.py — same total
+# ordering (rev_c DESC, custkey ASC), same UNBOUNDED-to-UNBOUNDED frame
+# for first/last_value (the default RANGE frame would silently return the
+# current row for last_value). percent_rank/cume_dist are integer-derived
+# rationals, bit-identical across engines. SUM cast back to BIGINT
+# (HUGEINT trap).
+CUSTOMER_NATION_VALUE_RANK = """
+WITH per_cust AS (
+    SELECT o_custkey,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+            AS rev_c
+    FROM orders GROUP BY o_custkey
+),
+enriched AS (
+    SELECT n_name AS nation, c_custkey, rev_c
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, c_custkey, rev_c AS revenue_cents,
+    PERCENT_RANK() OVER w AS pct_rank,
+    CUME_DIST() OVER w AS cume_frac,
+    FIRST_VALUE(rev_c) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS nation_top_cents,
+    LAST_VALUE(rev_c) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS nation_bottom_cents
+FROM enriched
+WINDOW w AS (PARTITION BY nation ORDER BY rev_c DESC, c_custkey ASC)
+"""
+
+EXTENSION_ORACLES["customer_nation_value_rank"] = CUSTOMER_NATION_VALUE_RANK

@@ -144,6 +144,7 @@ from .operators.watermark import (
     orders_without_lineitems_anti,
 )
 from .operators.windows import (
+    customer_nation_value_rank,
     customer_revenue_deciles,
     customer_rfm_segments,
     user_value_mad,
@@ -366,6 +367,7 @@ QUERIES: dict[str, QueryFn] = {
     "exact_span_dedup": exact_span_dedup,
     "incremental_dedup_bloom": incremental_dedup_bloom,
     "hard_negative_mining": hard_negative_mining,
+    "customer_nation_value_rank": customer_nation_value_rank,
 }
 
 ORACLES: dict[str, str] = {

@@ -62,3 +62,30 @@ def test_vocab_census_tie_break_deterministic(spark, tmp_path):
     assert a == b
     # tokens t64..t79 are OOV for every doc: 16/80 exactly.
     assert all(r[2] == 16 and r[3] == 0.2 for r in a)
+
+
+def test_customer_nation_value_rank_window_semantics(spark, sf_dir):
+    """percent_rank/cume_dist bounds + the last_value frame trap: with
+    the UNBOUNDED-to-UNBOUNDED frame, nation_bottom equals the nation's
+    true minimum for EVERY row (the default RANGE frame would echo the
+    current row's value instead)."""
+    from collections import defaultdict
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.windows import (
+        customer_nation_value_rank,
+    )
+
+    rows = customer_nation_value_rank(spark, sf_dir).collect()
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r["nation"]].append(r)
+    for nation, rs in by_nation.items():
+        revs = [r["revenue_cents"] for r in rs]
+        top, bottom = max(revs), min(revs)
+        for r in rs:
+            assert r["nation_top_cents"] == top
+            assert r["nation_bottom_cents"] == bottom
+            assert 0.0 <= r["pct_rank"] <= 1.0
+            assert 0.0 < r["cume_frac"] <= 1.0
+        # Exactly one rank-0 row (the top customer) per nation.
+        assert sum(1 for r in rs if r["pct_rank"] == 0.0) == 1

@@ -89,6 +89,7 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     "exact_span_dedup",
     "incremental_dedup_bloom",
     "hard_negative_mining",
+    "customer_nation_value_rank",
 }
 
 
