@@ -206,15 +206,12 @@ QUERIES: dict[str, QueryFn] = {
     "shipment_percentages": shipment_percentages,
     "best_performing_product": best_performing_product,
     "tripdata_monthly_metrics": tripdata_monthly_metrics,
-    # -- CDC upsert (sole MERGE surface — cheap to keep hashed) -----------
-    "cdc_merge_customers": cdc_merge_customers,
     # -- SQL-script executor (S5) rep; keeps the agg_shipments oracle
     #    driver-hashed while the operator twin sits in the tail ----------
     "sql_script_shipments": sql_script_shipments,
     # -- structured streaming reps (the round-3 breakage class): one
     #    classic watermark agg, one custom-stateful, plus the two round-5
     #    newcomers that have only a single green round behind them --------
-    "stream_hourly_rollup": stream_hourly_rollup,
     "stream_session_stats": stream_session_stats,
     "stream_funnel_stage": stream_funnel_stage,
     "stream_ohlc": stream_ohlc,
@@ -222,13 +219,23 @@ QUERIES: dict[str, QueryFn] = {
     "purchase_last_view_asof": purchase_last_view_asof,
     # -- similarity reps (IVF = most machinery; quantize = single green) --
     "similarity_ivf_topk": similarity_ivf_topk,
-    "embedding_quantize": embedding_quantize,
     # -- dedup reps (LSH = most machinery; the three round-5 newcomers
     #    keep their second consecutive driver hash) -----------------------
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_containment": dedup_containment,
-    "incremental_dedup_minhash": incremental_dedup_minhash,
-    "semantic_dedup": semantic_dedup,
+    # -- late round-6 additions, swapped straight into the window so the
+    #    driver hashes them THIS round (their sf0.01 results are
+    #    meaningful-row; incremental_dedup_bloom stays in tail grace —
+    #    its sf0.01 oracle check is 0-vs-0 until the corpus has
+    #    cross-boundary exact dups). Swapped out to make room (all r5
+    #    hash-green + dedicated local pins): cdc_merge_customers,
+    #    stream_hourly_rollup, incremental_dedup_minhash, semantic_dedup,
+    #    embedding_quantize.
+    "gopher_repetition": gopher_repetition,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
+    "exact_span_dedup": exact_span_dedup,
+    "hard_negative_mining": hard_negative_mining,
+    "customer_nation_value_rank": customer_nation_value_rank,
     # ===== round-6 rotation block: never-driver-hashed until now =========
     # -- temporal / events analytics (heaviest machinery first) -----------
     "events_ohlc": events_ohlc,
@@ -271,6 +278,13 @@ QUERIES: dict[str, QueryFn] = {
     # matrix. sql_script twins: the public_holiday/best_product oracles
     # stay hashed via the operator entries in the window head.
     "sql_script_public_holiday": sql_script_public_holiday,
+    # Late round-6 swap-outs (r5 hash-green + dedicated local pins; see
+    # the window comment above):
+    "cdc_merge_customers": cdc_merge_customers,
+    "stream_hourly_rollup": stream_hourly_rollup,
+    "incremental_dedup_minhash": incremental_dedup_minhash,
+    "semantic_dedup": semantic_dedup,
+    "embedding_quantize": embedding_quantize,
     "sql_script_best_product": sql_script_best_product,
     "stream_sliding_value": stream_sliding_value,
     "stream_dedup_events": stream_dedup_events,
@@ -359,15 +373,11 @@ QUERIES: dict[str, QueryFn] = {
     "dormant_high_value_customers": dormant_high_value_customers,
     "order_status_pivot": order_status_pivot,
     "order_status_unpivot": order_status_unpivot,
-    # -- new in round 6: enters the tail first under the one-round grace
-    #    (TAIL_GRACE_NEW_THIS_ROUND in test_registry_contract.py), rotates
-    #    into the driver window next round per the rotation contract. ----
-    "gopher_repetition": gopher_repetition,
-    "ccnet_quality_buckets": ccnet_quality_buckets,
-    "exact_span_dedup": exact_span_dedup,
+    # -- new in round 6, tail grace (TAIL_GRACE_NEW_THIS_ROUND): the
+    #    sf0.01 oracle result is 0-row, so a driver hash adds nothing
+    #    until the regenerated corpus carries cross-boundary exact dups;
+    #    semantics are pinned by test_bloom_dedup.py. -------------------
     "incremental_dedup_bloom": incremental_dedup_bloom,
-    "hard_negative_mining": hard_negative_mining,
-    "customer_nation_value_rank": customer_nation_value_rank,
 }
 
 ORACLES: dict[str, str] = {
