@@ -173,3 +173,61 @@ FROM e GROUP BY bucket_ts, user_id
 """
 
 STREAMING_ORACLES["stream_ohlc"] = STREAM_OHLC
+
+# stream_minhash_dedup: the streaming pair set is arrival-order-insensitive
+# (every co-bucket pair emitted exactly once, estimate from full
+# signatures), so the oracle is the batch formulation — the SAME shingle /
+# signature / banding CTEs as the dedup family (imported fragments keep
+# the definitions in lockstep), candidates deduped across bands, estimate
+# = matching permutations / PERMS, filtered at the stream's threshold.
+from ..operators.dedup import (
+    MINHASH_BAND_ROWS as _SMD_BAND_ROWS,
+    MINHASH_PERMS as _SMD_PERMS,
+    MINHASH_PRIME as _SMD_PRIME,
+)
+from .llmops import _A_LIST, _B_LIST, _HEX7_TO_INT, _SHINGLES
+
+def _stream_minhash_dedup_sql(est_min: float) -> str:
+    return f"""
+WITH {_SHINGLES},
+hashed AS (
+    SELECT doc_id, {_HEX7_TO_INT} AS h
+    FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+),
+mh AS (
+    SELECT doc_id, p,
+        MIN((({_A_LIST})[p + 1] * h + ({_B_LIST})[p + 1])
+            % {_SMD_PRIME}) AS minhash
+    FROM hashed, unnest(generate_series(0, {_SMD_PERMS - 1})) AS t(p)
+    GROUP BY doc_id, p
+),
+bands AS (
+    SELECT doc_id, p // {_SMD_BAND_ROWS} AS band,
+        md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY p)) AS band_key
+    FROM mh GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+        COUNT(CASE WHEN ma.minhash = mb.minhash THEN 1 END) AS n_match
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+    CAST(n_match AS DOUBLE) / {_SMD_PERMS} AS est_sim
+FROM est
+WHERE CAST(n_match AS DOUBLE) / {_SMD_PERMS} >= {est_min}
+"""
+
+from ..streaming.docs import STREAM_MINHASH_EST_MIN as _SMD_EST_MIN
+
+STREAMING_ORACLES["stream_minhash_dedup"] = _stream_minhash_dedup_sql(
+    _SMD_EST_MIN
+)

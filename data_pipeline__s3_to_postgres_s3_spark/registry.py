@@ -173,6 +173,7 @@ from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
+    stream_minhash_dedup,
     stream_funnel_stage,
     stream_ohlc,
     stream_rolling_zscore,
@@ -215,8 +216,11 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_stats": stream_session_stats,
     "stream_funnel_stage": stream_funnel_stage,
     "stream_ohlc": stream_ohlc,
-    # -- temporal-join rep ------------------------------------------------
-    "purchase_last_view_asof": purchase_last_view_asof,
+    # Late round-6: brand-new streaming oracle enters the window
+    # immediately (streaming is the breakage class — stream_ohlc
+    # precedent); purchase_last_view_asof rotates out to make room
+    # (hash-green r3-r5, ts-encoding-matrix + local as-of pins).
+    "stream_minhash_dedup": stream_minhash_dedup,
     # -- similarity reps (IVF = most machinery; quantize = single green) --
     "similarity_ivf_topk": similarity_ivf_topk,
     # -- dedup reps (LSH = most machinery; the three round-5 newcomers
@@ -280,6 +284,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_script_public_holiday": sql_script_public_holiday,
     # Late round-6 swap-outs (r5 hash-green + dedicated local pins; see
     # the window comment above):
+    "purchase_last_view_asof": purchase_last_view_asof,
     "cdc_merge_customers": cdc_merge_customers,
     "stream_hourly_rollup": stream_hourly_rollup,
     "incremental_dedup_minhash": incremental_dedup_minhash,

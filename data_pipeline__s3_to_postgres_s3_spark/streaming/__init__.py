@@ -1,3 +1,4 @@
+from .docs import stream_minhash_dedup
 from .events import (
     stream_dedup_events,
     stream_funnel_stage,
@@ -13,6 +14,7 @@ from .events import (
 
 __all__ = [
     "stream_dedup_events",
+    "stream_minhash_dedup",
     "stream_funnel_stage",
     "stream_ohlc",
     "stream_hourly_rollup",

@@ -1,0 +1,200 @@
+"""Structured Streaming over the documents corpus: continuous-ingest
+near-duplicate detection.
+
+``stream_minhash_dedup`` is the streaming twin of the batch MinHash LSH
+dedup (operators/dedup.py): every arriving document is signed row-locally
+(shingle → md5 → 16 affine permutations — array expressions, because a
+streaming query cannot put a groupBy aggregation in front of a stateful
+operator), banded into 4 LSH buckets, and checked against the bucket's
+keyed state, which holds only (doc_id, 16-long signature) per member —
+the production-shaped state: 128 bytes per doc per band regardless of
+document size, never the text or shingles.
+
+Determinism / oracle: the emitted PAIR SET is arrival-order-INSENSITIVE —
+every co-bucket pair is emitted exactly once, when its later member
+arrives, and the similarity estimate compares full signatures, which do
+not depend on order. The DuckDB oracle is the batch formulation: the
+same shingles → signatures → bands → candidate pairs → matching-perms
+estimate, filtered at the same threshold. (Contrast with the in-order
+ring-buffer ops in streaming/events.py — this one belongs to the
+order-insensitive class, like the MIN-state funnel.)
+
+Scale notes: state grows with the corpus (it IS the incremental dedup
+index — the same standing structure incremental_dedup_minhash
+precomputes batch-side); production bounds it by partitioning the corpus
+into epochs or TTL-ing buckets, both outside the dedup semantics. The
+stateful shuffle is one exchange on (band, band_key) — bucket-local,
+exactly like the batch LSH join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BAND_ROWS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    _shingle_arrays,
+)
+from .events import run_to_memory
+
+# Emit co-bucket pairs whose signature agreement is at least this — the
+# half-agreement floor keeps band-collision noise out of the sink while
+# every exact/near dup (est ≈ 1.0) always lands.
+STREAM_MINHASH_EST_MIN = 0.5
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        # LongType absorbs an int32-encoded doc_id (pinned behavior for
+        # file streams, tests/test_int_encoding.py).
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+MINHASH_PAIR_OUTPUT = StructType(
+    [
+        StructField("doc_a", LongType(), True),
+        StructField("doc_b", LongType(), True),
+        StructField("n_match", LongType(), True),
+    ]
+)
+# Bucket members: doc ids + their signatures flattened (MINHASH_PERMS
+# longs per doc, same order as doc_ids).
+MINHASH_BUCKET_STATE = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType()), True),
+        StructField("sigs", ArrayType(LongType()), True),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source documents stream (declared schema — file streams cannot
+    infer; the corpus drop-zone shape)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.option("pathGlobFilter", "documents*.parquet").parquet(sf_dir)
+
+
+def _minhash_bucket_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        doc_ids_t, sigs_t = state.get
+        doc_ids = list(doc_ids_t)
+        sigs = list(sigs_t)
+    else:
+        doc_ids, sigs = [], []
+    rows: list[tuple[int, list[int]]] = []
+    for pdf in pdfs:
+        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            rows.append((int(doc_id), [int(x) for x in sig]))
+    # Intra-batch order is not defined by the source; sort for a stable
+    # walk. The emitted pair SET is order-insensitive either way: each
+    # unordered pair appears exactly once, via its later-processed member.
+    rows.sort()
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_m: list[int] = []
+    p = MINHASH_PERMS
+    for doc_id, sig in rows:
+        for j, other in enumerate(doc_ids):
+            osig = sigs[j * p : (j + 1) * p]
+            n = sum(1 for x, y in zip(sig, osig) if x == y)
+            out_a.append(min(other, doc_id))
+            out_b.append(max(other, doc_id))
+            out_m.append(n)
+        doc_ids.append(doc_id)
+        sigs.extend(sig)
+    state.update((doc_ids, sigs))
+    if out_a:
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "n_match": out_m})
+
+
+def stream_minhash_dedup(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming near-dup pairs: (doc_a, doc_b, est_sim) for every
+    co-bucket pair with signature agreement ≥ STREAM_MINHASH_EST_MIN."""
+    docs = read_documents_stream(spark, sf_dir, max_files_per_trigger)
+    arrays = _shingle_arrays(docs)
+    hs = F.expr(
+        "transform(shingles, s -> "
+        "cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"
+    )
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> "
+                f"(h * {MINHASH_A[bp]}L + {MINHASH_B[bp]}L) % {MINHASH_PRIME}L))"
+            )
+            for bp in range(MINHASH_PERMS)
+        ]
+    )
+    signed = arrays.select("doc_id", hs.alias("hs")).select(
+        "doc_id", sig.alias("sig")
+    )
+    n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * MINHASH_BAND_ROWS + i + 1)
+                            for i in range(MINHASH_BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signed.select(
+        "doc_id", "sig", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
+        _minhash_bucket_fn,
+        MINHASH_PAIR_OUTPUT,
+        MINHASH_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(pairs, "append", state_partitions=8)
+    est = F.col("n_match").cast("double") / MINHASH_PERMS
+    return (
+        sink.select("doc_a", "doc_b", est.alias("est_sim"))
+        .where(F.col("est_sim") >= STREAM_MINHASH_EST_MIN)
+        .distinct()
+    )

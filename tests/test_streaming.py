@@ -309,3 +309,102 @@ def test_funnel_stage_is_not_monotone_and_seq_recovery_is_right():
     assert stages[seqs.index(max(seqs))] == 1  # seq recovery reports 1
     assert _funnel_stage_of([3, None, None, None]) == 1
     assert _funnel_stage_of([None, 1, 2, 3]) == 0
+
+
+@pytest.fixture(scope="module")
+def split_docs_dir(spark, sf_small, tmp_path_factory):
+    """documents split into 4 files named documents-*.parquet (matches the
+    doc stream's pathGlobFilter) by doc_id quartile — deterministic file
+    boundaries so cross-batch pairs are reproducible."""
+    out = tmp_path_factory.mktemp("docs_split")
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    n = docs.count()
+    rows_per = n // 4 + 1
+    ranked = docs.withColumn(
+        "bucket",
+        F.floor(
+            (F.row_number().over(Window.orderBy("doc_id")) - 1) / rows_per
+        ),
+    )
+    for b in range(4):
+        ranked.where(F.col("bucket") == b).drop("bucket").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{out}/part{b}")
+    import glob as _glob
+    import shutil
+
+    for b in range(4):
+        src = _glob.glob(f"{out}/part{b}/part-*.parquet")[0]
+        shutil.copy(src, f"{out}/documents-{b}.parquet")
+        shutil.rmtree(f"{out}/part{b}")
+    return str(out)
+
+
+def test_stream_minhash_dedup_across_batches_matches_batch_oracle(
+    spark, sf_small, split_docs_dir
+):
+    """The pair set must be identical whether the corpus arrives as one
+    micro-batch or four (state carries bucket members across batches),
+    and must equal the batch LSH formulation (the DuckDB oracle)."""
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.streaming.docs import (
+        stream_minhash_dedup,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    one = sorted(
+        tuple(r) for r in stream_minhash_dedup(spark, sf_small).collect()
+    )
+    multi = sorted(
+        tuple(r)
+        for r in stream_minhash_dedup(
+            spark, split_docs_dir, max_files_per_trigger=1
+        ).collect()
+    )
+    assert one == multi
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["stream_minhash_dedup"]).fetchall()
+    )
+    assert one == want
+    assert len(one) > 0  # sf0.001 carries exact dups → est 1.0 pairs
+
+
+def test_stream_minhash_dedup_finds_cross_batch_near_dups(spark, tmp_path):
+    """A near-dup pair whose members arrive in DIFFERENT micro-batches is
+    found via keyed state; unrelated docs produce no pairs."""
+    from data_pipeline__s3_to_postgres_s3_spark.streaming.docs import (
+        stream_minhash_dedup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    other = " ".join(f"zed{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, base, "en", "a", len(base))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/b0")
+    spark.createDataFrame(
+        [(2, near, "en", "a", len(near)), (3, other, "en", "a", len(other))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/b1")
+    import glob as _glob
+    import shutil
+
+    for b in range(2):
+        src = _glob.glob(f"{tmp_path}/b{b}/part-*.parquet")[0]
+        shutil.copy(src, f"{tmp_path}/documents-{b}.parquet")
+        shutil.rmtree(f"{tmp_path}/b{b}")
+
+    got = stream_minhash_dedup(
+        spark, str(tmp_path), max_files_per_trigger=1
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_sim"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert all(3 not in p for p in pairs)
