@@ -413,3 +413,49 @@ def weighted_sample_tokens(
         .orderBy("priority", "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+def dataset_card(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """One-row global dataset card — the summary a curation pipeline
+    publishes beside its shards (the global twin of corpus_stats' per-lang
+    and per_source_report's per-source views, reconciling with both):
+    corpus size, vocabulary-of-sources breadth, token/char volume, exact
+    duplicate mass, and the token-length distribution.
+
+    Scale shape: ONE scan into ONE 1-row aggregate; the dup counter rides
+    the same aggregate via count_distinct(md5) — no self-join, no second
+    pass. Exact percentiles buffer per group at production scale →
+    percentile_approx swap (corpus_stats precedent, same column
+    surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_size(F.split(F.col("text"), " "))
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        toks.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    n = F.count(F.lit(1))
+    n_dups = n - F.count_distinct("h")
+    return per_doc.agg(
+        n.alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        n_dups.alias("n_exact_dups"),
+        portable_round(n_dups.cast("double") / n, 6).alias("exact_dup_rate"),
+        portable_round(F.sum("n_tokens").cast("double") / n, 6).alias(
+            "mean_tokens"
+        ),
+        portable_round(F.percentile("n_tokens", F.lit(0.5)), 6).alias(
+            "p50_tokens"
+        ),
+        portable_round(F.percentile("n_tokens", F.lit(0.9)), 6).alias(
+            "p90_tokens"
+        ),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -238,3 +238,33 @@ LIMIT {WEIGHTED_SAMPLE_K}
 
 WEIGHTED_SAMPLE_TOKENS = _weighted_sample_sql()
 SAMPLING_ORACLES["weighted_sample_tokens"] = WEIGHTED_SAMPLE_TOKENS
+
+# dataset_card: the global one-row twin of CORPUS_STATS — same token/char
+# expressions, same portable rounding, HUGEINT sums cast back to BIGINT,
+# and the dup counter as COUNT(*) - COUNT(DISTINCT md5(text)) exactly like
+# PER_SOURCE_REPORT's per-source form.
+DATASET_CARD = f"""
+WITH per_doc AS (
+    SELECT lang, source, md5(text) AS h,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) AS n_chars
+    FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+    COUNT(DISTINCT lang) AS n_langs,
+    COUNT(DISTINCT source) AS n_sources,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+    {portable_round_sql(
+        'CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)', 6
+    )} AS exact_dup_rate,
+    {portable_round_sql('CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)', 6)}
+        AS mean_tokens,
+    {portable_round_sql('quantile_cont(n_tokens, 0.5)', 6)} AS p50_tokens,
+    {portable_round_sql('quantile_cont(n_tokens, 0.9)', 6)} AS p90_tokens,
+    CAST(MAX(n_tokens) AS INT) AS max_tokens
+FROM per_doc
+"""
+
+SAMPLING_ORACLES["dataset_card"] = DATASET_CARD

@@ -108,6 +108,7 @@ from .operators.profiling import (
 from .operators.sampling import (
     chunk_documents,
     corpus_stats,
+    dataset_card,
     sample_k_per_group,
     stratified_sample,
     temperature_resample,
@@ -383,6 +384,7 @@ QUERIES: dict[str, QueryFn] = {
     #    until the regenerated corpus carries cross-boundary exact dups;
     #    semantics are pinned by test_bloom_dedup.py. -------------------
     "incremental_dedup_bloom": incremental_dedup_bloom,
+    "dataset_card": dataset_card,
 }
 
 ORACLES: dict[str, str] = {

@@ -94,6 +94,7 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     # exact dups); semantics pinned in test_bloom_dedup.py. Rotate in —
     # or re-justify — in round 7:
     "incremental_dedup_bloom",
+    "dataset_card",
 }
 
 

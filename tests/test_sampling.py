@@ -288,3 +288,30 @@ def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
     assert sorted(tuple(r) for r in weighted_sample_tokens(spark, sf_dir).collect()) == sorted(
         tuple(r) for r in rows
     )
+
+
+def test_dataset_card_reconciles_with_grouped_views(spark, sf_dir):
+    """The global card must agree with the per-lang (corpus_stats) and
+    per-source (per_source_report) views on every shared total — one
+    corpus, three groupings, identical grand totals."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        per_source_report,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        corpus_stats,
+        dataset_card,
+    )
+
+    card = dataset_card(spark, sf_dir).collect()[0]
+    by_lang = corpus_stats(spark, sf_dir).collect()
+    by_source = per_source_report(spark, sf_dir).collect()
+    assert card["n_docs"] == sum(r["n_docs"] for r in by_lang)
+    assert card["n_docs"] == sum(r["n_docs"] for r in by_source)
+    assert card["total_tokens"] == sum(r["total_tokens"] for r in by_lang)
+    assert card["total_tokens"] == sum(r["total_tokens"] for r in by_source)
+    assert card["n_langs"] == len(by_lang)
+    assert card["n_sources"] == len(by_source)
+    # Global exact-dup mass >= the per-source sum (cross-source dups only
+    # collapse under the global distinct).
+    assert card["n_exact_dups"] >= sum(r["n_exact_dups"] for r in by_source)
+    assert 0.0 <= card["exact_dup_rate"] < 1.0
