@@ -616,3 +616,69 @@ def semdedup_cluster_report(
             F.when(pairs > SEMDEDUP_PAIR_BUDGET, 1).otherwise(0)
         ).alias("over_budget_clusters"),
     )
+
+
+def semantic_decontaminate(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic twin of
+    curation.decontaminate_eval_overlap's lexical n-gram screen: a TRAIN
+    vector whose cosine to SOME TEST vector clears SEMDEDUP_COSINE is a
+    probable paraphrase/near-copy of eval material that shares no 3-gram
+    (the leakage class lexical screens miss). Output per train vector:
+    its nearest eval vector, the cosine, and the contamination verdict.
+
+    Split: the SAME multiplicative-hash buckets as dataset_split, keyed
+    on vec_id (the corpus's doc-embedding table; vec_id is the doc key —
+    the semantic_dedup convention), so the three decontamination surfaces
+    compose: split → lexical screen → semantic screen.
+
+    Scale shape: eval sets are orders of magnitude smaller than training
+    corpora, so the eval block BROADCASTS and the pair stream is a
+    map-side |train|×|eval| scan — no shuffle until the per-train
+    ROW_NUMBER pick, which partitions by train id (never global). For an
+    eval set beyond broadcast, the LSH/IVF candidate generators above are
+    the documented swap (same verdict surface). Cosines are
+    portable_round-ed at 1e-4 (fold-order-proof)."""
+    from .sampling import (
+        HASH_MOD,
+        HASH_MULT,
+        SPLIT_BUCKETS,
+        TRAIN_UPTO,
+        VAL_UPTO,
+    )
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bucket = (F.col("vec_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    emb = emb.withColumn("bucket", bucket)
+    train = emb.where(F.col("bucket") < TRAIN_UPTO).select(
+        "vec_id",
+        F.col("embedding").alias("emb_t"),
+        F.col("norm").alias("norm_t"),
+    )
+    eval_side = emb.where(F.col("bucket") >= VAL_UPTO).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("emb_e"),
+        F.col("norm").alias("norm_e"),
+    )
+    sim = portable_round(
+        F.expr(_DOT.format(a="emb_t", b="emb_e"))
+        / (F.col("norm_t") * F.col("norm_e")),
+        4,
+    )
+    pairs = train.crossJoin(F.broadcast(eval_side)).select(
+        "vec_id", "eval_vec_id", sim.alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("eval_vec_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "eval_vec_id",
+            "cosine",
+            (F.col("cosine") >= SEMDEDUP_COSINE).alias("is_contaminated"),
+        )
+    )

@@ -1175,3 +1175,42 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 LLMOPS_ORACLES["hard_negative_mining"] = HARD_NEGATIVE_MINING
+
+# semantic_decontaminate: same multiplicative-hash split as dataset_split
+# (keyed on vec_id — the doc-embedding convention), same cosine fold and
+# portable rounding, same (cosine DESC, eval_vec_id ASC) nearest pick.
+from ..operators.sampling import (
+    HASH_MOD as _SD_MOD,
+    HASH_MULT as _SD_MULT,
+    SPLIT_BUCKETS as _SD_BUCKETS,
+    TRAIN_UPTO as _SD_TRAIN,
+    VAL_UPTO as _SD_VAL,
+)
+from ..operators.similarity import SEMDEDUP_COSINE as _SD_COSINE
+
+SEMANTIC_DECONTAMINATE = f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+        sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
+        vec_id * {_SD_MULT} % {_SD_MOD} % {_SD_BUCKETS} AS bucket
+    FROM embeddings
+),
+train AS (SELECT * FROM e WHERE bucket < {_SD_TRAIN}),
+ev AS (SELECT * FROM e WHERE bucket >= {_SD_VAL}),
+pairs AS (
+    SELECT t.vec_id, ev.vec_id AS eval_vec_id,
+        FLOOR(({_DOT_SQL.format(a='t.embedding', b='ev.embedding')}
+               / (t.norm * ev.norm)) * 10000 + 0.5) / 10000 AS cosine
+    FROM train t, ev
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, eval_vec_id ASC) AS rn
+    FROM pairs
+)
+SELECT vec_id, eval_vec_id, cosine,
+    cosine >= {_SD_COSINE} AS is_contaminated
+FROM ranked WHERE rn = 1
+"""
+
+LLMOPS_ORACLES["semantic_decontaminate"] = SEMANTIC_DECONTAMINATE

