@@ -215,7 +215,6 @@ QUERIES: dict[str, QueryFn] = {
     # -- structured streaming reps (the round-3 breakage class): one
     #    classic watermark agg, one custom-stateful, plus the two round-5
     #    newcomers that have only a single green round behind them --------
-    "stream_session_stats": stream_session_stats,
     "stream_funnel_stage": stream_funnel_stage,
     "stream_ohlc": stream_ohlc,
     # Late round-6: brand-new streaming oracle enters the window
@@ -223,6 +222,10 @@ QUERIES: dict[str, QueryFn] = {
     # precedent); purchase_last_view_asof rotates out to make room
     # (hash-green r3-r5, ts-encoding-matrix + local as-of pins).
     "stream_minhash_dedup": stream_minhash_dedup,
+    # Late round-6: semantic_decontaminate (398-row embeddings oracle)
+    # takes stream_session_stats' slot (hash-green r3-r5, session
+    # semantics locally pinned) for its first driver hash.
+    "semantic_decontaminate": semantic_decontaminate,
     # -- similarity reps (IVF = most machinery; quantize = single green) --
     "similarity_ivf_topk": similarity_ivf_topk,
     # -- dedup reps (LSH = most machinery; the three round-5 newcomers
@@ -287,6 +290,7 @@ QUERIES: dict[str, QueryFn] = {
     # Late round-6 swap-outs (r5 hash-green + dedicated local pins; see
     # the window comment above):
     "purchase_last_view_asof": purchase_last_view_asof,
+    "stream_session_stats": stream_session_stats,
     "cdc_merge_customers": cdc_merge_customers,
     "stream_hourly_rollup": stream_hourly_rollup,
     "incremental_dedup_minhash": incremental_dedup_minhash,
@@ -386,7 +390,6 @@ QUERIES: dict[str, QueryFn] = {
     #    semantics are pinned by test_bloom_dedup.py. -------------------
     "incremental_dedup_bloom": incremental_dedup_bloom,
     "dataset_card": dataset_card,
-    "semantic_decontaminate": semantic_decontaminate,
 }
 
 ORACLES: dict[str, str] = {

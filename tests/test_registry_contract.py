@@ -83,6 +83,8 @@ ROTATED_IN = {
     "exact_span_dedup",
     "hard_negative_mining",
     "customer_nation_value_rank",
+    "stream_minhash_dedup",
+    "semantic_decontaminate",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
@@ -95,7 +97,6 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     # or re-justify — in round 7:
     "incremental_dedup_bloom",
     "dataset_card",
-    "semantic_decontaminate",
 }
 
 
