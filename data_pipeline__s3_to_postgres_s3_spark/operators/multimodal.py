@@ -154,37 +154,109 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("n_bytes", IntegerType(), True),
         StructField("mean_byte", DoubleType(), True),
         StructField("byte_entropy", DoubleType(), True),
+        # Image-decode columns (round 6): populated when the payload is a
+        # decodable image (BMP — the one raster format parseable with the
+        # stdlib alone, no PIL in this container); NULL + decoded=False
+        # otherwise. A PIL drop-in extends _decode_image, not the schema.
+        StructField("decoded", StringType(), True),  # 'bmp' | None
+        StructField("img_width", IntegerType(), True),
+        StructField("img_height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
     ]
 )
 
 
+def _decode_image(payload: bytes) -> dict | None:
+    """REAL image decode for uncompressed 24-bit BMP (pure stdlib struct —
+    the container ships no media libraries, and BMP needs none): parses
+    the BITMAPFILEHEADER/BITMAPINFOHEADER, walks the 4-byte-padded BGR
+    rows, returns dimensions + exact per-channel means. Returns None for
+    anything that is not a decodable BMP (the caller falls back to
+    byte-level features with decoded=NULL — the honest stand-in for
+    formats that genuinely need PIL/libav)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        header_sz = struct.unpack_from("<I", payload, 14)[0]
+        if header_sz < 40:
+            return None
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        return None
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+        return None
+    flipped = height > 0  # positive height = bottom-up rows (the default)
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    if data_off + row_bytes * height > len(payload):
+        return None
+    tr = tg = tb = 0
+    for r in range(height):
+        base = data_off + r * row_bytes
+        for c in range(width):
+            i = base + c * 3
+            tb += payload[i]
+            tg += payload[i + 1]
+            tr += payload[i + 2]
+    n_px = width * height
+    return {
+        "decoded": "bmp",
+        "img_width": width,
+        "img_height": height,
+        "mean_r": tr / n_px,
+        "mean_g": tg / n_px,
+        "mean_b": tb / n_px,
+        "flipped": flipped,
+    }
+
+
 def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """DECODE STAND-IN. A real deployment decodes here (PIL for images,
-    soundfile/librosa for audio, pyav frame extraction for video) — none of
-    those libraries exist in this container, so this computes deterministic
-    byte-level features from the real payload instead. Signature and return
-    contract are what a real decoder would use."""
+    """Byte-level features for every payload + a REAL decode where the
+    format allows one without media libraries (see _decode_image). For
+    audio/video and non-BMP images this remains the documented
+    deterministic stand-in; a PIL/soundfile drop-in replaces only the
+    inner decode, the signature and schema stay fixed."""
     import math
 
     n = len(payload)
+    base = {
+        "decoded": None,
+        "img_width": None,
+        "img_height": None,
+        "mean_r": None,
+        "mean_g": None,
+        "mean_b": None,
+    }
     if n == 0:
-        return {"n_bytes": 0, "mean_byte": 0.0, "byte_entropy": 0.0}
+        return {"n_bytes": 0, "mean_byte": 0.0, "byte_entropy": 0.0, **base}
     counts: dict[int, int] = {}
     total = 0
     for b in payload:
         counts[b] = counts.get(b, 0) + 1
         total += b
     entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
-    return {"n_bytes": n, "mean_byte": total / n, "byte_entropy": entropy}
+    img = _decode_image(payload)
+    if img is not None:
+        base = {k: img[k] for k in base}
+    return {
+        "n_bytes": n,
+        "mean_byte": total / n,
+        "byte_entropy": entropy,
+        **base,
+    }
 
 
-def media_features(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
-) -> DataFrame:
-    """Per-asset decoded features via Arrow-batched mapInPandas — the slow
-    path, used ONLY where built-ins genuinely can't reach (inside the
-    payload bytes). Batches stream through executors; nothing is collected
-    driver-side."""
+def media_features_frame(m: DataFrame) -> DataFrame:
+    """Feature extraction over any (doc_id, media_type, payload) frame —
+    the planted-fixture entry point (tests decode REAL BMP bytes through
+    it); media_features wires it to the derived corpus media table."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -197,11 +269,33 @@ def media_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "mean_byte": [f["mean_byte"] for f in feats],
-                    "byte_entropy": [f["byte_entropy"] for f in feats],
+                    **{
+                        k: [f[k] for f in feats]
+                        for k in (
+                            "n_bytes",
+                            "mean_byte",
+                            "byte_entropy",
+                            "decoded",
+                            "img_width",
+                            "img_height",
+                            "mean_r",
+                            "mean_g",
+                            "mean_b",
+                        )
+                    },
                 }
             )
 
-    m = media_table(spark, sf_dir).select("doc_id", "media_type", "payload")
-    return m.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+    return m.select("doc_id", "media_type", "payload").mapInPandas(
+        extract, MEDIA_FEATURES_SCHEMA
+    )
+
+
+def media_features(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-asset decoded features via Arrow-batched mapInPandas — the slow
+    path, used ONLY where built-ins genuinely can't reach (inside the
+    payload bytes). Batches stream through executors; nothing is collected
+    driver-side."""
+    return media_features_frame(media_table(spark, sf_dir))
