@@ -191,7 +191,13 @@ def stream_minhash_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    sink = run_to_memory(pairs, "append", state_partitions=8)
+    # State partition sizing (r6 A/B at sf0.1, warm): 4→11.1s, 8→7.1s,
+    # 16→5.4s, 32→4.0-5.1s, 64→14s. The events stateful ops size DOWN to
+    # key cardinality (1.5k users); here bucket-key cardinality (~4 per
+    # doc) far exceeds cores, so the right cap is the core count — and
+    # overshooting it pays a Python worker round-trip per empty partition
+    # per micro-batch (the 64 collapse).
+    sink = run_to_memory(pairs, "append", state_partitions=32)
     est = F.col("n_match").cast("double") / MINHASH_PERMS
     return (
         sink.select("doc_a", "doc_b", est.alias("est_sim"))
