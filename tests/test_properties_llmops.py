@@ -204,3 +204,93 @@ def test_gopher_repetition_matches_python_recompute(
     assert r["dup_5gram_char_frac"] == (
         dup5 / n_wchars if n_wchars > 0 else 0.0
     )
+
+
+@PROP_SETTINGS
+@given(
+    doc_tokens=st.lists(
+        st.lists(_token, min_size=1, max_size=8), min_size=3, max_size=12
+    ),
+)
+def test_ccnet_buckets_equal_terciles_property(
+    spark, tmp_path_factory, doc_tokens
+):
+    """Random corpora: NTILE(3) semantics — bucket sizes differ by at
+    most one, sized largest-first, and the bucket assignment is monotone
+    in (mean corpus token frequency DESC, doc_id ASC)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        ccnet_quality_buckets,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("ccnet_prop")
+    rows = [(i + 1, " ".join(t)) for i, t in enumerate(doc_tokens)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = sorted(
+        ccnet_quality_buckets(spark, sf).collect(),
+        key=lambda r: (-r["mean_tok_count"], r["doc_id"]),
+    )
+    n = len(rows)
+    sizes = [n // 3 + (1 if b < n % 3 else 0) for b in range(3)]
+    expected = (
+        ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+    )
+    assert [r["ppl_bucket"] for r in got] == expected
+    # Mean = exact corpus-frequency mean (vocab K=256 covers everything
+    # at this size).
+    freq = Counter(t for toks in doc_tokens for t in toks)
+    for r in got:
+        toks = doc_tokens[r["doc_id"] - 1]
+        assert r["sum_tok_counts"] == sum(freq[t] for t in toks)
+        assert r["mean_tok_count"] == sum(freq[t] for t in toks) / len(toks)
+
+
+@PROP_SETTINGS
+@given(
+    doc_lines=st.lists(
+        st.lists(
+            st.sampled_from(["nav bar", "Nav Bar ", "body x", "body y", ""]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_line_dedup_matches_python_recompute(
+    spark, tmp_path_factory, doc_lines
+):
+    """Random multi-line corpora with case/whitespace variants of the
+    same boilerplate: census (lower/trim-normalized, DISTINCT docs,
+    df >= 3), scrub-from-every-doc, and order-preserving kept_hash all
+    replicated exactly."""
+    import hashlib
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        LINE_DF_CAP,
+        line_dedup,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("line_prop")
+    rows = [(i + 1, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in line_dedup(spark, sf).collect()}
+
+    norm_docs = {
+        d: [ln.strip().lower() for ln in text.split("\n")]
+        for d, text in rows
+    }
+    df = Counter()
+    for lines in norm_docs.values():
+        for ln in set(lines):
+            df[ln] += 1
+    boiler = {ln for ln, c in df.items() if c >= LINE_DF_CAP}
+    assert len(got) == len(rows)
+    for d, lines in norm_docs.items():
+        kept = [ln for ln in lines if ln not in boiler]
+        r = got[d]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert r["kept_ratio"] == len(kept) / len(lines)
+        assert r["kept_hash"] == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest()
