@@ -147,9 +147,14 @@ def event_props_extract(
     """Extract the JSON payload carried by every event (props = '{"k": N}')
     and aggregate it per event type — the semi-structured projection +
     rollup every event pipeline needs. get_json_object is a JVM-side path
-    expression (no Python); the cast pins the cross-engine dtype."""
+    expression (no Python); try_cast pins the cross-engine dtype AND the
+    bad-payload behavior — under Spark 4's default ANSI mode a bare cast
+    throws on a non-integer '$.k' where try_cast nulls it, matching the
+    oracle's TRY_CAST (the props re-encode hazard class)."""
+    from .events_analytics import _props_int
+
     ev = load_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = _props_int("$.k")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -124,6 +124,17 @@ def retention_cohorts(
 # each such user's CAP smallest item ids (deterministic, oracle-mirrored —
 # same lossy-but-audited posture as the dedup DF caps).
 BASKET_ITEM_CAP = 64
+PROPS_INT_RE = "^[ ]*[+-]?[0-9]+[ ]*$"  # the portable integral contract
+
+
+def _props_int(path: str) -> F.Column:
+    """JSON path → bigint with the strict-integral guard (see the
+    item_cooccurrence comment; oracles mirror json_valid + the same
+    regex + TRY_CAST)."""
+    v = F.get_json_object("props", path)
+    return F.when(v.rlike(PROPS_INT_RE), v).try_cast("long")
+
+
 BASKET_EVENT_TYPES = ("view", "click")
 
 
@@ -157,7 +168,14 @@ def item_cooccurrence(
     items = (
         ev.where(F.col("event_type").isin(*BASKET_EVENT_TYPES))
         .select(
-            "user_id", F.get_json_object("props", "$.k").cast("long").alias("item")
+            "user_id",
+            # Strict-integral regex guard BEFORE the cast: it IS the
+            # cross-engine contract for the props re-encode hazard class
+            # (r6 probe: Spark try_cast nulls '3.5'/'7e1' where DuckDB
+            # TRY_CAST rounds 3.5→4 and parses 7e1→70; a bare cast would
+            # THROW under Spark 4 ANSI). Values passing the guard cast
+            # identically everywhere; everything else nulls everywhere.
+            _props_int("$.k").alias("item"),
         )
         .where(F.col("item").isNotNull())
         .distinct()

@@ -69,8 +69,18 @@ SELECT event_type,
     MAX(k) AS max_k,
     CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
 FROM (
+    -- json_valid + TRY_CAST mirror Spark's get_json_object + try_cast: a
+    -- malformed-JSON payload nulls (DuckDB json_extract hard-errors) and a
+    -- non-integer '$.k' payload (the props re-encode hazard class, same
+    -- fix as the item_cooccurrence oracles r6) nulls on both engines
+    -- instead of hard-erroring in DuckDB.
     SELECT event_type,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        TRY_CAST(CASE WHEN json_valid(props)
+                  AND regexp_matches(
+                      json_extract_string(props, '$.k'),
+                      '^[ ]*[+-]?[0-9]+[ ]*$')
+                 THEN json_extract_string(props, '$.k') END
+                 AS BIGINT) AS k
     FROM events
 )
 GROUP BY event_type

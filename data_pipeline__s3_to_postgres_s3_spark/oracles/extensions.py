@@ -722,7 +722,12 @@ ITEM_COOCCURRENCE = f"""
 WITH items AS (
     SELECT DISTINCT user_id, item FROM (
         SELECT user_id,
-            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            TRY_CAST(CASE WHEN json_valid(props)
+                      AND regexp_matches(
+                          json_extract_string(props, '$.k'),
+                          '^[ ]*[+-]?[0-9]+[ ]*$')
+                     THEN json_extract_string(props, '$.k') END
+                     AS BIGINT) AS item
         FROM events
         WHERE event_type IN ({_BASKET_TYPES_SQL}))
     WHERE item IS NOT NULL
@@ -848,7 +853,12 @@ ITEM_TRIANGLES = f"""
 WITH items AS (
     SELECT DISTINCT user_id, item FROM (
         SELECT user_id,
-            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            TRY_CAST(CASE WHEN json_valid(props)
+                      AND regexp_matches(
+                          json_extract_string(props, '$.k'),
+                          '^[ ]*[+-]?[0-9]+[ ]*$')
+                     THEN json_extract_string(props, '$.k') END
+                     AS BIGINT) AS item
         FROM events
         WHERE event_type IN ({_BASKET_TYPES_SQL}))
     WHERE item IS NOT NULL

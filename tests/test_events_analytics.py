@@ -145,3 +145,51 @@ def test_active_users_rolling_invariants(spark, sf_dir):
     assert rows
     assert all(r["wau"] >= r["dau"] for r in rows)
     assert rows[0]["wau"] == rows[0]["dau"]  # no earlier days to add users
+
+
+def test_props_bad_payload_gate_stays_green(spark, tmp_path):
+    """Props re-encode hazard class (ADVICE r5/r6): non-integer '$.k'
+    payloads — float, string, missing key, malformed JSON — must NULL
+    identically on both engines (Spark try_cast ↔ DuckDB TRY_CAST), not
+    throw under Spark 4's ANSI mode or hard-error in DuckDB. Gate-form
+    check over every props-consuming oracle."""
+    import datetime as dt
+
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.registry import (
+        ORACLES,
+        QUERIES,
+    )
+    from .oracle_harness import compare
+
+    base = dt.datetime(2024, 1, 1)
+    payloads = [
+        '{"k": 7}', '{"k": 3.5}', '{"k": "oops"}', '{"x": 1}',
+        "not json", '{"k": 12}', '{"k": 7}', '{"k": null}',
+    ]
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=i),
+            100 + i % 3,
+            ["view", "purchase", "click"][i % 3],
+            float(i),
+            payloads[i % len(payloads)],
+        )
+        for i in range(48)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    for name in ("event_props_extract", "item_cooccurrence", "item_triangles"):
+        report = compare(QUERIES[name](spark, str(tmp_path)), con, ORACLES[name])
+        assert report["ok"], f"{name} under bad props payloads: {report}"
