@@ -118,7 +118,13 @@ def doc_repetition(
     dup ratio = 1 - distinct/total; 0.0 for degenerate docs (< 2 tokens
     yield no bigrams)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # coalesce: a NULL text must behave as the empty doc on BOTH engines
+    # (unguarded, Spark null-propagates the counts where DuckDB's
+    # greatest() ignores the NULL and yields 0 — caught by the r6
+    # null-robustness matrix). Oracle mirrors the coalesce.
+    toks = docs.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("toks")
+    )
     with_arrays = toks.select("doc_id", "toks", _bigrams_expr().alias("bigrams"))
     n_tokens = F.array_size("toks").cast("long")
     n_dtok = F.array_size(F.array_distinct("toks")).cast("long")
@@ -710,7 +716,12 @@ def ccnet_quality_buckets(
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # coalesce: NULL text = empty doc on both engines (DuckDB's unnest of
+    # a NULL list yields zero rows, silently dropping the doc from the
+    # oracle — r6 null-robustness matrix). Oracle mirrors the coalesce.
+    toks = docs.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("t")
+    )
     vocab_rows = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")

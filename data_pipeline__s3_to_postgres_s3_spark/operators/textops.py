@@ -98,9 +98,14 @@ def text_quality(
             / n_tokens
         ).alias("avg_token_len"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        ((n_chars - n_alpha_chars - (n_tokens - 1)).cast("double") / n_chars).alias(
-            "punct_ratio"
-        ),
+        # Empty-text guard: n_chars = 0 would be a HARD divide-by-zero
+        # under Spark 4 ANSI mode (r6 null-robustness matrix); an empty
+        # doc has punct ratio 0.0 on both engines.
+        F.when(
+            n_chars > 0,
+            (n_chars - n_alpha_chars - (n_tokens - 1)).cast("double")
+            / n_chars,
+        ).otherwise(F.lit(0.0)).alias("punct_ratio"),
     )
 
 

@@ -37,7 +37,9 @@ FROM tot t LEFT JOIN hits h USING (doc_id)
 """
 
 DOC_REPETITION = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+),
 arr AS (
     SELECT doc_id, t,
         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
@@ -382,7 +384,8 @@ from ..operators.curation import CCNET_VOCAB_K
 
 CCNET_QUALITY_BUCKETS = f"""
 WITH toks AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    FROM documents
 ),
 vocab AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok

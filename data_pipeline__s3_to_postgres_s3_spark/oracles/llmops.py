@@ -57,8 +57,11 @@ SELECT doc_id, lang,
         AS avg_token_len,
     CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
         / len(toks) AS stopword_ratio,
-    CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
-         - (len(toks) - 1) AS DOUBLE) / n_chars AS punct_ratio
+    CASE WHEN n_chars > 0
+         THEN CAST(n_chars
+                   - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                   - (len(toks) - 1) AS DOUBLE) / n_chars
+         ELSE 0.0 END AS punct_ratio
 FROM base
 """
 

@@ -1,0 +1,82 @@
+"""Null-value axis of the driver re-encode/robustness matrix (round 6):
+the differential gate must stay green when the regenerated documents
+table carries NULL text / lang / source / n_chars rows. The probe that
+built this test caught two real divergences: Spark null-propagates
+bigram counts where DuckDB's greatest() ignores the NULL operand and
+yields 0 (doc_repetition), and DuckDB's unnest of a NULL token list
+emits zero rows, silently dropping the doc from the oracle
+(ccnet_quality_buckets) — both fixed with a mirrored
+coalesce(text, '') so NULL text means the empty document on BOTH
+engines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
+
+from .oracle_harness import compare, duckdb_connection
+
+QUERIES_UNDER_TEST = [
+    "dedup_exact",
+    "corpus_stats",
+    "dataset_card",
+    "per_source_report",
+    "doc_repetition",
+    "text_quality",
+    "gopher_quality",
+    "gopher_repetition",
+    "ccnet_quality_buckets",
+    "line_dedup",
+    "chunk_documents",
+    "dedup_minhash_lsh",
+    "exact_span_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def nullish_docs_dir(spark, sf_small, tmp_path_factory):
+    import shutil
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+
+    d = tmp_path_factory.mktemp("null_docs")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (2, None, "en", "web", 0),          # NULL text
+        (3, "x y z", None, None, 5),        # NULL lang/source
+        (4, None, None, None, None),        # everything NULL
+        (5, "", "de", "books", 0),          # empty (distinct from NULL)
+        (6, "alpha beta gamma delta epsilon", "en", "web", 30),  # dup
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_oracle_gate_green_under_null_documents(spark, nullish_docs_dir, name):
+    con = duckdb_connection(nullish_docs_dir)
+    try:
+        report = compare(
+            QUERIES[name](spark, nullish_docs_dir), con, ORACLES[name]
+        )
+        assert report["ok"], f"{name} under NULL document fields: {report}"
+    finally:
+        con.close()
