@@ -66,9 +66,18 @@ def funnel_conversion(
             for s, r in zip(FUNNEL_STEPS, reached)
         ],
     )
+    # Zero-denominator guard: an empty funnel step would be a HARD ANSI
+    # divide-by-zero (r6 null-robustness probe — reachable whenever the
+    # regenerated corpus lacks a step type entirely); an undefined rate
+    # is NULL on both engines (the oracle's CASE yields NULL the same
+    # way, and portable_round passes NULL through).
     rate_cols = [
         portable_round(
-            F.col(f"n_{cur}").cast("double") / F.col(f"n_{prev}"), 6
+            F.when(
+                F.col(f"n_{prev}") > 0,
+                F.col(f"n_{cur}").cast("double") / F.col(f"n_{prev}"),
+            ),
+            6,
         ).alias(f"rate_{cur}")
         for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:])
     ]
@@ -177,7 +186,11 @@ def item_cooccurrence(
             # identically everywhere; everything else nulls everywhere.
             _props_int("$.k").alias("item"),
         )
-        .where(F.col("item").isNotNull())
+        # A basket needs an owner: NULL user_id rows drop on BOTH engines
+        # (unfiltered, Spark's distinct().count() N includes the null
+        # basket where the oracle's COUNT(DISTINCT user_id) excludes it —
+        # r6 null-robustness probe caught the lift skew).
+        .where(F.col("item").isNotNull() & F.col("user_id").isNotNull())
         .distinct()
         .localCheckpoint(eager=False)  # feeds baskets, marginals, and N
     )

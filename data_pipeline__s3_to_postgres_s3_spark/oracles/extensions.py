@@ -113,12 +113,12 @@ WITH flagged AS (
                   OR LAG(tsu) OVER w IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
 ),
 sessions AS (
     SELECT user_id, value,
         SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY tsu, event_id
+            PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
             ROWS UNBOUNDED PRECEDING
         ) AS session_id
     FROM flagged
@@ -136,7 +136,7 @@ GROUP BY user_id
 EVENTS_RUNNING_TOTALS = f"""
 SELECT user_id, event_id,
     SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
-        PARTITION BY user_id ORDER BY tsu, event_id
+        PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
         ROWS UNBOUNDED PRECEDING
     ) / 100.0 AS running_value
 FROM {_EV}
@@ -173,7 +173,7 @@ WITH pts AS (
                   OR LAG(event_type) OVER w <> event_type
              THEN 1 ELSE 0 END AS is_change
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
 )
 SELECT user_id, event_type,
     CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
@@ -182,7 +182,7 @@ SELECT user_id, event_type,
     LEAD(tsu) OVER w2 IS NULL AS is_current
 FROM pts
 WHERE is_change = 1
-WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
 """
 
 
@@ -543,7 +543,7 @@ win AS (
         SUM(c * c) OVER w AS s2
     FROM c
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY tsu, event_id
+        PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
         ROWS BETWEEN {ROLLING_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
     )
 )
@@ -627,8 +627,9 @@ def _funnel_sql() -> str:
         for s in FUNNEL_STEPS
     )
     rate_cols = ", ".join(
-        portable_round_sql(f"CAST(n_{cur} AS DOUBLE) / n_{prev}", 6)
-        + f" AS rate_{cur}"
+        "CASE WHEN n_" + prev + " > 0 THEN "
+        + portable_round_sql(f"CAST(n_{cur} AS DOUBLE) / n_{prev}", 6)
+        + f" END AS rate_{cur}"
         for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:])
     )
     return f"""
@@ -730,7 +731,7 @@ WITH items AS (
                      AS BIGINT) AS item
         FROM events
         WHERE event_type IN ({_BASKET_TYPES_SQL}))
-    WHERE item IS NOT NULL
+    WHERE item IS NOT NULL AND user_id IS NOT NULL
 ),
 capped AS (
     SELECT user_id, item FROM (
@@ -861,7 +862,7 @@ WITH items AS (
                      AS BIGINT) AS item
         FROM events
         WHERE event_type IN ({_BASKET_TYPES_SQL}))
-    WHERE item IS NOT NULL
+    WHERE item IS NOT NULL AND user_id IS NOT NULL
 ),
 capped AS (
     SELECT user_id, item FROM (
@@ -930,7 +931,7 @@ EXTENSION_ORACLES["user_value_mad"] = USER_VALUE_MAD
 EVENT_TRANSITION_MATRIX = """
 WITH seq AS (
     SELECT LAG(event_type) OVER (
-            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
         ) AS prev_type,
         event_type AS next_type
     FROM events
@@ -965,19 +966,19 @@ WITH flagged AS (
                   OR LAG(tsu) OVER w IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
 ),
 sessions AS (
     SELECT user_id, tsu, event_id, event_type,
         SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY tsu, event_id
+            PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
             ROWS UNBOUNDED PRECEDING
         ) AS session_id
     FROM flagged
 ),
 paths AS (
     SELECT user_id, session_id,
-        string_agg(event_type, '>' ORDER BY tsu, event_id) AS path,
+        string_agg(event_type, '>' ORDER BY tsu NULLS FIRST, event_id) AS path,
         COUNT(*) AS n_ev
     FROM sessions GROUP BY user_id, session_id
 )

@@ -6,7 +6,10 @@ stateful running-max sink reduces to the batch max/count (monotone state).
 Same micros truncation + cents formulas as oracles/extensions.py.
 """
 
-_EV = "(SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events)"
+# ts IS NOT NULL mirrors the stream reader's event-time chokepoint
+# (read_events_stream drops NULL-ts rows — they cannot carry event-time
+# semantics and abort Python stateful ops; r6 null-robustness matrix).
+_EV = "(SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events WHERE ts IS NOT NULL)"
 
 STREAM_HOURLY_ROLLUP = f"""
 SELECT CAST(date_trunc('hour', tsu) AS TIMESTAMP) AS hour_start, event_type,
@@ -42,12 +45,12 @@ WITH flagged AS (
                   OR LAG(tsu) OVER w IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST)
 ),
 sessions AS (
     SELECT user_id, tsu, value,
         SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING
+            PARTITION BY user_id ORDER BY tsu NULLS FIRST ROWS UNBOUNDED PRECEDING
         ) AS session_id
     FROM flagged
 )
@@ -61,13 +64,13 @@ GROUP BY user_id, session_id
 
 STREAM_DEDUP_EVENTS = """
 SELECT DISTINCT ON (event_id) event_id, user_id, event_type, value
-FROM events
+FROM events WHERE ts IS NOT NULL
 ORDER BY event_id
 """
 
 STREAM_USER_RUNNING_MAX = """
 SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_events
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY user_id
 """
 
@@ -104,6 +107,7 @@ SELECT tier, event_type,
     COUNT(*) AS n_events,
     SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
 FROM events e LEFT JOIN tiers t USING (user_id)
+WHERE e.ts IS NOT NULL
 GROUP BY tier, event_type
 """
 
@@ -111,6 +115,17 @@ GROUP BY tier, event_type
 # stream == the batch rolling z-score (same formula, same integer-exact
 # moments) — reuse its oracle verbatim.
 from .extensions import EVENTS_ROLLING_ZSCORE as _BATCH_ROLLING_ZSCORE
+
+# The stream's event-time + value chokepoints (NULL ts can't be
+# watermarked, NULL value can't enter the ring buffer) applied to the
+# batch formulation — the single FROM events is rewritten to the
+# filtered row set so stream and oracle agree on inputs.
+_STREAM_ROLLING_ZSCORE = _BATCH_ROLLING_ZSCORE.replace(
+    "FROM events",
+    "FROM (SELECT * FROM events"
+    " WHERE ts IS NOT NULL AND value IS NOT NULL) events",
+)
+assert _STREAM_ROLLING_ZSCORE != _BATCH_ROLLING_ZSCORE
 
 # Streaming first-touch funnel stage: the keyed state is four MINs, so
 # the recovered final stage equals the batch computation over ALL events
@@ -138,7 +153,7 @@ FROM firsts
 
 STREAMING_ORACLES = {
 
-    "stream_rolling_zscore": _BATCH_ROLLING_ZSCORE,
+    "stream_rolling_zscore": _STREAM_ROLLING_ZSCORE,
     "stream_funnel_stage": STREAM_FUNNEL_STAGE,
     "stream_hourly_rollup": STREAM_HOURLY_ROLLUP,
     "stream_static_enrich": STREAM_STATIC_ENRICH,
@@ -157,10 +172,10 @@ WITH e AS (
     SELECT user_id, date_trunc('hour', tsu) AS bucket_ts, value,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
-            ORDER BY tsu, event_id) AS rn_a,
+            ORDER BY tsu NULLS FIRST, event_id) AS rn_a,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
-            ORDER BY tsu DESC, event_id DESC) AS rn_d
+            ORDER BY tsu DESC NULLS LAST, event_id DESC) AS rn_d
     FROM {_EV}
 )
 SELECT CAST(bucket_ts AS TIMESTAMP) AS bucket_ts, user_id,

@@ -78,10 +78,10 @@ WITH e AS (
     SELECT user_id, date_trunc('hour', tsu) AS bucket_ts, value,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
-            ORDER BY tsu, event_id) AS rn_a,
+            ORDER BY tsu NULLS FIRST, event_id) AS rn_a,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
-            ORDER BY tsu DESC, event_id DESC) AS rn_d
+            ORDER BY tsu DESC NULLS LAST, event_id DESC) AS rn_d
     FROM {_EV}
 )
 SELECT user_id, bucket_ts,
@@ -106,7 +106,7 @@ WITH pts AS (
                   OR LAG(event_type) OVER w <> event_type
              THEN 1 ELSE 0 END AS is_change
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
 ),
 hist AS (
     SELECT user_id, event_type,
@@ -115,7 +115,7 @@ hist AS (
         LEAD(tsu) OVER w2 AS valid_to
     FROM pts
     WHERE is_change = 1
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
 )
 SELECT p.event_id, p.user_id, p.tsu AS ts, p.value,
     h.event_type AS stage_type,

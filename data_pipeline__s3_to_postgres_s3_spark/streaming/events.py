@@ -103,7 +103,13 @@ def read_events_stream(
     # The file stream source requires a DIRECTORY basePath; select the one
     # events file (or a multi-file drop zone) via pathGlobFilter.
     ev = reader.option("pathGlobFilter", glob).parquet(sf_dir)
-    return normalize_event_ts(ev)
+    # Event-time chokepoint: NULL-ts rows cannot participate in
+    # event-time streaming (watermarks/windows silently drop them inside
+    # Spark, and a null reaching a Python stateful op aborts the query —
+    # r6 null-robustness probe). Drop them explicitly HERE so every
+    # streaming query and its oracle (the shared _EV fragment filters
+    # identically) agree on the row set.
+    return normalize_event_ts(ev).where(F.col("ts").isNotNull())
 
 
 def run_to_memory(
@@ -517,7 +523,10 @@ def stream_rolling_zscore(
     score row exactly once, so the full sink equals the batch operator —
     a complete value-level oracle, unusual for a custom stateful op."""
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
-    keyed = ev.select(
+    # NULL-value rows cannot enter the ring buffer (int(NaN) aborts the
+    # Python op — r6 null-robustness probe) and carry no score anyway;
+    # the oracle filters identically.
+    keyed = ev.where(F.col("value").isNotNull()).select(
         "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
     )
     scored = (
