@@ -59,12 +59,28 @@ def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     )
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table validity chokepoint: keep only vectors whose
+    length equals the table's max dimension — NULL, empty, and ragged
+    vectors drop on BOTH engines (r6 null-robustness probe: degenerate
+    vectors hit ANSI divide-by-zero on zero norms, element_at
+    out-of-bounds in the sign buckets, and a FUNDAMENTAL fold
+    divergence — Spark's aggregate() null-propagates a padded zip where
+    DuckDB's list_sum skips NULLs, so ragged dims can never agree). The
+    max-dim probe is a 1-row scalar aggregate (watermark precedent) so
+    the rule survives a driver dimension change without a hardcoded
+    dim; every similarity oracle applies the identical filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    return emb.where(F.size("embedding") == dim)
+
+
 def similarity_bruteforce_topk(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Exact cosine top-5 for each query vector (vec_id < 8) over the whole
     corpus (self-matches excluded)."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(_embeddings(spark, sf_dir))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
@@ -99,7 +115,7 @@ def hard_negative_mining(
     scoring. The exact scan is the auditable baseline; at 100 TB the
     candidate generator swaps to the LSH/IVF path exactly as top-k
     search does (same documented swap)."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(_embeddings(spark, sf_dir))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -160,7 +176,7 @@ def similarity_lsh_topk(
     vector), the only join is an equi-join on (table, bucket) against the
     broadcast query buckets, candidates dedup before exact scoring —
     per-query work ≈ L·N/2^bits, no corpus shuffle."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(_embeddings(spark, sf_dir))
     entries = F.array(
         *[
             F.struct(F.lit(t).alias("tbl"), _sign_bucket(t).alias("bucket"))
@@ -210,7 +226,14 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
     — the IVF coarse quantizer 'training' step (the label column plays the
     role of the k-means assignment; a production build would run k-means||
     here). Tiny output (nlist × d) → always broadcast."""
-    flat = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    # NULL-label rows train no centroid (they still get ASSIGNED to the
+    # nearest cell at query time like any vector — the label only seeds
+    # the coarse quantizer); mirrored by the oracle's WHERE label IS NOT
+    # NULL, and it keeps the collected index sortable (r6 probe: a None
+    # cell crashed the literal-index sort).
+    flat = emb.where(F.col("label").isNotNull()).select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
     cent = flat.groupBy("label", "dim").agg(
         portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias("c")
     )
@@ -276,7 +299,7 @@ def similarity_ivf_topk(
     lists; top-k is the same partition-local window as the brute-force
     path. Corpus scored per query ≈ N·nprobe/nlist — the 100 TB lever is
     nlist, not hardware."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(_embeddings(spark, sf_dir))
     # Materialize the centroid table (nlist × d doubles — index METADATA,
     # built once, reused across queries in a real deployment; the build is
     # one corpus pass whose groupBy partial-aggregates map-side to nlist·d
@@ -331,7 +354,7 @@ def embedding_neardup_pairs(
     pairs come from the same bucket-local collect+expand shape as the
     text-dedup operators (one pass, one shuffle on (table, bucket)); exact
     cosine verifies. Pair space ≈ L·N²/2^bits, tunable by bits/tables."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(_embeddings(spark, sf_dir))
     entries = F.array(
         *[
             F.struct(
@@ -444,7 +467,7 @@ def embedding_kmeans(
     independent of N. Rounds are data-independent (fixed count), so the
     oracle unrolls the same arithmetic; a production build would iterate
     to centroid convergence instead — same loop body."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cell"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
@@ -493,7 +516,7 @@ def embedding_quantize(
 
     ZERO shuffle: one scan, all arithmetic in row-local array
     expressions. Zero vectors quantize to all-zero codes with scale 0."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embeddings(spark, sf_dir)
     scale = F.expr(
         "aggregate(embedding, CAST(0 AS DOUBLE),"
         " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) / 127"
@@ -550,7 +573,7 @@ def semantic_dedup(
     inline, then the drop set comes back to the corpus as a broadcast-able
     semi-join side. Cosines are portable_round-ed at 1e-4 (like
     embedding_neardup_pairs) so float fold order can't flip a verdict."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+    emb = _with_norm(_embeddings(spark, sf_dir)).select(
         "vec_id", F.col("label").cast("long").alias("cluster"), "embedding", "norm"
     )
     a = emb.select(
@@ -603,7 +626,7 @@ def semdedup_cluster_report(
     clusters individually exceed SEMDEDUP_PAIR_BUDGET. Run it alongside
     the dedup job so a degenerate clustering is never silent — the
     quadratic stage's cost is on record BEFORE it runs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embeddings(spark, sf_dir)
     sizes = emb.groupBy(F.col("label").cast("long").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -648,7 +671,7 @@ def semantic_decontaminate(
         VAL_UPTO,
     )
 
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(_embeddings(spark, sf_dir))
     bucket = (F.col("vec_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
     emb = emb.withColumn("bucket", bucket)
     train = emb.where(F.col("bucket") < TRAIN_UPTO).select(

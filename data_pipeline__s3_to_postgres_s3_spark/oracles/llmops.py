@@ -438,7 +438,7 @@ _EMB_NORM = f"""
 e AS (
     SELECT vec_id, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
 )
 """
 
@@ -527,7 +527,7 @@ WITH scaled AS (
     SELECT vec_id, embedding,
         list_max(list_transform(embedding,
                  v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
 ),
 coded AS (
     SELECT vec_id, embedding, scale,
@@ -553,7 +553,7 @@ SEMANTIC_DEDUP = f"""
 WITH e AS (
     SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
 ),
 losers AS (
     SELECT DISTINCT b.vec_id
@@ -581,9 +581,11 @@ _D2_SQL = (
 SIMILARITY_IVF_TOPK = f"""
 WITH {_EMB_NORM},
 flat AS (
+    -- NULL-label rows train no centroid (mirrors ivf_centroids).
     SELECT label, unnest(embedding) AS val,
         generate_subscripts(embedding, 1) AS dim
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    WHERE label IS NOT NULL
 ),
 cent AS (
     SELECT label AS cell, dim,
@@ -735,10 +737,10 @@ WINDOW w AS (
 def _kmeans_oracle() -> str:
     ctes = [
         "flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,"
-        " generate_subscripts(embedding, 1) AS dim FROM embeddings)",
+        " generate_subscripts(embedding, 1) AS dim FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings)",
         f"c0 AS (SELECT vec_id AS cell,"
         f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid"
-        f" FROM embeddings WHERE vec_id < {KMEANS_K})",
+        f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings WHERE vec_id < {KMEANS_K})",
     ]
     d2 = (
         "FLOOR((" + _D2_SQL.format(a="e.embedding", b="c.centroid")
@@ -747,7 +749,7 @@ def _kmeans_oracle() -> str:
     for i in range(KMEANS_ITERS + 1):
         ctes.append(
             f"s{i} AS (SELECT e.vec_id, c.cell, {d2} AS d2"
-            f" FROM embeddings e, c{i} c)"
+            f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) e, c{i} c)"
         )
         ctes.append(
             f"a{i} AS (SELECT vec_id, cell, d2 FROM ("
@@ -1157,7 +1159,7 @@ HARD_NEGATIVE_MINING = f"""
 WITH el AS (
     SELECT vec_id, label, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
 ),
 q AS (SELECT * FROM el WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -1196,7 +1198,7 @@ WITH e AS (
     SELECT vec_id, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
         vec_id * {_SD_MULT} % {_SD_MOD} % {_SD_BUCKETS} AS bucket
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
 ),
 train AS (SELECT * FROM e WHERE bucket < {_SD_TRAIN}),
 ev AS (SELECT * FROM e WHERE bucket >= {_SD_VAL}),

@@ -1,0 +1,91 @@
+"""Embeddings-side degenerate-vector axis of the driver robustness
+matrix (round 6): NULL vectors, EMPTY vectors, RAGGED (short) vectors,
+and NULL labels through the whole similarity family. The probe caught
+four hazard classes:
+
+- zero norms from null/empty vectors → ANSI divide-by-zero in every
+  cosine;
+- empty arrays → element_at out-of-bounds in the sign-LSH buckets;
+- ragged dims → a FUNDAMENTAL fold divergence (Spark's aggregate()
+  null-propagates the padded zip where DuckDB's list_sum skips NULLs —
+  partial dot products can never agree);
+- NULL labels → an unsortable None cell in the IVF literal index.
+
+Fixes: the `_embeddings` validity chokepoint (keep only vectors whose
+length equals the table's max dimension — a 1-row scalar, so the rule
+survives a driver dimension change; mirrored in every similarity
+oracle) and NULL-label exclusion from IVF centroid training (mirrored).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
+
+from .oracle_harness import compare, duckdb_connection
+
+QUERIES_UNDER_TEST = [
+    "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_kmeans",
+    "embedding_quantize",
+    "semantic_dedup",
+    "semantic_decontaminate",
+    "hard_negative_mining",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_embeddings_dir(sf_small, tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_embeddings")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+    src = pq.read_table(f"{sf_small}/embeddings.parquet")
+    emb = src.column("embedding").to_pylist()
+    labels = src.column("label").to_pylist()
+    vids = src.column("vec_id").to_pylist()
+    for i in range(len(emb)):
+        if i % 29 == 5:
+            emb[i] = None
+        elif i % 31 == 7:
+            emb[i] = []
+        elif i % 37 == 11:
+            emb[i] = emb[i][:8]  # ragged: short vector
+        if i % 23 == 3:
+            labels[i] = None
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_oracle_gate_green_under_degenerate_vectors(
+    spark, degenerate_embeddings_dir, name
+):
+    con = duckdb_connection(degenerate_embeddings_dir)
+    try:
+        report = compare(
+            QUERIES[name](spark, degenerate_embeddings_dir),
+            con,
+            ORACLES[name],
+        )
+        assert report["ok"], f"{name} under degenerate vectors: {report}"
+    finally:
+        con.close()
