@@ -261,8 +261,10 @@ def media_features_frame(m: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            # NULL payload (a NULL-text source doc) = empty asset —
+            # bytes(None) would abort the Arrow worker (r6 probe).
             feats = [
-                _decode_stub(bytes(p), t)
+                _decode_stub(b"" if p is None else bytes(p), t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(

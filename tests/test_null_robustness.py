@@ -80,3 +80,18 @@ def test_oracle_gate_green_under_null_documents(spark, nullish_docs_dir, name):
         assert report["ok"], f"{name} under NULL document fields: {report}"
     finally:
         con.close()
+
+
+def test_media_features_runs_under_null_documents(spark, nullish_docs_dir):
+    """media_features is rows-only (no SQL oracle), so the matrix pins
+    run-ability: a NULL-text source doc becomes a NULL payload, which
+    must decode as the empty asset instead of aborting the Arrow worker
+    (bytes(None) — r6 probe)."""
+    from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
+
+    rows = {r["doc_id"]: r for r in QUERIES["media_features"](
+        spark, nullish_docs_dir).collect()}
+    assert len(rows) == 6
+    for d in (2, 4):  # the NULL-text docs
+        assert rows[d]["n_bytes"] == 0
+        assert rows[d]["mean_byte"] == 0.0
