@@ -1152,6 +1152,44 @@ GROUP BY f.doc_id
 
 LLMOPS_ORACLES["incremental_dedup_bloom"] = INCREMENTAL_DEDUP_BLOOM
 
+# bloom_vocab_novelty: the oracle computes the EXACT per-new-doc token
+# novelty with a plain distinct-word anti-join over the same (max*9)//10
+# boundary — the Spark side's Bloom filter is pure I/O savings (no false
+# negatives; hits pay an exact verification semi-join), so the counts are
+# identical by construction. COUNT (never SUM) keeps every column BIGINT
+# on both engines; NULL text mirrors the coalesce-to-empty contract, and
+# empty tokens from repeated spaces are filtered identically.
+BLOOM_VOCAB_NOVELTY = f"""
+WITH thr AS (
+    SELECT (MAX(doc_id) * {INCREMENTAL_NEW_FRAC_NUM})
+           // {INCREMENTAL_NEW_FRAC_DEN} AS t
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           doc_id >= (SELECT t FROM thr) AS is_new,
+           unnest(string_split(coalesce(text, ''), ' ')) AS w
+    FROM documents
+),
+words AS (
+    SELECT DISTINCT doc_id, is_new, w FROM tok WHERE w <> ''
+),
+corpus_vocab AS (
+    SELECT DISTINCT w FROM words WHERE NOT is_new
+),
+new_pairs AS (
+    SELECT doc_id, w FROM words WHERE is_new
+)
+SELECT p.doc_id AS new_doc_id,
+       COUNT(*) AS n_distinct_tokens,
+       COUNT(cv.w) AS n_seen_tokens,
+       COUNT(*) - COUNT(cv.w) AS n_novel_tokens
+FROM new_pairs p LEFT JOIN corpus_vocab cv USING (w)
+GROUP BY p.doc_id
+"""
+
+LLMOPS_ORACLES["bloom_vocab_novelty"] = BLOOM_VOCAB_NOVELTY
+
 # hard_negative_mining: brute-force oracle twin with the label inequality
 # in the join predicate — same cosine association and portable rounding as
 # SIMILARITY_BRUTEFORCE_TOPK, same (sim DESC, vec_id ASC) total ordering.

@@ -77,3 +77,65 @@ def test_bloom_plan_shape(spark, sf_dir):
     assert plans.broadcast_join_count(df) >= 1
     assert plans.exchange_count(df) <= 5
     assert "Cartesian" not in plans.simple_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# bloom_vocab_novelty — the meaningful-row twin driving the shared Bloom
+# build/probe/verify helpers through genuine hits AND misses (the sf
+# corpora have word-level overlap across the increment boundary even
+# though full texts never collide).
+from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (  # noqa: E402
+    bloom_vocab_novelty,
+)
+
+
+def test_vocab_novelty_counts_planted(spark, tmp_path):
+    # max doc_id 100 → boundary 90: corpus = {<90}, new = {>=90}.
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta delta"),
+        (89, "epsilon"),
+        (90, "alpha zeta zeta"),      # seen: alpha; novel: zeta (distinct!)
+        (95, "beta epsilon delta"),   # all seen
+        (96, "omega psi"),            # all novel
+        (100, None),                  # NULL text → no tokens → no row
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["new_doc_id"]: r for r in bloom_vocab_novelty(spark, sf).collect()}
+    assert set(got) == {90, 95, 96}
+    assert (got[90]["n_distinct_tokens"], got[90]["n_seen_tokens"],
+            got[90]["n_novel_tokens"]) == (2, 1, 1)
+    assert (got[95]["n_distinct_tokens"], got[95]["n_seen_tokens"],
+            got[95]["n_novel_tokens"]) == (3, 3, 0)
+    assert (got[96]["n_distinct_tokens"], got[96]["n_seen_tokens"],
+            got[96]["n_novel_tokens"]) == (2, 0, 2)
+
+
+def test_vocab_novelty_equals_bruteforce(spark, tmp_path):
+    """No false negatives + exact verification of bloom hits ⇒ the
+    result equals a plain Python set computation, even on a vocabulary
+    large enough for bloom collisions to be plausible."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 1500}" for j in range(12)))
+        for i in range(1, 501)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = sorted(tuple(r) for r in bloom_vocab_novelty(spark, sf).collect())
+    thr = (500 * 9) // 10
+    corpus_vocab = set()
+    for i, text in rows:
+        if i < thr:
+            corpus_vocab |= set(text.split(" "))
+    want = []
+    for i, text in rows:
+        if i >= thr:
+            toks = set(text.split(" "))
+            seen = len(toks & corpus_vocab)
+            want.append((i, len(toks), seen, len(toks) - seen))
+    assert got == sorted(want)
+
+
+def test_vocab_novelty_plan_shape(spark, sf_dir):
+    df = bloom_vocab_novelty(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert "Cartesian" not in plans.simple_plan(df)

@@ -29,74 +29,56 @@ WINDOW = 50
 # Minimum number of in-window representatives per high-risk family.
 # Families that have broken before or carry the most machinery keep live
 # driver-hash coverage even while their long-green members rotate out.
+# A family is its name-prefix members plus the listed extras (operators
+# that live in the same module/machinery under a different name).
 FAMILY_MIN_REPS = {
-    "stream_": 3,  # round-3 breakage class: keep several live
-    "sql_script_": 1,
-    "dedup_": 2,
-    "similarity_": 1,
+    "stream_": (3, set()),  # round-3 breakage class: keep several live
+    "sql_script_": (1, set()),
+    "dedup_": (
+        2,
+        {"exact_span_dedup", "bloom_vocab_novelty", "incremental_dedup_bloom"},
+    ),
+    "similarity_": (1, set()),
 }
 # The only queries allowed to lack a DuckDB oracle, with the reason.
 ROWS_ONLY_ALLOWED = {
     "media_features",  # mapInPandas decode stand-in — no SQL equivalent
     "approx_aggregates",  # sketch outputs — no exact SQL twin by design
 }
-# Round-6 rotation: the 32 entries the driver had never hashed through
-# round 5 (23 late-round-5 batch ops + 9 older tail entries), all moved
-# into the strict 50-entry prefix this round.
+# Current round's rotation contract: entries that MUST sit inside the
+# strict 50-prefix this round (prior rounds' rotations are recorded in
+# git history and the committed CORRECTNESS_r0*.json files; once an
+# entry is hash-green it may rotate back out under the never-hashed
+# invariant below).
+# Round 7: dataset_card honors its round-6 tail grace; bloom_vocab_novelty
+# is the brand-new meaningful-row Bloom twin (swapped in against
+# dedup_containment [green r5+r6] and profile_events [green r6 + heavy
+# local pins]).
 ROTATED_IN = {
-    "events_ohlc",
-    "events_gapfill_locf",
-    "purchases_pit_stage",
-    "conversion_latency_stats",
-    "event_transition_matrix",
-    "top_session_paths",
-    "item_cooccurrence",
-    "item_triangles",
-    "active_users_rolling",
-    "user_value_mad",
-    "customer_rfm_segments",
-    "promo_revenue_share",
-    "order_to_ship_lag_stats",
-    "brand_band_revenue",
-    "minhash_estimate_audit",
-    "source_overlap",
-    "source_overlap_minhash",
-    "cross_source_neardups",
-    "line_dedup",
-    "gopher_quality",
-    "vocab_oov_report",
-    "lang_confusion_matrix",
-    "weighted_sample_tokens",
-    "mixture_sample",
-    "sample_k_per_group",
-    "doc_repetition",
-    "decontaminate_eval_overlap",
-    "quality_gate",
-    "event_props_extract",
-    "shard_manifest",
-    "profile_documents",
-    "profile_events",
-    # Late round-6: brand-new operators swapped straight into the window
-    # (meaningful-row sf0.01 oracles; 5 r5-green entries moved to tail):
-    "gopher_repetition",
-    "ccnet_quality_buckets",
-    "exact_span_dedup",
-    "hard_negative_mining",
-    "customer_nation_value_rank",
-    "stream_minhash_dedup",
-    "semantic_decontaminate",
+    "dataset_card",
+    "bloom_vocab_novelty",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
 # be emptied — entries moved into the window or deleted here — the
 # following round, or test_never_hashed_entries_sit_inside_window fails.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
-    # Round-6 addition whose sf0.01 oracle result is 0-row (a driver hash
-    # proves nothing until the regenerated corpus has cross-boundary
-    # exact dups); semantics pinned in test_bloom_dedup.py. Rotate in —
-    # or re-justify — in round 7:
+# Round 7: empty — dataset_card rotated into the window (grace honored)
+# and the round's brand-new oracle (bloom_vocab_novelty) went straight in.
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
+# Entries allowed to sit never-hashed in the tail INDEFINITELY because
+# their sf0.01 oracle result is provably 0-row — a driver hash of
+# 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local
+# semantics pin and (b) a precondition test below that fails loudly the
+# moment the justification stops holding.
+JUSTIFIED_TAIL_ZERO_ROW: set[str] = {
+    # The regenerated sf0.01 corpus has ZERO exact-duplicate texts
+    # (test_bloom_zero_row_tail_justification verifies this every run),
+    # so the full-text membership test is empty at any increment
+    # boundary. Semantics: test_bloom_dedup.py (brute-force equality on
+    # synthetic corpora). The shared Bloom build/probe/verify machinery
+    # IS driver-hashed via the in-window meaningful-row twin
+    # bloom_vocab_novelty.
     "incremental_dedup_bloom",
-    "dataset_card",
 }
 
 
@@ -122,8 +104,8 @@ def test_no_orphan_oracles():
 
 def test_high_risk_families_keep_window_representation():
     window = list(QUERIES)[:WINDOW]
-    for prefix, min_reps in FAMILY_MIN_REPS.items():
-        reps = [n for n in window if n.startswith(prefix)]
+    for prefix, (min_reps, extras) in FAMILY_MIN_REPS.items():
+        reps = [n for n in window if n.startswith(prefix) or n in extras]
         assert len(reps) >= min_reps, (
             f"family {prefix!r} has {len(reps)} in-window reps "
             f"({reps}); contract requires >= {min_reps}"
@@ -144,7 +126,9 @@ def test_never_hashed_entries_sit_inside_window():
     """
     window = set(list(QUERIES)[:WINDOW])
     never = set(QUERIES) - _ever_driver_checked()
-    stranded = never - window - TAIL_GRACE_NEW_THIS_ROUND
+    stranded = (
+        never - window - TAIL_GRACE_NEW_THIS_ROUND - JUSTIFIED_TAIL_ZERO_ROW
+    )
     assert not stranded, (
         f"never-driver-checked entries stranded outside the {WINDOW}-prefix "
         f"(rotate them in or grant one-round tail grace): {sorted(stranded)}"
@@ -154,6 +138,33 @@ def test_never_hashed_entries_sit_inside_window():
         f"tail-grace entries already driver-checked — remove from "
         f"TAIL_GRACE_NEW_THIS_ROUND: {sorted(stale_grace)}"
     )
+
+
+def test_bloom_zero_row_tail_justification():
+    """incremental_dedup_bloom may sit never-hashed in the tail ONLY while
+    its sf0.01 oracle is provably 0-row: the corpus must contain zero
+    exact-duplicate texts (then no increment boundary yields a row, and a
+    0-vs-0 driver hash adds nothing over the local pins). The moment the
+    regenerated corpus gains exact dups this fails — rotate the entry
+    into the window that round."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    dup_groups = con.execute(
+        f"SELECT COUNT(*) FROM (SELECT text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        f"GROUP BY text HAVING COUNT(*) > 1)"
+    ).fetchone()[0]
+    assert dup_groups == 0, (
+        f"sf0.01 corpus now has {dup_groups} exact-duplicate text groups — "
+        "the 0-row justification for incremental_dedup_bloom no longer "
+        "holds; rotate it into the driver window (JUSTIFIED_TAIL_ZERO_ROW "
+        "must lose the entry)."
+    )
+    assert JUSTIFIED_TAIL_ZERO_ROW == {"incremental_dedup_bloom"}
 
 
 def test_never_hashed_set_only_shrinks():
