@@ -19,10 +19,16 @@ estimate, filtered at the same threshold. (Contrast with the in-order
 ring-buffer ops in streaming/events.py — this one belongs to the
 order-insensitive class, like the MIN-state funnel.)
 
-Scale notes: state grows with the corpus (it IS the incremental dedup
-index — the same standing structure incremental_dedup_minhash
-precomputes batch-side); production bounds it by partitioning the corpus
-into epochs or TTL-ing buckets, both outside the dedup semantics. The
+Scale notes: by default state grows with the corpus (it IS the
+incremental dedup index — the same standing structure
+incremental_dedup_minhash precomputes batch-side). The documented
+production bounding is now a constructor option: ``epoch_size`` assigns
+each doc the epoch ``doc_id // epoch_size`` (append-only corpus,
+monotone ids) and ``ttl_epochs`` evicts bucket members more than that
+many epochs older than the arriving doc — bounding state to the active
+window while leaving the pair set for in-window docs (epoch gap <=
+ttl_epochs) bit-identical to the unbounded run
+(tests/test_streaming.py::test_stream_minhash_dedup_state_ttl). The
 stateful shuffle is one exchange on (band, band_key) — bucket-local,
 exactly like the batch LSH join.
 """
@@ -80,11 +86,13 @@ MINHASH_PAIR_OUTPUT = StructType(
     ]
 )
 # Bucket members: doc ids + their signatures flattened (MINHASH_PERMS
-# longs per doc, same order as doc_ids).
+# longs per doc, same order as doc_ids) + per-doc epochs (all 0 when
+# unbounded — one schema for both modes; state stores are per-run).
 MINHASH_BUCKET_STATE = StructType(
     [
         StructField("doc_ids", ArrayType(LongType()), True),
         StructField("sigs", ArrayType(LongType()), True),
+        StructField("epochs", ArrayType(LongType()), True),
     ]
 )
 
@@ -100,46 +108,81 @@ def read_documents_stream(
     return reader.option("pathGlobFilter", "documents*.parquet").parquet(sf_dir)
 
 
-def _minhash_bucket_fn(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: Any
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        doc_ids_t, sigs_t = state.get
-        doc_ids = list(doc_ids_t)
-        sigs = list(sigs_t)
-    else:
-        doc_ids, sigs = [], []
-    rows: list[tuple[int, list[int]]] = []
-    for pdf in pdfs:
-        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
-            rows.append((int(doc_id), [int(x) for x in sig]))
-    # Intra-batch order is not defined by the source; sort for a stable
-    # walk. The emitted pair SET is order-insensitive either way: each
-    # unordered pair appears exactly once, via its later-processed member.
-    rows.sort()
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_m: list[int] = []
-    p = MINHASH_PERMS
-    for doc_id, sig in rows:
-        for j, other in enumerate(doc_ids):
-            osig = sigs[j * p : (j + 1) * p]
-            n = sum(1 for x, y in zip(sig, osig) if x == y)
-            out_a.append(min(other, doc_id))
-            out_b.append(max(other, doc_id))
-            out_m.append(n)
-        doc_ids.append(doc_id)
-        sigs.extend(sig)
-    state.update((doc_ids, sigs))
-    if out_a:
-        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "n_match": out_m})
+def _make_minhash_bucket_fn(ttl_epochs: int | None):
+    """Build the per-bucket state fn; ttl_epochs None → unbounded state
+    (every doc carries epoch 0 and nothing is ever evicted)."""
+
+    def _minhash_bucket_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            doc_ids_t, sigs_t, epochs_t = state.get
+            doc_ids = list(doc_ids_t)
+            sigs = list(sigs_t)
+            epochs = list(epochs_t)
+        else:
+            doc_ids, sigs, epochs = [], [], []
+        rows: list[tuple[int, int, list[int]]] = []
+        for pdf in pdfs:
+            for doc_id, epoch, sig in zip(
+                pdf["doc_id"], pdf["epoch"], pdf["sig"]
+            ):
+                rows.append((int(doc_id), int(epoch), [int(x) for x in sig]))
+        # Intra-batch order is not defined by the source; sort for a stable
+        # walk. The emitted pair SET is order-insensitive either way: each
+        # unordered pair appears exactly once, via its later-processed
+        # member. doc_id order is epoch order (epoch = doc_id // size), so
+        # the eviction watermark only advances along the walk.
+        rows.sort()
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_m: list[int] = []
+        p = MINHASH_PERMS
+        for doc_id, epoch, sig in rows:
+            if ttl_epochs is not None and doc_ids:
+                floor = epoch - ttl_epochs
+                if any(ep < floor for ep in epochs):
+                    keep = [j for j, ep in enumerate(epochs) if ep >= floor]
+                    doc_ids = [doc_ids[j] for j in keep]
+                    epochs = [epochs[j] for j in keep]
+                    sigs = [x for j in keep for x in sigs[j * p : (j + 1) * p]]
+            for j, other in enumerate(doc_ids):
+                osig = sigs[j * p : (j + 1) * p]
+                n = sum(1 for x, y in zip(sig, osig) if x == y)
+                out_a.append(min(other, doc_id))
+                out_b.append(max(other, doc_id))
+                out_m.append(n)
+            doc_ids.append(doc_id)
+            epochs.append(epoch)
+            sigs.extend(sig)
+        state.update((doc_ids, sigs, epochs))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "n_match": out_m}
+            )
+
+    return _minhash_bucket_fn
 
 
 def stream_minhash_dedup(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    epoch_size: int | None = None,
+    ttl_epochs: int | None = None,
 ) -> DataFrame:
     """Streaming near-dup pairs: (doc_a, doc_b, est_sim) for every
-    co-bucket pair with signature agreement ≥ STREAM_MINHASH_EST_MIN."""
+    co-bucket pair with signature agreement ≥ STREAM_MINHASH_EST_MIN.
+
+    epoch_size/ttl_epochs (both or neither) bound the keyed state: a doc
+    belongs to epoch doc_id // epoch_size, and bucket members more than
+    ttl_epochs epochs older than the arriving doc are evicted before
+    pairing — pairs within the window are unaffected, pairs across it are
+    deliberately out of the bounded semantics."""
+    if (epoch_size is None) != (ttl_epochs is None):
+        raise ValueError("epoch_size and ttl_epochs must be set together")
+    if epoch_size is not None and epoch_size <= 0:
+        raise ValueError("epoch_size must be positive")
     docs = read_documents_stream(spark, sf_dir, max_files_per_trigger)
     arrays = _shingle_arrays(docs)
     hs = F.expr(
@@ -176,16 +219,22 @@ def stream_minhash_dedup(
             for b in range(n_bands)
         ]
     )
+    epoch = (
+        F.expr(f"doc_id div {epoch_size}")  # integral div — no IEEE detour
+        if epoch_size is not None
+        else F.lit(0).cast("long")
+    )
     banded = signed.select(
-        "doc_id", "sig", F.explode(band_structs).alias("bk")
+        "doc_id", "sig", epoch.alias("epoch"), F.explode(band_structs).alias("bk")
     ).select(
         "doc_id",
         "sig",
+        "epoch",
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
     pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
-        _minhash_bucket_fn,
+        _make_minhash_bucket_fn(ttl_epochs),
         MINHASH_PAIR_OUTPUT,
         MINHASH_BUCKET_STATE,
         "append",
