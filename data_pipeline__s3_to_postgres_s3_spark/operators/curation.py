@@ -1026,3 +1026,77 @@ def cross_source_neardups(
         .where(F.col("source_a") != F.col("source_b"))
         .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
     )
+
+
+# Ordered curation-funnel stages — each document is attributed to its
+# FIRST failing gate (the order is the order a production pipeline
+# applies them: cheap row-local screens first, the corpus-wide dup
+# election last). Keep in lockstep with the oracle's CASE ladder.
+FUNNEL_STAGES = ("lang_id", "repetition", "stopword", "exact_dup")
+
+
+def curation_funnel(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The curation pipeline's rejection-funnel report: one row per gate
+    with docs entering, docs dropped HERE (first-failing-stage
+    attribution — a doc failing lang AND stopword counts only under
+    lang), survivors, and the stage drop rate. The last stage's n_out is
+    the kept-corpus size quality_gate reports.
+
+    Scale shape: rides quality_gate's single scan + single exchange
+    (the canonical-election window); the funnel itself aggregates the
+    verdict frame to |stages| rows — the corpus never shuffles again.
+    The 4-row stage dimension is a literal seed frame and the running
+    pre-stage drop total is a window over those 4 rows (global window on
+    a constant-size frame, not on data).
+
+    Determinism: pure integer counts until the one drop_rate division;
+    n_in = total - Σ earlier drops is BIGINT arithmetic on both engines
+    (the oracle casts its HUGEINT window-SUM back — r4→r5 dtype
+    lesson)."""
+    from pyspark.sql import Window
+
+    gated = quality_gate(spark, sf_dir, cfg)
+    total = gated.count()
+    first_fail = (
+        F.when(~F.col("lang_ok"), 0)
+        .when(~F.col("rep_ok"), 1)
+        .when(~F.col("stop_ok"), 2)
+        .when(~F.col("canonical_ok"), 3)
+        .otherwise(4)
+    )
+    drops = (
+        gated.select(first_fail.alias("stage_idx"))
+        .where(F.col("stage_idx") < len(FUNNEL_STAGES))
+        .groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stages = spark.createDataFrame(
+        list(enumerate(FUNNEL_STAGES)), "stage_idx int, stage string"
+    )
+    j = stages.join(drops, "stage_idx", "left").select(
+        "stage_idx",
+        "stage",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dropped"),
+    )
+    prior = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_in = (
+        F.lit(total) - F.coalesce(F.sum("n_dropped").over(prior), F.lit(0))
+    ).cast("long")
+    with_in = j.select(
+        "stage_idx", "stage", n_in.alias("n_in"), "n_dropped"
+    )
+    return with_in.select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_dropped",
+        (F.col("n_in") - F.col("n_dropped")).cast("long").alias("n_out"),
+        F.when(
+            F.col("n_in") > 0,
+            F.col("n_dropped").cast("double") / F.col("n_in"),
+        ).otherwise(F.lit(0.0)).alias("drop_rate"),
+    )

@@ -665,3 +665,93 @@ def lang_confusion_matrix(
             "row_share"
         ),
     )
+
+
+# Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the standard
+# hybrid-retrieval combiner: rrf(d) = Σ_channels 1/(RRF_K + rank_c(d)).
+# K=60 is the published default. Channel pools are the two retrieval
+# operators' own top-k lists (BM25 and cosine), so fusion adds NO new
+# corpus scan — it joins two ≤|Q|·k frames.
+RRF_K = 60
+RRF_TOP_K = 10
+
+
+def rrf_hybrid_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical (BM25 over documents) and dense
+    (cosine over embeddings, vec_id ≡ doc_id) channels per query with
+    reciprocal-rank fusion — the fusion step every RAG/curation retrieval
+    stack runs when it has both a keyword index and an ANN index.
+
+    Query workload: BM25_QUERIES ids; query q's dense twin is the
+    embedding with vec_id = q (the corpus aligns doc_id and vec_id).
+
+    Scale shape: both channels end in |Q|·k candidate frames (the corpus
+    scan cost lives inside the channel operators — broadcast query sets,
+    map-side filters); the fusion itself is a full-outer join of two tiny
+    frames and one partitioned window. At 100 TB the channels swap to
+    their own scale paths (BM25's filtered scan, LSH/IVF ANN) without
+    touching the fusion.
+
+    Determinism: each RRF term is one IEEE division of integer-derived
+    values — 1.0/(60 + rank) — summed in fixed written order (lex + emb),
+    so scores are bit-identical across engines with no rounding step.
+    Ties break (rrf DESC, doc_id ASC). Channel ranks surface as 0 (not
+    NULL) when a doc missed that channel's pool — a nullable int column
+    would widen to float64 in BOTH engines' pandas materialization and
+    hash on NaN (r4→r5 dtype lesson)."""
+    from .similarity import _cosine, _embeddings, _with_norm
+    from ..functions.numeric import portable_round
+
+    lex = bm25_topk(spark, sf_dir, cfg).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    q_ids = sorted(BM25_QUERIES)
+    queries = emb.where(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    sim = portable_round(
+        _cosine("q_embedding", "embedding", "q_norm", "norm"), 4
+    )
+    from pyspark.sql import Window
+
+    cw = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("doc_id"), sim.alias("sim")
+        )
+        .withColumn("emb_rank", F.row_number().over(cw))
+        .where(F.col("emb_rank") <= RRF_TOP_K)
+        .select("query_id", "doc_id", "emb_rank")
+    )
+
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("emb_rank")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.select(
+            "query_id", "doc_id", rrf.alias("rrf_score"),
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("emb_rank", F.lit(0)).alias("emb_rank"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RRF_TOP_K)
+        .select(
+            "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "emb_rank"
+        )
+    )

@@ -508,3 +508,56 @@ WHERE da.source <> db.source
 """
 
 CURATION_ORACLES["cross_source_neardups"] = CROSS_SOURCE_NEARDUPS
+
+
+def _funnel_sql() -> str:
+    """curation_funnel oracle: quality_gate nested verbatim (the verdicts
+    can never drift), first-failing-stage CASE ladder in FUNNEL_STAGES
+    order, literal stage dimension, window cumsum for n_in. Window SUM
+    over BIGINT is HUGEINT in DuckDB — cast back (sum_k trap); the ELSE
+    arm of drop_rate is CAST(0 AS DOUBLE), never the DECIMAL literal."""
+    from ..operators.curation import FUNNEL_STAGES
+
+    stage_vals = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+WITH qg AS ({QUALITY_GATE}),
+ff AS (
+    SELECT CASE WHEN NOT lang_ok THEN 0
+                WHEN NOT rep_ok THEN 1
+                WHEN NOT stop_ok THEN 2
+                WHEN NOT canonical_ok THEN 3
+                ELSE 4 END AS stage_idx
+    FROM qg
+),
+drops AS (
+    SELECT stage_idx, COUNT(*) AS n FROM ff
+    WHERE stage_idx < {len(FUNNEL_STAGES)}
+    GROUP BY stage_idx
+),
+stages(stage_idx, stage) AS (VALUES {stage_vals}),
+tot AS (SELECT COUNT(*) AS total FROM qg),
+j AS (
+    SELECT s.stage_idx, s.stage,
+        CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dropped
+    FROM stages s LEFT JOIN drops d USING (stage_idx)
+),
+with_in AS (
+    SELECT stage_idx, stage,
+        CAST((SELECT total FROM tot) - COALESCE(SUM(n_dropped) OVER (
+            ORDER BY stage_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS n_in,
+        n_dropped
+    FROM j
+)
+SELECT stage_idx, stage, n_in, n_dropped,
+    CAST(n_in - n_dropped AS BIGINT) AS n_out,
+    CASE WHEN n_in > 0 THEN CAST(n_dropped AS DOUBLE) / n_in
+         ELSE CAST(0 AS DOUBLE) END AS drop_rate
+FROM with_in
+"""
+
+
+CURATION_ORACLES["curation_funnel"] = _funnel_sql()

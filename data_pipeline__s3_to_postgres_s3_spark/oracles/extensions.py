@@ -1095,3 +1095,49 @@ WINDOW w AS (PARTITION BY nation ORDER BY rev_c DESC, c_custkey ASC)
 """
 
 EXTENSION_ORACLES["customer_nation_value_rank"] = CUSTOMER_NATION_VALUE_RANK
+
+
+def _zorder_sql() -> str:
+    """Z-order manifest oracle (operators/layout.zorder_manifest): same
+    min/max census (scalar-subquery CTE instead of collected literals —
+    identical integer values), same 16-bit grid normalization, the same
+    Morton interleave term stream (shared _morton_sql — the bit
+    expressions can never drift), and the same top-bits file split. All
+    integer arithmetic; dates surface as DATE on both engines."""
+    from ..operators.layout import Z_BITS, Z_EPOCH, Z_FILES_LOG2, _morton_sql
+
+    grid = (1 << Z_BITS) - 1
+    x = f"((ck - ck_min) * {grid}) // greatest(ck_max - ck_min, 1)"
+    y = f"((dy - dy_min) * {grid}) // greatest(dy_max - dy_min, 1)"
+    morton = _morton_sql(f"({x})", f"({y})")
+    return f"""
+WITH base AS (
+    SELECT o_custkey AS ck,
+        CAST(date_diff('day', DATE '{Z_EPOCH}',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS dy,
+        CAST(o_orderdate AS DATE) AS od
+    FROM orders
+),
+mm AS (
+    SELECT MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+           MIN(dy) AS dy_min, MAX(dy) AS dy_max
+    FROM base
+),
+keyed AS (
+    SELECT ck, od, {morton} AS z
+    FROM base, mm
+)
+SELECT COALESCE(CAST(z >> {2 * Z_BITS - Z_FILES_LOG2} AS INT), -1)
+        AS file_id,
+    COUNT(*) AS n_rows,
+    COALESCE(MIN(ck), -1) AS min_custkey,
+    COALESCE(MAX(ck), -1) AS max_custkey,
+    COALESCE(MIN(od), DATE '{Z_EPOCH}') AS min_orderdate,
+    COALESCE(MAX(od), DATE '{Z_EPOCH}') AS max_orderdate,
+    COALESCE(MIN(z), -1) AS min_z, COALESCE(MAX(z), -1) AS max_z
+FROM keyed
+GROUP BY 1
+"""
+
+
+EXTENSION_ORACLES["zorder_manifest"] = _zorder_sql()

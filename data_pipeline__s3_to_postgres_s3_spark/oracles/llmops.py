@@ -927,8 +927,67 @@ WHERE rank <= {BM25_TOP_K}
 
 BM25_TOPK = _bm25_sql()
 
+
+def _rrf_sql() -> str:
+    """Reciprocal-rank-fusion oracle (operators/textops.rrf_hybrid_topk):
+    lexical channel = the full BM25 oracle as a nested subquery (the two
+    can never drift), dense channel = the bruteforce-cosine formulation
+    restricted to the BM25 query ids (vec_id ≡ doc_id). RRF terms are
+    written in the Spark expression's token order — lex term + emb term,
+    each CAST(1 AS DOUBLE)/(60 + rank) — so scores are bit-identical;
+    missed-channel ranks surface as 0, never NULL (nullable ints widen
+    to float64 in pandas and hash on NaN)."""
+    from ..operators.textops import BM25_QUERIES, RRF_K, RRF_TOP_K
+
+    q_ids = ", ".join(str(q) for q in sorted(BM25_QUERIES))
+    return f"""
+WITH lex AS (
+    SELECT query_id, doc_id, rank AS lex_rank FROM ({BM25_TOPK})
+),
+{_EMB_NORM},
+q AS (SELECT * FROM e WHERE vec_id IN ({q_ids})),
+dense0 AS (
+    SELECT CAST(q.vec_id AS INT) AS query_id, e.vec_id AS doc_id,
+        {_COS_AB} AS sim
+    FROM q, e
+    WHERE e.vec_id <> q.vec_id
+),
+dense AS (
+    SELECT query_id, doc_id, CAST(rank AS INT) AS emb_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, doc_id ASC
+        ) AS rank
+        FROM dense0
+    )
+    WHERE rank <= {RRF_TOP_K}
+),
+fused AS (
+    SELECT query_id, doc_id,
+        COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + lex_rank),
+                 CAST(0 AS DOUBLE))
+      + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + emb_rank),
+                 CAST(0 AS DOUBLE)) AS rrf_score,
+        COALESCE(lex_rank, 0) AS lex_rank,
+        COALESCE(emb_rank, 0) AS emb_rank
+    FROM lex FULL OUTER JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score,
+       lex_rank, emb_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+    ) AS rank
+    FROM fused
+)
+WHERE rank <= {RRF_TOP_K}
+"""
+
+
+RRF_HYBRID_TOPK = _rrf_sql()
+
 LLMOPS_ORACLES = {
     "bm25_topk": BM25_TOPK,
+    "rrf_hybrid_topk": RRF_HYBRID_TOPK,
     "text_quality": TEXT_QUALITY,
     "lang_id": LANG_ID,
     "doc_fingerprint": DOC_FINGERPRINT,

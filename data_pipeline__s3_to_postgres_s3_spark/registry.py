@@ -47,6 +47,7 @@ from .operators.relational import (
     value_percentiles,
 )
 from .operators.cdc import cdc_merge_customers
+from .operators.layout import zorder_manifest
 from .operators.events_analytics import (
     active_users_rolling,
     conversion_latency_stats,
@@ -58,6 +59,7 @@ from .operators.events_analytics import (
 )
 from .operators.curation import (
     ccnet_quality_buckets,
+    curation_funnel,
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
@@ -128,6 +130,7 @@ from .operators.temporal import (
 )
 from .operators.textops import (
     bm25_topk,
+    rrf_hybrid_topk,
     char_ngram_diversity,
     doc_fingerprint,
     lang_confusion_matrix,
@@ -206,10 +209,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # -- reference parity core (flagship first: entry() runs it) ----------
     "agg_public_holiday": agg_public_holiday,
-    "most_ordered_product_date": most_ordered_product_date,
-    "shipment_percentages": shipment_percentages,
+    # Round-7 new-op swaps: the three brand-new round-7 oracles enter the
+    # window immediately (bloom_vocab_novelty precedent) against the
+    # longest-green entries in the registry — most_ordered_product_date,
+    # shipment_percentages, tripdata_monthly_metrics (each hash-green
+    # r1–r6, all still pinned by the parity/orders-null/local suites).
+    "rrf_hybrid_topk": rrf_hybrid_topk,
+    "zorder_manifest": zorder_manifest,
     "best_performing_product": best_performing_product,
-    "tripdata_monthly_metrics": tripdata_monthly_metrics,
+    "curation_funnel": curation_funnel,
     # -- SQL-script executor (S5) rep; keeps the agg_shipments oracle
     #    driver-hashed while the operator twin sits in the tail ----------
     "sql_script_shipments": sql_script_shipments,
@@ -299,6 +307,10 @@ QUERIES: dict[str, QueryFn] = {
     # matrix. sql_script twins: the public_holiday/best_product oracles
     # stay hashed via the operator entries in the window head.
     "sql_script_public_holiday": sql_script_public_holiday,
+    # Round-7 new-op swap-outs (hash-green r1–r6; see the window head):
+    "most_ordered_product_date": most_ordered_product_date,
+    "shipment_percentages": shipment_percentages,
+    "tripdata_monthly_metrics": tripdata_monthly_metrics,
     # Late round-6 swap-outs (r5 hash-green + dedicated local pins; see
     # the window comment above):
     "purchase_last_view_asof": purchase_last_view_asof,

@@ -597,3 +597,70 @@ def test_gopher_repetition_and_ccnet_plan_shapes(spark, sf_dir):
     # census shuffle happens at build time (collect); the returned plan
     # carries only the NTILE window's single exchange.
     assert plans.exchange_count(ccnet_quality_buckets(spark, sf_dir)) <= 1
+
+
+def test_curation_funnel_first_fail_attribution(spark, tmp_path):
+    """Each doc drops at its FIRST failing gate: doc 2 fails repetition
+    AND stopword but counts only under repetition; conservation holds
+    (n_out[i] == n_in[i+1], last n_out == kept corpus)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        FUNNEL_STAGES,
+        curation_funnel,
+        quality_gate,
+    )
+
+    keep_text = "the alpha beta gamma delta epsilon zeta window scan"
+    rows = [
+        (1, "zzz qqq www"),  # no lang markers -> lang_id
+        (2, "the cat sat the cat sat the cat sat the cat sat"),  # rep + stop
+        (3, "the quick and fast of stream is here for scan"),  # stopword
+        (4, keep_text),  # canonical of the dup pair -> kept
+        (5, keep_text),  # exact dup -> exact_dup
+        (6, "is vector scan merge batch join hash sort stream"),  # kept
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["stage"]: r for r in curation_funnel(spark, str(tmp_path)).collect()
+    }
+    assert [got[s]["stage_idx"] for s in FUNNEL_STAGES] == [0, 1, 2, 3]
+    expect = {
+        "lang_id": (6, 1, 5),
+        "repetition": (5, 1, 4),
+        "stopword": (4, 1, 3),
+        "exact_dup": (3, 1, 2),
+    }
+    for stage, (n_in, n_drop, n_out) in expect.items():
+        r = got[stage]
+        assert (r["n_in"], r["n_dropped"], r["n_out"]) == (
+            n_in,
+            n_drop,
+            n_out,
+        ), stage
+        assert r["drop_rate"] == n_drop / n_in
+    kept = (
+        quality_gate(spark, str(tmp_path)).where("keep").count()
+    )
+    assert kept == got["exact_dup"]["n_out"] == 2
+
+
+def test_curation_funnel_conserves_at_sf(spark, sf_dir):
+    """Chain conservation on the real corpus + agreement with
+    quality_gate's kept count."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        curation_funnel,
+        quality_gate,
+    )
+
+    rows = sorted(
+        curation_funnel(spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    gated = quality_gate(spark, sf_dir)
+    assert rows[0]["n_in"] == gated.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_out"] == b["n_in"]
+        assert a["n_in"] - a["n_dropped"] == a["n_out"]
+    assert rows[-1]["n_out"] == gated.where("keep").count()

@@ -35,6 +35,7 @@ QUERIES_UNDER_TEST = [
     "agg_public_holiday",      # flagship: ref view to_date mapping
     "promo_revenue_share",     # date_trunc month on l_shipdate (r5)
     "order_to_ship_lag_stats", # datediff across both tables' dates (r5)
+    "zorder_manifest",         # datediff grid + DATE extents (r7)
 ]
 
 

@@ -106,6 +106,7 @@ GATE_QUERIES = sorted(
         "embedding_kmeans",
         "embedding_quantize",
         "semantic_dedup",
+        "rrf_hybrid_topk",
     )
     if name in ORACLES and name in QUERIES
 )

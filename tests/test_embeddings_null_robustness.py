@@ -40,6 +40,7 @@ QUERIES_UNDER_TEST = [
     "semantic_dedup",
     "semantic_decontaminate",
     "hard_negative_mining",
+    "rrf_hybrid_topk",  # r7: dense channel rides the _embeddings chokepoint
 ]
 
 

@@ -57,6 +57,8 @@ QUERIES_UNDER_TEST = [
     # int32 parquet — Spark 4's widening type promotion must absorb it
     # (probed r5; this pin catches a regression or a stricter reader).
     "stream_hourly_rollup",
+    # o_custkey int width feeds the Morton bit grid (r7).
+    "zorder_manifest",
 ]
 
 

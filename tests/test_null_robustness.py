@@ -32,6 +32,9 @@ QUERIES_UNDER_TEST = [
     "chunk_documents",
     "dedup_minhash_lsh",
     "exact_span_dedup",
+    # r7: nests quality_gate (NULL text = empty doc) + the BM25 channel.
+    "curation_funnel",
+    "rrf_hybrid_topk",
 ]
 
 

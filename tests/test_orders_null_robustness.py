@@ -47,6 +47,8 @@ QUERIES_UNDER_TEST = [
     "best_performing_product",
     "cdc_merge_customers",
     "profile_orders",
+    # r7: NULL-key rows must land in sentinel file -1 on both engines.
+    "zorder_manifest",
 ]
 
 _NULL_PLAN = (

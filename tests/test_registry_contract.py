@@ -57,6 +57,12 @@ ROWS_ONLY_ALLOWED = {
 ROTATED_IN = {
     "dataset_card",
     "bloom_vocab_novelty",
+    # Round-7 new ops, straight into the window (swapped against the
+    # r1–r6 six-times-green parity trio most_ordered_product_date /
+    # shipment_percentages / tripdata_monthly_metrics):
+    "rrf_hybrid_topk",
+    "zorder_manifest",
+    "curation_funnel",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must

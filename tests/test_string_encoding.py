@@ -41,6 +41,9 @@ QUERIES_UNDER_TEST = [
     # Streaming: the doc file-stream declares StringType against the
     # large_string/dictionary parquet — the reader must absorb it.
     "stream_minhash_dedup",
+    # r7: documents-text consumers — BM25 channel and the gate ladder.
+    "rrf_hybrid_topk",
+    "curation_funnel",
 ]
 
 
