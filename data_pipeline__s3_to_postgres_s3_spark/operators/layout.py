@@ -14,10 +14,10 @@ literals, the watermark-read precedent), interleave the bits into a
 32-bit Morton key with pure integer shift/mask expressions (whole-stage
 codegen, zero Python), shard the curve into Z_FILES files by the key's
 TOP bits (a fixed-width range split of the curve — zero-shuffle file
-assignment; the physical write would be repartitionByRange(z) +
-sortWithinPartitions, a standard distributed sort), and emit the
-per-file manifest: row count + min/max of both dimensions — exactly the
-footer stats a reader's data-skipping consults.
+assignment), and emit the per-file manifest: row count + min/max of
+both dimensions — exactly the footer stats a reader's data-skipping
+consults. ``write_zordered`` is the physical step: repartitionByRange
+on the same key + sortWithinPartitions, a standard distributed sort.
 
 Everything is integer arithmetic until the output (dates surface as
 DATE), so the DuckDB oracle is bit-identical by construction.
@@ -114,4 +114,47 @@ def zorder_manifest(
             F.coalesce(F.min("z"), F.lit(-1)).alias("min_z"),
             F.coalesce(F.max("z"), F.lit(-1)).alias("max_z"),
         )
+    )
+
+
+def write_zordered(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_files: int = 1 << Z_FILES_LOG2,
+) -> None:
+    """Physically write orders in Z-order: the layout step itself.
+
+    repartitionByRange(n_files, z) is Spark's distributed equal-frequency
+    range split (sample-based boundaries — a standard total-sort exchange,
+    no single-partition stage at any scale) and sortWithinPartitions(z)
+    makes every row-group footer's min/max tight, so a reader's
+    data-skipping gets the pruning the manifest predicts. The z key is
+    computed by the same census + Morton expressions as zorder_manifest
+    and dropped from the written schema — layout is physical, the table
+    stays the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit(Z_EPOCH)).cast("long")
+    keyed = orders.withColumn("_ck", F.col("o_custkey")).withColumn(
+        "_dy", day
+    )
+    mm = keyed.agg(
+        F.min("_ck").alias("ck_min"),
+        F.max("_ck").alias("ck_max"),
+        F.min("_dy").alias("dy_min"),
+        F.max("_dy").alias("dy_max"),
+    ).collect()[0]
+    ck_span = max(int(mm["ck_max"]) - int(mm["ck_min"]), 1)
+    dy_span = max(int(mm["dy_max"]) - int(mm["dy_min"]), 1)
+    grid = (1 << Z_BITS) - 1
+    x = f"((_ck - {int(mm['ck_min'])}) * {grid}) div {ck_span}"
+    y = f"((_dy - {int(mm['dy_min'])}) * {grid}) div {dy_span}"
+    z = F.expr(_morton_sql(f"({x})", f"({y})"))
+    (
+        keyed.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_ck", "_dy", "_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
     )

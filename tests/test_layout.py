@@ -99,3 +99,49 @@ def test_zorder_null_keys_land_in_sentinel_file(spark, tmp_path):
     assert m[-1]["min_orderdate"] == datetime.date(2000, 3, 1)
     assert m[-1]["min_z"] == -1 and m[-1]["max_z"] == -1
     assert sum(r["n_rows"] for r in m.values()) == len(rows)
+
+
+def test_write_zordered_files_prune_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The PHYSICAL layout: written part-files must carry narrow min/max
+    extents on BOTH dimensions (what parquet footer stats expose to a
+    reader), and a point predicate on either column must skip at least
+    half the files. Schema must be unchanged (no helper columns leak)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.layout import (
+        write_zordered,
+    )
+
+    out = str(tmp_path / "orders_z")
+    write_zordered(spark, sf_dir, out)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 8  # 16 requested; range split may merge tiny tails
+    extents = []
+    n_total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["o_custkey", "o_orderdate"])
+        n_total += t.num_rows
+        ck = t.column("o_custkey").to_pylist()
+        od = t.column("o_orderdate").to_pylist()
+        extents.append((min(ck), max(ck), min(od), max(od)))
+        assert "_z" not in t.schema.names
+    src = pq.read_table(f"{sf_dir}/orders.parquet")
+    assert n_total == src.num_rows
+    ck_lo = min(e[0] for e in extents)
+    ck_hi = max(e[1] for e in extents)
+    d_lo = min(e[2] for e in extents)
+    d_hi = max(e[3] for e in extents)
+    ck_span = ck_hi - ck_lo
+    d_span = (d_hi - d_lo).total_seconds()
+    # Range boundaries are sample-based so a file can straddle one cell
+    # border; mean extents must still sit near the ideal 1/4 per dim.
+    mean_ck = sum(e[1] - e[0] for e in extents) / len(extents)
+    mean_d = sum((e[3] - e[2]).total_seconds() for e in extents) / len(extents)
+    assert mean_ck <= 0.40 * ck_span
+    assert mean_d <= 0.40 * d_span
+    probe_ck = (ck_lo + ck_hi) // 2
+    assert sum(1 for e in extents if e[0] <= probe_ck <= e[1]) <= len(files) / 2
+    probe_d = d_lo + (d_hi - d_lo) / 2
+    assert sum(1 for e in extents if e[2] <= probe_d <= e[3]) <= len(files) / 2
