@@ -16,16 +16,20 @@ codegen, zero Python), shard the curve into Z_FILES files by the key's
 TOP bits (a fixed-width range split of the curve — zero-shuffle file
 assignment), and emit the per-file manifest: row count + min/max of
 both dimensions — exactly the footer stats a reader's data-skipping
-consults. ``write_zordered`` is the physical step: repartitionByRange
-on the same key + sortWithinPartitions, a standard distributed sort.
+consults.
 
-Everything is integer arithmetic until the output (dates surface as
-DATE), so the DuckDB oracle is bit-identical by construction.
+``write_zordered`` is the physical step and uses the SAME fixed-width
+top-bits cell assignment as the manifest, so every written file is
+cell-pure BY CONSTRUCTION and its min/max extents match what the
+manifest predicts. (An earlier draft used ``repartitionByRange(n, z)``;
+its sample-based boundaries land mid-cell, so files straddled Z-cells
+and the non-dominant dimension's extents widened past the manifest —
+the r7 red test. Cell-id partitioning removes the sampling entirely.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -36,6 +40,20 @@ Z_FILES_LOG2 = 4  # 16 files: split the curve on the key's top 4 bits
 # Date anchor for day-integer coordinates; any fixed date works (the
 # min/max census re-centers), epoch keeps both engines' datediff trivial.
 Z_EPOCH = "1970-01-01"
+
+# Perfect-hash token table for the physical write's file split: Spark's
+# ``repartition(n, col)`` places rows by murmur3(col) % n, and murmur3 is
+# NOT injective over the 17 cell ids {-1, 0..15} at any practical n
+# (measured: >=2 collisions even at n=128), so hashing the raw cell id
+# would merge non-adjacent Z-cells into one file and destroy the extents
+# the manifest promises. These 17 integers were pre-solved offline to
+# have 17 DISTINCT values of pmod(murmur3(token), 17) — murmur3 with
+# Spark's fixed seed 42 is a stable public function, so the property
+# holds forever; it is pinned by
+# tests/test_layout.py::test_fid_tokens_perfect_hash. Mapping cell id
+# c -> Z_FID_TOKENS[c + 1] therefore gives every Z-cell its own shuffle
+# partition, i.e. exactly one cell per written file.
+Z_FID_TOKENS = (12, 18, 1, 19, 0, 4, 3, 20, 15, 40, 9, 13, 2, 10, 22, 5, 6)
 
 
 def _morton_sql(x: str, y: str) -> str:
@@ -52,6 +70,43 @@ def _morton_sql(x: str, y: str) -> str:
     return " + ".join(terms)
 
 
+def _orders_z(orders: DataFrame) -> Column:
+    """The Morton key for orders on (o_custkey, o_orderdate): min/max
+    census → four scalar literals (watermark-read precedent; the grid
+    must be corpus-derived so the operator survives driver data
+    regeneration and real key ranges alike), then the 16-bit grid
+    normalization + interleave as one codegen expression.
+
+    Expects helper columns `_ck` (BIGINT) and `_dy` (BIGINT) on the
+    input. Both are explicitly long: the grid product (span · 65535)
+    overflows int32 under ANSI for a multi-century date span OR an int32
+    custkey above ~32k (sf1's 150k customers) — both coordinates stay in
+    bigint regardless of the driver's physical key encoding."""
+    mm = orders.agg(
+        F.min("_ck").alias("ck_min"),
+        F.max("_ck").alias("ck_max"),
+        F.min("_dy").alias("dy_min"),
+        F.max("_dy").alias("dy_max"),
+    ).collect()[0]
+    ck_span = max(int(mm["ck_max"]) - int(mm["ck_min"]), 1)
+    dy_span = max(int(mm["dy_max"]) - int(mm["dy_min"]), 1)
+    grid = (1 << Z_BITS) - 1
+    x = f"((_ck - {int(mm['ck_min'])}) * {grid}) div {ck_span}"
+    y = f"((_dy - {int(mm['dy_min'])}) * {grid}) div {dy_span}"
+    return F.expr(_morton_sql(f"({x})", f"({y})"))
+
+
+def _file_id(z: Column) -> Column:
+    """Fixed-width top-bits cell assignment — THE file split, shared by
+    the manifest and the physical write. NULL-key rows (orders-NULL
+    robustness axis) have no place on the curve: z NULL-propagates and
+    they land in sentinel file -1 — the "stats unavailable, never skip"
+    file a real reader treats as always-scan."""
+    return F.coalesce(
+        F.shiftright(z, 2 * Z_BITS - Z_FILES_LOG2).cast("int"), F.lit(-1)
+    )
+
+
 def zorder_manifest(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -64,42 +119,24 @@ def zorder_manifest(
     files, vs. no skipping at all on the non-sort column of a linear
     layout."""
     orders = load_table(spark, sf_dir, "orders")
-    # datediff yields INT; the grid product (span · 65535) overflows
-    # int32 for multi-century spans under ANSI — stay in bigint.
-    day = F.datediff(F.to_date("o_orderdate"), F.lit(Z_EPOCH)).cast("long")
     base = orders.select(
-        F.col("o_custkey").alias("ck"),
-        day.alias("dy"),
+        F.col("o_custkey").cast("long").alias("_ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit(Z_EPOCH))
+        .cast("long")
+        .alias("_dy"),
         F.to_date("o_orderdate").alias("od"),
     )
-    # Min/max census → four scalar literals (watermark-read precedent):
-    # the normalization grid must be corpus-derived, never hardcoded, so
-    # the operator survives a driver data regeneration and real key
-    # ranges alike.
-    mm = base.agg(
-        F.min("ck").alias("ck_min"),
-        F.max("ck").alias("ck_max"),
-        F.min("dy").alias("dy_min"),
-        F.max("dy").alias("dy_max"),
-    ).collect()[0]
-    ck_span = max(int(mm["ck_max"]) - int(mm["ck_min"]), 1)
-    dy_span = max(int(mm["dy_max"]) - int(mm["dy_min"]), 1)
-    grid = (1 << Z_BITS) - 1
-    x = f"((ck - {int(mm['ck_min'])}) * {grid}) div {ck_span}"
-    y = f"((dy - {int(mm['dy_min'])}) * {grid}) div {dy_span}"
-    z = F.expr(_morton_sql(f"({x})", f"({y})"))
-    # NULL-key rows (orders-NULL robustness axis) have no place on the
-    # curve: z NULL-propagates and they land in sentinel file -1 — the
-    # "stats unavailable, never skip" file a real reader treats as
-    # always-scan. Extents mirror-coalesce to sentinels so no engine
-    # materializes a NULL aggregate (NaN-hash trap).
-    file_id = F.coalesce(
-        F.shiftright(F.col("z"), 2 * Z_BITS - Z_FILES_LOG2).cast("int"),
-        F.lit(-1),
-    )
+    z = _orders_z(base)
+    # Extents mirror-coalesce to sentinels so no engine materializes a
+    # NULL aggregate (NaN-hash trap).
     return (
         base.withColumn("z", z)
-        .select(file_id.alias("file_id"), "ck", "od", "z")
+        .select(
+            _file_id(F.col("z")).alias("file_id"),
+            F.col("_ck").alias("ck"),
+            "od",
+            "z",
+        )
         .groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -117,44 +154,43 @@ def zorder_manifest(
     )
 
 
-def write_zordered(
-    spark: SparkSession,
-    sf_dir: str,
-    out_path: str,
-    n_files: int = 1 << Z_FILES_LOG2,
-) -> None:
+def write_zordered(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Physically write orders in Z-order: the layout step itself.
 
-    repartitionByRange(n_files, z) is Spark's distributed equal-frequency
-    range split (sample-based boundaries — a standard total-sort exchange,
-    no single-partition stage at any scale) and sortWithinPartitions(z)
-    makes every row-group footer's min/max tight, so a reader's
-    data-skipping gets the pruning the manifest predicts. The z key is
-    computed by the same census + Morton expressions as zorder_manifest
-    and dropped from the written schema — layout is physical, the table
-    stays the table."""
+    File assignment is the manifest's own fixed-width top-bits cell id
+    (``_file_id``), routed through the Z_FID_TOKENS perfect-hash table so
+    ``repartition`` places exactly one Z-cell per shuffle partition —
+    one cell per written file, no sample-based range boundaries, no
+    cell-straddling files. ``sortWithinPartitions(_z)`` then makes every
+    row-group footer's min/max tight within the file, so a reader's
+    row-group-level data-skipping gets strictly finer pruning than the
+    per-file manifest predicts. Helper columns are dropped from the
+    written schema — layout is physical, the table stays the table.
+
+    Scale shape: one full shuffle of the table into |cells| partitions +
+    an in-partition sort — the same cost as any clustering OPTIMIZE. At
+    a larger Z_FILES_LOG2 the token table generalizes (solve once per
+    cell count); per-file row counts stay balanced because the grid
+    normalization is equi-RANGE on the census, and a skewed corpus shows
+    up in the manifest's n_rows BEFORE the write is attempted."""
     orders = load_table(spark, sf_dir, "orders")
-    day = F.datediff(F.to_date("o_orderdate"), F.lit(Z_EPOCH)).cast("long")
-    keyed = orders.withColumn("_ck", F.col("o_custkey")).withColumn(
-        "_dy", day
+    keyed = orders.withColumn(
+        "_ck", F.col("o_custkey").cast("long")
+    ).withColumn(
+        "_dy",
+        F.datediff(F.to_date("o_orderdate"), F.lit(Z_EPOCH)).cast("long"),
     )
-    mm = keyed.agg(
-        F.min("_ck").alias("ck_min"),
-        F.max("_ck").alias("ck_max"),
-        F.min("_dy").alias("dy_min"),
-        F.max("_dy").alias("dy_max"),
-    ).collect()[0]
-    ck_span = max(int(mm["ck_max"]) - int(mm["ck_min"]), 1)
-    dy_span = max(int(mm["dy_max"]) - int(mm["dy_min"]), 1)
-    grid = (1 << Z_BITS) - 1
-    x = f"((_ck - {int(mm['ck_min'])}) * {grid}) div {ck_span}"
-    y = f"((_dy - {int(mm['dy_min'])}) * {grid}) div {dy_span}"
-    z = F.expr(_morton_sql(f"({x})", f"({y})"))
+    z = _orders_z(keyed)
+    tok = F.element_at(
+        F.array(*[F.lit(t) for t in Z_FID_TOKENS]),
+        _file_id(F.col("_z")) + F.lit(2),  # cell id -1..15 → index 1..17
+    )
     (
         keyed.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
+        .withColumn("_tok", tok)
+        .repartition(len(Z_FID_TOKENS), "_tok")
         .sortWithinPartitions("_z")
-        .drop("_ck", "_dy", "_z")
+        .drop("_ck", "_dy", "_z", "_tok")
         .write.mode("overwrite")
         .parquet(out_path)
     )

@@ -1112,7 +1112,10 @@ def _zorder_sql() -> str:
     morton = _morton_sql(f"({x})", f"({y})")
     return f"""
 WITH base AS (
-    SELECT o_custkey AS ck,
+    -- BIGINT ck mirrors the Spark side's explicit long cast: the grid
+    -- product (span * 65535) overflows INTEGER for custkey ranges past
+    -- ~32k (sf1), under any int32 driver re-encoding of the key.
+    SELECT CAST(o_custkey AS BIGINT) AS ck,
         CAST(date_diff('day', DATE '{Z_EPOCH}',
                        CAST(o_orderdate AS DATE)) AS BIGINT) AS dy,
         CAST(o_orderdate AS DATE) AS od

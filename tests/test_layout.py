@@ -4,18 +4,25 @@ The oracle differential (test_correctness_oracle / the driver window)
 pins cross-engine agreement; these tests pin the LAYOUT claims the
 manifest makes — the bit math itself, the bi-dimensional clustering
 property (each file covers ~1/2^(FILES_LOG2/2) of EACH dimension's
-range, which is what buys data skipping on both columns), and the
-NULL-key sentinel file.
+range, which is what buys data skipping on both columns), the NULL-key
+sentinel file, and the PHYSICAL write: cell-pure files whose parquet
+footer stats deliver the pruning the manifest predicts, end-to-end.
 """
 
 from __future__ import annotations
 
 import datetime
+import glob
+
+import pyarrow.parquet as pq
+import pytest
 
 from data_pipeline__s3_to_postgres_s3_spark.operators.layout import (
     Z_BITS,
+    Z_FID_TOKENS,
     Z_FILES_LOG2,
     _morton_sql,
+    write_zordered,
     zorder_manifest,
 )
 
@@ -39,6 +46,24 @@ def test_morton_sql_matches_python_reference(spark):
     ).collect()[0]
     for i, (x, y) in enumerate(cases):
         assert rows[f"z{i}"] == _morton_py(x, y), (x, y)
+
+
+def test_fid_tokens_perfect_hash(spark):
+    """The physical write's file split relies on pmod(murmur3(token), 17)
+    being injective over Z_FID_TOKENS — one Z-cell per shuffle partition.
+    murmur3 with Spark's fixed seed is stable, so this can only break if
+    someone edits the table; pin it against Spark itself."""
+    from pyspark.sql import functions as F
+
+    assert len(Z_FID_TOKENS) == (1 << Z_FILES_LOG2) + 1  # 16 cells + sentinel
+    df = spark.createDataFrame([(t,) for t in Z_FID_TOKENS], "t int")
+    residues = [
+        r[0]
+        for r in df.select(
+            F.pmod(F.hash("t"), F.lit(len(Z_FID_TOKENS)))
+        ).collect()
+    ]
+    assert len(set(residues)) == len(Z_FID_TOKENS), residues
 
 
 def test_zorder_files_cluster_both_dimensions(spark, sf_dir):
@@ -101,47 +126,108 @@ def test_zorder_null_keys_land_in_sentinel_file(spark, tmp_path):
     assert sum(r["n_rows"] for r in m.values()) == len(rows)
 
 
-def test_write_zordered_files_prune_on_both_dimensions(spark, sf_dir, tmp_path):
-    """The PHYSICAL layout: written part-files must carry narrow min/max
-    extents on BOTH dimensions (what parquet footer stats expose to a
-    reader), and a point predicate on either column must skip at least
-    half the files. Schema must be unchanged (no helper columns leak)."""
-    import glob
-
-    import pyarrow.parquet as pq
-
-    from data_pipeline__s3_to_postgres_s3_spark.operators.layout import (
-        write_zordered,
-    )
-
-    out = str(tmp_path / "orders_z")
+@pytest.fixture(scope="module")
+def zordered_files(spark, sf_dir, tmp_path_factory):
+    """Write once, assert twice (extents + end-to-end skip proof):
+    the physical write is the expensive step of this module."""
+    out = str(tmp_path_factory.mktemp("layout") / "orders_z")
     write_zordered(spark, sf_dir, out)
-    files = sorted(glob.glob(f"{out}/part-*.parquet"))
-    assert len(files) >= 8  # 16 requested; range split may merge tiny tails
+    # The sentinel cell's partition is empty when the corpus has no
+    # NULL keys; its 0-row file carries no stats and no reader touches
+    # it — exclude it from the layout assertions.
+    return [
+        f
+        for f in sorted(glob.glob(f"{out}/part-*.parquet"))
+        if pq.ParquetFile(f).metadata.num_rows > 0
+    ]
+
+
+def _file_extents(files):
+    """Per-file (min, max) of both dimensions from parquet FOOTER stats —
+    the exact metadata a data-skipping reader consults; no data pages are
+    read."""
     extents = []
     n_total = 0
     for f in files:
-        t = pq.read_table(f, columns=["o_custkey", "o_orderdate"])
-        n_total += t.num_rows
-        ck = t.column("o_custkey").to_pylist()
-        od = t.column("o_orderdate").to_pylist()
-        extents.append((min(ck), max(ck), min(od), max(od)))
-        assert "_z" not in t.schema.names
-    src = pq.read_table(f"{sf_dir}/orders.parquet")
+        md = pq.ParquetFile(f).metadata
+        n_total += md.num_rows
+        names = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        ck_lo = ck_hi = d_lo = d_hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            ck = g.column(names["o_custkey"]).statistics
+            od = g.column(names["o_orderdate"]).statistics
+            ck_lo = ck.min if ck_lo is None else min(ck_lo, ck.min)
+            ck_hi = ck.max if ck_hi is None else max(ck_hi, ck.max)
+            d_lo = od.min if d_lo is None else min(d_lo, od.min)
+            d_hi = od.max if d_hi is None else max(d_hi, od.max)
+        extents.append((ck_lo, ck_hi, d_lo, d_hi))
+    return extents, n_total
+
+
+def test_write_zordered_files_prune_on_both_dimensions(
+    spark, sf_dir, zordered_files
+):
+    """The PHYSICAL layout: every written file is one Z-cell (the
+    perfect-hash split makes this hold by construction, not by sampling
+    luck), so per-file footer extents cover <= ~1/4 + grid rounding of
+    EACH dimension. Schema must be unchanged (no helper columns leak)."""
+    files = zordered_files
+    # One non-empty file per populated cell (+1 if the corpus had NULL
+    # keys → sentinel file).
+    assert (1 << Z_FILES_LOG2) <= len(files) <= len(Z_FID_TOKENS)
+    extents, n_total = _file_extents(files)
+    src = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
     assert n_total == src.num_rows
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    for helper in ("_z", "_tok", "_ck", "_dy"):
+        assert helper not in schema.names
     ck_lo = min(e[0] for e in extents)
     ck_hi = max(e[1] for e in extents)
     d_lo = min(e[2] for e in extents)
     d_hi = max(e[3] for e in extents)
     ck_span = ck_hi - ck_lo
     d_span = (d_hi - d_lo).total_seconds()
-    # Range boundaries are sample-based so a file can straddle one cell
-    # border; mean extents must still sit near the ideal 1/4 per dim.
-    mean_ck = sum(e[1] - e[0] for e in extents) / len(extents)
-    mean_d = sum((e[3] - e[2]).total_seconds() for e in extents) / len(extents)
-    assert mean_ck <= 0.40 * ck_span
-    assert mean_d <= 0.40 * d_span
-    probe_ck = (ck_lo + ck_hi) // 2
-    assert sum(1 for e in extents if e[0] <= probe_ck <= e[1]) <= len(files) / 2
-    probe_d = d_lo + (d_hi - d_lo) / 2
-    assert sum(1 for e in extents if e[2] <= probe_d <= e[3]) <= len(files) / 2
+    # Cell-pure files: EVERY file (not just the mean) sits within one
+    # grid cell = 1/4 of each dimension + one cell of grid rounding.
+    for e in extents:
+        assert e[1] - e[0] <= 0.30 * ck_span, e
+        assert (e[3] - e[2]).total_seconds() <= 0.30 * d_span, e
+
+
+def test_zorder_skip_proof_point_predicates(zordered_files):
+    """End-to-end data-skipping proof on the WRITTEN files: a stats-based
+    reader (Spark's parquet filter pushdown, DuckDB zone maps) touches a
+    file only if the predicate intersects its footer min/max. For a
+    single-customer and a single-month predicate, that must be <= 1/4 of
+    the files on EACH dimension — the bi-dimensional payoff Z-order buys.
+    Fails if anyone reverts the write to a non-cell-aligned split."""
+    files = zordered_files
+    extents, _ = _file_extents(files)
+    ck_lo = min(e[0] for e in extents)
+    ck_hi = max(e[1] for e in extents)
+    d_lo = min(e[2] for e in extents)
+    d_hi = max(e[3] for e in extents)
+    # Single-customer point probes at several points across the range:
+    # one custkey band = 1/4 of the files.
+    for frac in (0.1, 0.5, 0.9):
+        probe_ck = ck_lo + int(frac * (ck_hi - ck_lo))
+        touched = sum(1 for e in extents if e[0] <= probe_ck <= e[1])
+        assert touched <= len(files) / 4, (probe_ck, touched)
+    # Single-day point probes: one date band = 1/4 of the files.
+    span = d_hi - d_lo
+    for frac in (0.1, 0.5, 0.9):
+        probe_d = d_lo + frac * span
+        touched = sum(1 for e in extents if e[2] <= probe_d <= e[3])
+        assert touched <= len(files) / 4, (probe_d, touched)
+    # A 30-day RANGE can legitimately straddle two adjacent date bands
+    # (that is Z-order, not a layout bug) — bounded by 1/2 the files,
+    # still 2x better than a custkey-linear layout's full scan.
+    for frac in (0.1, 0.5, 0.9):
+        m_lo = d_lo + frac * span
+        m_hi = m_lo + datetime.timedelta(days=30)
+        touched = sum(1 for e in extents if e[2] <= m_hi and m_lo <= e[3])
+        assert touched <= len(files) / 2, (m_lo, touched)
