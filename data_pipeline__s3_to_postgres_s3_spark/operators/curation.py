@@ -1058,7 +1058,6 @@ def curation_funnel(
     from pyspark.sql import Window
 
     gated = quality_gate(spark, sf_dir, cfg)
-    total = gated.count()
     first_fail = (
         F.when(~F.col("lang_ok"), 0)
         .when(~F.col("rep_ok"), 1)
@@ -1066,25 +1065,39 @@ def curation_funnel(
         .when(~F.col("canonical_ok"), 3)
         .otherwise(4)
     )
-    drops = (
+    # ONE aggregation over the gate verdicts, kept bucket (stage_idx 4)
+    # included, so the quality_gate subtree executes exactly once — an
+    # earlier draft ran `gated.count()` plus this groupBy, re-executing
+    # the full scan + canonical-election window per consumer (the
+    # dedup_simhash re-executed-shared-subtree class). total = Σ buckets
+    # replaces the separate count; the ≤5-row bucket frame is
+    # lineage-cut (localCheckpoint) because it still feeds two tiny
+    # consumers (the scalar total and the stage join).
+    buckets = (
         gated.select(first_fail.alias("stage_idx"))
-        .where(F.col("stage_idx") < len(FUNNEL_STAGES))
         .groupBy("stage_idx")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
+    tot = buckets.agg(F.sum("n").cast("long").alias("_total"))
     stages = spark.createDataFrame(
         list(enumerate(FUNNEL_STAGES)), "stage_idx int, stage string"
     )
-    j = stages.join(drops, "stage_idx", "left").select(
-        "stage_idx",
-        "stage",
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dropped"),
+    j = (
+        stages.join(buckets, "stage_idx", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dropped"),
+            "_total",
+        )
     )
     prior = Window.orderBy("stage_idx").rowsBetween(
         Window.unboundedPreceding, -1
     )
     n_in = (
-        F.lit(total) - F.coalesce(F.sum("n_dropped").over(prior), F.lit(0))
+        F.col("_total") - F.coalesce(F.sum("n_dropped").over(prior), F.lit(0))
     ).cast("long")
     with_in = j.select(
         "stage_idx", "stage", n_in.alias("n_in"), "n_dropped"
