@@ -38,6 +38,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,14 +87,21 @@ MINHASH_PAIR_OUTPUT = StructType(
     ]
 )
 # Bucket members: doc ids + their signatures flattened (MINHASH_PERMS
-# longs per doc, same order as doc_ids) + per-doc epochs (all 0 when
-# unbounded — one schema for both modes; state stores are per-run).
+# longs per doc, same order as doc_ids). The TTL-bounded mode adds a
+# per-doc epochs array; the unbounded default does NOT carry it (state
+# stores are per-run, so the schema can differ per mode — r7 carried
+# epochs unconditionally and the r8 A/B measured the difference as
+# noise-level, but the narrower default state is strictly less to
+# serialize per micro-batch).
 MINHASH_BUCKET_STATE = StructType(
     [
         StructField("doc_ids", ArrayType(LongType()), True),
         StructField("sigs", ArrayType(LongType()), True),
-        StructField("epochs", ArrayType(LongType()), True),
     ]
+)
+MINHASH_BUCKET_STATE_TTL = StructType(
+    MINHASH_BUCKET_STATE.fields
+    + [StructField("epochs", ArrayType(LongType()), True)]
 )
 
 
@@ -110,56 +118,83 @@ def read_documents_stream(
 
 def _make_minhash_bucket_fn(ttl_epochs: int | None):
     """Build the per-bucket state fn; ttl_epochs None → unbounded state
-    (every doc carries epoch 0 and nothing is ever evicted)."""
+    (no epochs array in state, nothing is ever evicted).
+
+    The member-signature comparison is a numpy matrix equality — a hot
+    bucket pays C per element, not Python (the r7 draft's per-member
+    zip loop was O(members · 16) interpreted per arriving doc).
+
+    TTL eviction uses the ARRIVING doc's epoch as the watermark, so the
+    'pairs within the window are bit-identical to the unbounded run'
+    guarantee is conditional on epoch-MONOTONE arrival across
+    micro-batches (epoch = doc_id // size over an append-only corpus
+    with monotone ids — the documented production shape). Under
+    cross-batch reordering (e.g. file globbing order changes), a newer
+    doc's arrival can evict a member that a late-arriving older doc was
+    still within ttl_epochs of, silently dropping that pair; the
+    intra-batch sort below cannot repair cross-batch reordering."""
+    bounded = ttl_epochs is not None
 
     def _minhash_bucket_fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: Any
     ) -> Iterator[pd.DataFrame]:
+        p = MINHASH_PERMS
         if state.exists:
-            doc_ids_t, sigs_t, epochs_t = state.get
-            doc_ids = list(doc_ids_t)
-            sigs = list(sigs_t)
-            epochs = list(epochs_t)
+            st = state.get
+            doc_ids = np.asarray(st[0], dtype=np.int64)
+            sig_mat = np.asarray(st[1], dtype=np.int64).reshape(-1, p)
+            epochs = (
+                np.asarray(st[2], dtype=np.int64)
+                if bounded
+                else np.empty(0, dtype=np.int64)
+            )
         else:
-            doc_ids, sigs, epochs = [], [], []
-        rows: list[tuple[int, int, list[int]]] = []
+            doc_ids = np.empty(0, dtype=np.int64)
+            sig_mat = np.empty((0, p), dtype=np.int64)
+            epochs = np.empty(0, dtype=np.int64)
+        rows: list[tuple[int, int, Any]] = []
         for pdf in pdfs:
             for doc_id, epoch, sig in zip(
                 pdf["doc_id"], pdf["epoch"], pdf["sig"]
             ):
-                rows.append((int(doc_id), int(epoch), [int(x) for x in sig]))
+                rows.append(
+                    (int(doc_id), int(epoch), np.asarray(sig, dtype=np.int64))
+                )
         # Intra-batch order is not defined by the source; sort for a stable
         # walk. The emitted pair SET is order-insensitive either way: each
         # unordered pair appears exactly once, via its later-processed
         # member. doc_id order is epoch order (epoch = doc_id // size), so
         # the eviction watermark only advances along the walk.
-        rows.sort()
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_m: list[int] = []
-        p = MINHASH_PERMS
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out: list[pd.DataFrame] = []
         for doc_id, epoch, sig in rows:
-            if ttl_epochs is not None and doc_ids:
-                floor = epoch - ttl_epochs
-                if any(ep < floor for ep in epochs):
-                    keep = [j for j, ep in enumerate(epochs) if ep >= floor]
-                    doc_ids = [doc_ids[j] for j in keep]
-                    epochs = [epochs[j] for j in keep]
-                    sigs = [x for j in keep for x in sigs[j * p : (j + 1) * p]]
-            for j, other in enumerate(doc_ids):
-                osig = sigs[j * p : (j + 1) * p]
-                n = sum(1 for x, y in zip(sig, osig) if x == y)
-                out_a.append(min(other, doc_id))
-                out_b.append(max(other, doc_id))
-                out_m.append(n)
-            doc_ids.append(doc_id)
-            epochs.append(epoch)
-            sigs.extend(sig)
-        state.update((doc_ids, sigs, epochs))
-        if out_a:
-            yield pd.DataFrame(
-                {"doc_a": out_a, "doc_b": out_b, "n_match": out_m}
-            )
+            if bounded and doc_ids.size:
+                keep = epochs >= epoch - ttl_epochs
+                if not keep.all():
+                    doc_ids = doc_ids[keep]
+                    epochs = epochs[keep]
+                    sig_mat = sig_mat[keep]
+            if doc_ids.size:
+                n = (sig_mat == sig).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": np.minimum(doc_ids, doc_id),
+                            "doc_b": np.maximum(doc_ids, doc_id),
+                            "n_match": n.astype(np.int64),
+                        }
+                    )
+                )
+            doc_ids = np.append(doc_ids, doc_id)
+            sig_mat = np.vstack([sig_mat, sig[None, :]])
+            if bounded:
+                epochs = np.append(epochs, epoch)
+        new_state = (doc_ids.tolist(), sig_mat.ravel().tolist())
+        if bounded:
+            new_state = new_state + (epochs.tolist(),)
+        state.update(new_state)
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     return _minhash_bucket_fn
 
@@ -236,7 +271,7 @@ def stream_minhash_dedup(
     pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
         _make_minhash_bucket_fn(ttl_epochs),
         MINHASH_PAIR_OUTPUT,
-        MINHASH_BUCKET_STATE,
+        MINHASH_BUCKET_STATE_TTL if ttl_epochs is not None else MINHASH_BUCKET_STATE,
         "append",
         GroupStateTimeout.NoTimeout,
     )
