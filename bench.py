@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.config import default_sf_dir
 from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
 from data_pipeline__s3_to_postgres_s3_spark.session import get_spark
@@ -29,6 +30,48 @@ EXCLUDE: set[str] = set()
 def infer_sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def corpus_shape(sf_dir: str) -> dict:
+    """Per-table row counts + byte sizes + doc-length summary, recorded
+    NEXT TO the numbers they confound: the driver regenerates
+    /root/testdata between rounds, and the r6→r7 uniform ~1.4× bench
+    inflation could not be adjudicated because nothing recorded what the
+    corpus looked like each round. Footer-metadata only (row counts from
+    parquet metadata, no data scan) except the one small n_chars column
+    read for the documents length profile."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shape: dict[str, dict] = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            md = pq.ParquetFile(path).metadata
+            shape[t] = {"rows": md.num_rows, "bytes": os.path.getsize(path)}
+        except Exception as exc:  # noqa: BLE001 — shape is advisory, never fatal
+            shape[t] = {"err": f"{type(exc).__name__}: {exc}"[:120]}
+    try:
+        n_chars = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+        ).column("n_chars")
+        shape["documents"]["n_chars_min"] = pc.min(n_chars).as_py()
+        shape["documents"]["n_chars_max"] = pc.max(n_chars).as_py()
+        shape["documents"]["n_chars_mean"] = round(
+            pc.mean(n_chars).as_py() or 0.0, 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        shape.setdefault("documents", {})["n_chars_err"] = str(exc)[:120]
+    try:
+        vec0 = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        ).column("embedding")
+        shape["embeddings"]["dim"] = (
+            len(vec0[0].as_py()) if len(vec0) else 0
+        )
+    except Exception as exc:  # noqa: BLE001
+        shape.setdefault("embeddings", {})["dim_err"] = str(exc)[:120]
+    return shape
 
 
 def main() -> None:
@@ -85,6 +128,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": infer_sf(sf_dir),
+        "corpus": corpus_shape(sf_dir),
     }
     if errors:
         out["n_errors"] = len(errors)

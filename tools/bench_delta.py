@@ -63,6 +63,28 @@ def load(path: str) -> dict:
     return doc
 
 
+def corpus_confounds(old: dict | None, new: dict | None) -> list[str]:
+    """Human-readable lines for every table whose shape moved >2% (rows,
+    bytes, or documents length profile) between the two bench runs.
+    Either side missing a corpus block (pre-r8 bench JSONs) is itself
+    reported once, so the reader knows the check could not run."""
+    if not old or not new:
+        if new and not old:
+            return ["old bench has no corpus block (pre-r8) — cannot compare"]
+        return []
+    lines = []
+    for t in sorted(set(old) | set(new)):
+        o, n = old.get(t, {}), new.get(t, {})
+        for k in sorted(set(o) | set(n)):
+            ov, nv = o.get(k), n.get(k)
+            if not isinstance(ov, (int, float)) or not isinstance(nv, (int, float)):
+                continue
+            base = max(abs(ov), 1e-9)
+            if abs(nv - ov) / base > 0.02:
+                lines.append(f"{t}.{k}: {ov} -> {nv}")
+    return lines
+
+
 def main(argv: list[str]) -> int:
     warn_only = "--warn-only" in argv
     paths = [a for a in argv if a != "--warn-only"]
@@ -80,6 +102,14 @@ def main(argv: list[str]) -> int:
 
     old, new = load(paths[0]), load(paths[1])
     oq, nq = old["queries"], new["queries"]
+
+    # Corpus-shape confound check: the driver regenerates testdata between
+    # rounds; when table row counts / sizes / doc-length profile moved, the
+    # per-query deltas below measure DATA drift as much as code, and any
+    # "REGRESSION" verdict must be re-litigated on identical data first.
+    confounds = corpus_confounds(old.get("corpus"), new.get("corpus"))
+    for line in confounds:
+        print(f"WARNING corpus shape changed — deltas are CONFOUNDED: {line}")
 
     rows = []
     for name in sorted(set(oq) | set(nq)):
