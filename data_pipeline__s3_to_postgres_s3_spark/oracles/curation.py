@@ -175,6 +175,66 @@ GROUP BY split, lang
 
 CURATION_ORACLES["shard_manifest"] = SHARD_MANIFEST
 
+# compact_manifest: the same kept corpus chunked into the shard writer's
+# files (row_number div SHARD_MAX_RECORDS within (split, lang) in doc_id
+# order), then next-fit bin-packed by byte size (window cumsum div
+# target; see pipelines/shards._pack_files). Window SUM over BIGINT is
+# HUGEINT in DuckDB — cast back BEFORE the integer division or bin_id
+# itself widens (the r4→r5 dtype class, curation_funnel precedent).
+
+
+def _compact_manifest_sql() -> str:
+    from ..pipelines.shards import COMPACT_TARGET_BYTES, SHARD_MAX_RECORDS
+
+    return f"""
+WITH qg AS ({QUALITY_GATE}),
+kept AS (
+    SELECT d.doc_id, d.lang, d.text,
+        CASE WHEN {_BUCKET.replace('doc_id', 'd.doc_id')} < {TRAIN_UPTO} THEN 'train'
+             WHEN {_BUCKET.replace('doc_id', 'd.doc_id')} < {VAL_UPTO} THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents d JOIN qg ON qg.doc_id = d.doc_id AND qg.keep
+),
+perdoc AS (
+    SELECT split, lang, doc_id, CAST(length(text) AS BIGINT) AS nb,
+        (CAST(ROW_NUMBER() OVER (PARTITION BY split, lang ORDER BY doc_id)
+              AS BIGINT) - 1) // {SHARD_MAX_RECORDS} AS file_idx
+    FROM kept
+),
+files AS (
+    SELECT split, lang, file_idx,
+        CAST(COUNT(*) AS BIGINT) AS fn_docs,
+        CAST(SUM(nb) AS BIGINT) AS fbytes,
+        MIN(doc_id) AS fdoc_min, MAX(doc_id) AS fdoc_max
+    FROM perdoc GROUP BY split, lang, file_idx
+),
+merged AS (
+    SELECT *,
+        COALESCE(CAST(SUM(fbytes) OVER (
+            PARTITION BY split, lang ORDER BY file_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS BIGINT), 0) // {COMPACT_TARGET_BYTES} AS bin_id,
+        'merge' AS action
+    FROM files WHERE fbytes < {COMPACT_TARGET_BYTES}
+),
+kept_as_is AS (
+    SELECT *, file_idx AS bin_id, 'keep' AS action
+    FROM files WHERE fbytes >= {COMPACT_TARGET_BYTES}
+),
+binned AS (SELECT * FROM merged UNION ALL SELECT * FROM kept_as_is)
+SELECT split, lang, action, CAST(bin_id AS BIGINT) AS bin_id,
+    CAST(COUNT(*) AS BIGINT) AS n_files,
+    CAST(SUM(fn_docs) AS BIGINT) AS n_docs,
+    CAST(SUM(fbytes) AS BIGINT) AS est_bytes,
+    MIN(fdoc_min) AS first_doc,
+    MAX(fdoc_max) AS last_doc
+FROM binned
+GROUP BY split, lang, action, bin_id
+"""
+
+
+CURATION_ORACLES["compact_manifest"] = _compact_manifest_sql()
+
 # line_dedup: C4/CCNet-style cross-document boilerplate line removal.
 # Mirrors operators/curation.py:line_dedup — same lower(trim()) line
 # normalization, same LINE_DF_CAP census threshold, same md5-of-rejoined

@@ -163,7 +163,7 @@ from .operators.windows import (
     monthly_revenue_growth,
     scd2_user_event_history,
 )
-from .pipelines.shards import shard_manifest
+from .pipelines.shards import compact_manifest, shard_manifest
 from .pipelines.sql_script import (
     sql_script_best_product,
     sql_script_public_holiday,
@@ -295,7 +295,11 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "quality_gate": quality_gate,
     "event_props_extract": event_props_extract,
-    "shard_manifest": shard_manifest,
+    # Round-8 rotation: compact_manifest (brand-new OPTIMIZE-planning
+    # oracle) takes shard_manifest's slot (hash-green r6+r7; its totals
+    # stay driver-hashed THROUGH compact_manifest — the bin sums equal
+    # the shard totals, reconciliation-pinned in test_compaction.py).
+    "compact_manifest": compact_manifest,
     "profile_documents": profile_documents,
     # Round-7 rotation: profile_events (hash-green r6, pinned by
     # test_profiling.py + the events-NULL robustness matrix) rotates out
@@ -411,6 +415,8 @@ QUERIES: dict[str, QueryFn] = {
     # -- round-7 rotation swap-outs (see the in-window comments) ---------
     "dedup_containment": dedup_containment,
     "profile_events": profile_events,
+    # -- round-8 rotation swap-outs (see the in-window comments) ---------
+    "shard_manifest": shard_manifest,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

@@ -55,11 +55,14 @@ ROWS_ONLY_ALLOWED = {
 # dedup_containment [green r5+r6] and profile_events [green r6 + heavy
 # local pins]).
 ROTATED_IN = {
+    # Round 8: compact_manifest (brand-new OPTIMIZE-planning oracle)
+    # straight into the window, swapped against shard_manifest
+    # (hash-green r6+r7; totals reconciliation-pinned through
+    # compact_manifest in test_compaction.py).
+    "compact_manifest",
+    # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",
-    # Round-7 new ops, straight into the window (swapped against the
-    # r1–r6 six-times-green parity trio most_ordered_product_date /
-    # shipment_percentages / tripdata_monthly_metrics):
     "rrf_hybrid_topk",
     "zorder_manifest",
     "curation_funnel",
