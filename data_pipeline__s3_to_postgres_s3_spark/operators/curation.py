@@ -1028,6 +1028,46 @@ def cross_source_neardups(
     )
 
 
+def split_leakage_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Train/val/test LEAKAGE audit: the verified near-duplicate pairs
+    whose endpoints landed in DIFFERENT dataset splits — the concrete
+    contamination an eval-metric consumer cares about most (a test doc
+    near-duplicating a train doc inflates every benchmark number). The
+    lexical twin of `semantic_decontaminate` at PAIR granularity, and the
+    split-axis sibling of `cross_source_neardups`.
+
+    Composition, not re-implementation: the pair frame IS
+    ``dedup_minhash_lsh`` (same signatures, banding, verification) and
+    the split assignment IS the `dataset_split` hash arithmetic — both
+    surfaces can never drift from their standalone queries. Unlike the
+    source axis, the split is PURE doc_id arithmetic, so no join at all:
+    two column expressions over the (tiny) verified pair set."""
+    from .dedup import dedup_minhash_lsh
+    from .sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
+
+    def split_of(col: str) -> F.Column:
+        b = (F.col(col) * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+        return (
+            F.when(b < TRAIN_UPTO, "train")
+            .when(b < VAL_UPTO, "val")
+            .otherwise("test")
+        )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir, cfg)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            split_of("doc_a").alias("split_a"),
+            split_of("doc_b").alias("split_b"),
+            "jaccard",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+
+
 # Ordered curation-funnel stages — each document is attributed to its
 # FIRST failing gate (the order is the order a production pipeline
 # applies them: cheap row-local screens first, the corpus-wide dup

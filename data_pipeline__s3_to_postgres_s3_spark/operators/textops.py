@@ -755,3 +755,169 @@ def rrf_hybrid_topk(
             "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "emb_rank"
         )
     )
+
+
+# Corpus-saturation timeline: ingest batches of this many docs (by the
+# corpus's append order, doc_id — the epoch precedent from the streaming
+# dedup). sf0.01's 5k docs → 10 points; scale-invariant semantics.
+NOVELTY_BATCH_DOCS = 500
+
+
+def ngram_novelty_timeline(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Vocabulary-growth / novelty curve over the corpus's append order:
+    per ingest batch (NOVELTY_BATCH_DOCS docs by doc_id), how many
+    distinct 3-gram shingles appear, how many are NEW (first occurrence
+    anywhere in the corpus so far), the cumulative vocabulary, and the
+    novelty rate — the saturation signal a data-acquisition loop reads to
+    decide whether the next crawl slice still adds information (Heaps'
+    law flattening = diminishing returns).
+
+    Scale shape: per-batch doc/occurrence totals are row-local arithmetic
+    (array_size over the shingle array — no explode) into a map-side-
+    combined groupBy(batch). The vocabulary pass is ONE exchange on
+    shingle — groupBy(shingle).agg(collect_set(batch)) dedups and
+    captures per-batch presence in the same shuffle (the set is bounded
+    by |batches|, not |docs|) — then explodes back to (batch, is_new)
+    rows: no distinct-pairs frame consumed twice, no checkpoint needed.
+    The final cumsum window runs over the |batches|-row frame (constant-
+    size, curation_funnel precedent).
+
+    Determinism: pure integer counts until the one novelty_rate division;
+    shingles are doc-level-distinct (dedup-family definition, shared
+    `_shingle_arrays`)."""
+    from pyspark.sql import Window
+
+    from .dedup import _shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = F.expr(
+        f"CAST(doc_id AS BIGINT) div {NOVELTY_BATCH_DOCS}"
+    ).alias("batch")
+    sh = _shingle_arrays(docs.select("doc_id", "text")).select(
+        batch, "shingles"
+    )
+    # Per-batch doc census: every doc counts (0-shingle docs included).
+    per_batch = (
+        docs.select(batch)
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    occ = (
+        sh.select("batch", F.array_size("shingles").cast("long").alias("ns"))
+        .groupBy("batch")
+        .agg(F.sum("ns").cast("long").alias("n_shingle_occurrences"))
+    )
+    vocab = (
+        sh.select("batch", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.collect_set("batch").alias("batches"))
+        .select(
+            F.array_min("batches").alias("first_batch"),
+            F.explode("batches").alias("batch"),
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+            F.sum(
+                F.when(F.col("batch") == F.col("first_batch"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new_shingles"),
+        )
+    )
+    joined = (
+        per_batch.join(occ, "batch", "left")
+        .join(vocab, "batch", "left")
+        .select(
+            "batch",
+            "n_docs",
+            F.coalesce("n_shingle_occurrences", F.lit(0))
+            .cast("long")
+            .alias("n_shingle_occurrences"),
+            F.coalesce("n_distinct_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_shingles"),
+            F.coalesce("n_new_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_new_shingles"),
+        )
+    )
+    cum_w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "batch",
+        "n_docs",
+        "n_shingle_occurrences",
+        "n_distinct_shingles",
+        "n_new_shingles",
+        F.sum("n_new_shingles").over(cum_w).cast("long").alias("cum_vocab"),
+        F.when(
+            F.col("n_distinct_shingles") > 0,
+            F.col("n_new_shingles").cast("double")
+            / F.col("n_distinct_shingles").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty_rate"),
+    )
+
+
+# First BPE merge iteration's census: top merge candidates. 50 rows is a
+# readable report; the full ranked table is the same plan minus the limit.
+BPE_TOPK = 50
+
+
+def bpe_merge_census(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Tokenizer induction, first iteration: the corpus-wide frequency
+    census of adjacent character pairs WITHIN pre-tokens — exactly the
+    statistic a BPE trainer computes to pick its next merge. Emits the
+    top BPE_TOPK candidate merges: (pair, pair_count, n_distinct_words).
+
+    Scale shape — the trick real BPE trainers use, expressed in Spark:
+    reduce the corpus to its WORD VOCABULARY first (one map-side-combined
+    groupBy over the pre-token stream), then explode character pairs over
+    vocab rows only — the quadratic-ish pair expansion touches |vocab| ·
+    word_len rows, never the corpus. Second exchange is on pair (tiny).
+    TakeOrdered(K) ends the plan — only K rows reach the driver's sink.
+
+    Determinism: pre-tokens are BPE_PATTERN matches (letter runs / digit
+    runs / single punctuation — multibyte chars land as length-1 tokens,
+    so substring pair extraction never splits a codepoint); counts are
+    exact longs; ordering (count DESC, pair ASC) is total because pair is
+    unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(coalesce(text, ''),"
+                    f" '{BPE_PATTERN}', 0)"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    pairs = words.where(F.length("word") >= 2).select(
+        "word",
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("long").alias("pair_count"),
+            F.count_distinct("word").cast("long").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )

@@ -569,6 +569,33 @@ WHERE da.source <> db.source
 
 CURATION_ORACLES["cross_source_neardups"] = CROSS_SOURCE_NEARDUPS
 
+# split_leakage_report: the same composed LSH pair CTE, endpoints labeled
+# with the dataset_split hash arithmetic (pure doc_id math — no join),
+# cross-split pairs only. HASH_MULT > 2^31 makes the multiplication
+# BIGINT on both engines regardless of the doc_id encoding width.
+_SPLIT_CASE = (
+    "CASE WHEN ({col} * "
+    f"{HASH_MULT}) % {HASH_MOD} % {SPLIT_BUCKETS} < {TRAIN_UPTO} "
+    "THEN 'train' WHEN ({col} * "
+    f"{HASH_MULT}) % {HASH_MOD} % {SPLIT_BUCKETS} < {VAL_UPTO} "
+    "THEN 'val' ELSE 'test' END"
+)
+
+SPLIT_LEAKAGE_REPORT = f"""
+WITH pairs AS ({_DEDUP_MINHASH_LSH}),
+labeled AS (
+    SELECT doc_a, doc_b,
+        {_SPLIT_CASE.format(col='doc_a')} AS split_a,
+        {_SPLIT_CASE.format(col='doc_b')} AS split_b,
+        jaccard
+    FROM pairs
+)
+SELECT doc_a, doc_b, split_a, split_b, jaccard
+FROM labeled WHERE split_a <> split_b
+"""
+
+CURATION_ORACLES["split_leakage_report"] = SPLIT_LEAKAGE_REPORT
+
 
 def _funnel_sql() -> str:
     """curation_funnel oracle: quality_gate nested verbatim (the verdicts

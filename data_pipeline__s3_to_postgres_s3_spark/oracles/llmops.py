@@ -1316,3 +1316,100 @@ FROM ranked WHERE rn = 1
 """
 
 LLMOPS_ORACLES["semantic_decontaminate"] = SEMANTIC_DECONTAMINATE
+
+
+# ngram_novelty_timeline: the corpus-saturation curve
+# (operators/textops.py) — doc-distinct shingles (the dedup-family sh
+# CTE shape) bucketed into append-order batches; NEW = first occurrence
+# by MIN(batch). All counts BIGINT (COALESCE arms cast; the window
+# cumsum casts back from HUGEINT — the curation_funnel trap); the one
+# division's ELSE arm is CAST(0 AS DOUBLE), never a DECIMAL literal.
+
+
+def _novelty_sql() -> str:
+    from ..operators.textops import NOVELTY_BATCH_DOCS as _B
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+        concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+pb AS (
+    SELECT CAST(doc_id AS BIGINT) // {_B} AS batch,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+),
+occ AS (
+    SELECT CAST(doc_id AS BIGINT) // {_B} AS batch,
+        CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM sh GROUP BY 1
+),
+bs AS (
+    SELECT DISTINCT CAST(doc_id AS BIGINT) // {_B} AS batch, shingle FROM sh
+),
+fb AS (SELECT shingle, MIN(batch) AS first_batch FROM bs GROUP BY shingle),
+vb AS (
+    SELECT bs.batch,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(CASE WHEN bs.batch = fb.first_batch THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new
+    FROM bs JOIN fb USING (shingle) GROUP BY bs.batch
+),
+j AS (
+    SELECT pb.batch, pb.n_docs,
+        CAST(COALESCE(occ.n_occ, 0) AS BIGINT) AS n_shingle_occurrences,
+        CAST(COALESCE(vb.n_distinct, 0) AS BIGINT) AS n_distinct_shingles,
+        CAST(COALESCE(vb.n_new, 0) AS BIGINT) AS n_new_shingles
+    FROM pb LEFT JOIN occ USING (batch) LEFT JOIN vb USING (batch)
+)
+SELECT batch, n_docs, n_shingle_occurrences, n_distinct_shingles,
+    n_new_shingles,
+    CAST(SUM(n_new_shingles) OVER (
+        ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_vocab,
+    CASE WHEN n_distinct_shingles > 0
+         THEN CAST(n_new_shingles AS DOUBLE)
+              / CAST(n_distinct_shingles AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS novelty_rate
+FROM j
+"""
+
+
+LLMOPS_ORACLES["ngram_novelty_timeline"] = _novelty_sql()
+
+
+# bpe_merge_census: first BPE merge iteration (operators/textops.py) —
+# corpus reduces to the word vocabulary first, pairs explode over vocab
+# rows only. SUM(BIGINT) casts back from HUGEINT; (count DESC, pair ASC)
+# is a total order because pair is unique, so the LIMIT is deterministic.
+
+
+def _bpe_census_sql() -> str:
+    from ..operators.textops import BPE_PATTERN, BPE_TOPK
+
+    return f"""
+WITH words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+    FROM (
+        SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                                         '{BPE_PATTERN}')) AS word
+        FROM documents
+    )
+    GROUP BY word
+),
+pairs AS (
+    SELECT word, wc, substring(word, i, 2) AS pair
+    FROM words, unnest(generate_series(1, length(word) - 1)) AS u(i)
+    WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count,
+    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""
+
+
+LLMOPS_ORACLES["bpe_merge_census"] = _bpe_census_sql()

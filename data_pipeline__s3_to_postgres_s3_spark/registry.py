@@ -63,6 +63,7 @@ from .operators.curation import (
     decontaminate_eval_overlap,
     doc_repetition,
     event_props_extract,
+    split_leakage_report,
     gopher_quality,
     gopher_repetition,
     line_dedup,
@@ -130,6 +131,8 @@ from .operators.temporal import (
 )
 from .operators.textops import (
     bm25_topk,
+    bpe_merge_census,
+    ngram_novelty_timeline,
     rrf_hybrid_topk,
     char_ngram_diversity,
     doc_fingerprint,
@@ -291,10 +294,16 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_tokens": weighted_sample_tokens,
     "mixture_sample": mixture_sample,
     "sample_k_per_group": sample_k_per_group,
-    "doc_repetition": doc_repetition,
-    "decontaminate_eval_overlap": decontaminate_eval_overlap,
+    # Round-8 rotation: the three brand-new round-8 text/curation oracles
+    # enter the window immediately (bloom_vocab_novelty precedent),
+    # swapped against doc_repetition / decontaminate_eval_overlap /
+    # event_props_extract (each hash-green r6+r7, each with dedicated
+    # local pins — synthetic-corpus repetition metrics, the
+    # train-vs-eval overlap tests, the props bad-payload gate).
+    "ngram_novelty_timeline": ngram_novelty_timeline,
+    "split_leakage_report": split_leakage_report,
     "quality_gate": quality_gate,
-    "event_props_extract": event_props_extract,
+    "bpe_merge_census": bpe_merge_census,
     # Round-8 rotation: compact_manifest (brand-new OPTIMIZE-planning
     # oracle) takes shard_manifest's slot (hash-green r6+r7; its totals
     # stay driver-hashed THROUGH compact_manifest — the bin sums equal
@@ -417,6 +426,9 @@ QUERIES: dict[str, QueryFn] = {
     "profile_events": profile_events,
     # -- round-8 rotation swap-outs (see the in-window comments) ---------
     "shard_manifest": shard_manifest,
+    "doc_repetition": doc_repetition,
+    "decontaminate_eval_overlap": decontaminate_eval_overlap,
+    "event_props_extract": event_props_extract,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

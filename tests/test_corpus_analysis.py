@@ -1,0 +1,197 @@
+"""Semantic pins for the round-8 corpus-analysis trio
+(ngram_novelty_timeline / bpe_merge_census in operators/textops.py,
+split_leakage_report in operators/curation.py).
+
+Oracle parity at sf runs in test_correctness_oracle via the registry;
+here the CLAIMS are pinned — novelty conservation and saturation on a
+corpus where repetition actually occurs (the sf corpora are word-soup:
+every batch is near-all-new there), hand-computed BPE pair counts, and
+the leakage report's exact reconciliation with its two composed
+surfaces (dedup_minhash_lsh + dataset_split).
+"""
+
+from __future__ import annotations
+
+from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+    split_leakage_report,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+    dedup_minhash_lsh,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+    HASH_MOD,
+    HASH_MULT,
+    SPLIT_BUCKETS,
+    TRAIN_UPTO,
+    VAL_UPTO,
+)
+from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+    NOVELTY_BATCH_DOCS,
+    bpe_merge_census,
+    ngram_novelty_timeline,
+)
+
+
+def _write_docs(spark, tmp_path, rows) -> str:
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _py_split(doc_id: int) -> str:
+    b = (doc_id * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    return "train" if b < TRAIN_UPTO else ("val" if b < VAL_UPTO else "test")
+
+
+def test_novelty_timeline_saturates_on_repeated_content(spark, tmp_path):
+    """Batch 0 is all-new (rate 1.0); a later batch that repeats batch
+    0's shingles verbatim adds NOTHING (rate 0.0, cum_vocab flat); a
+    mixed batch sits in between. Conservation: Σ n_new == final
+    cum_vocab == corpus-wide distinct shingle count."""
+    b = NOVELTY_BATCH_DOCS
+    fresh = "alpha beta gamma delta epsilon zeta"  # 4 shingles
+    rows = [
+        (0, fresh),
+        (1, "one two three four"),  # 2 more shingles
+        # batch 1: pure repetition of batch 0 content
+        (b, fresh),
+        (b + 1, fresh),
+        # batch 2: half repeated, half new
+        (2 * b, fresh),
+        (2 * b + 1, "nu xi omicron pi rho"),  # 3 new shingles
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["batch"]: r for r in ngram_novelty_timeline(spark, sf).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_docs"] == 2 and out[0]["novelty_rate"] == 1.0
+    assert out[0]["n_new_shingles"] == 6 and out[0]["cum_vocab"] == 6
+    assert out[1]["n_new_shingles"] == 0 and out[1]["novelty_rate"] == 0.0
+    assert out[1]["cum_vocab"] == 6
+    assert out[1]["n_distinct_shingles"] == 4  # the repeated doc's 4
+    assert out[1]["n_shingle_occurrences"] == 8  # 2 docs x 4 each
+    assert out[2]["n_new_shingles"] == 3
+    assert out[2]["cum_vocab"] == 9
+    assert out[2]["n_distinct_shingles"] == 7  # 4 repeated + 3 new
+    assert out[2]["novelty_rate"] == 3 / 7
+    # conservation across the timeline
+    assert sum(r["n_new_shingles"] for r in out.values()) == 9
+    assert max(r["cum_vocab"] for r in out.values()) == 9
+
+
+def test_novelty_timeline_sf_conservation(spark, sf_dir):
+    """At sf: cum_vocab is monotone, equals the running Σ n_new, and the
+    final value equals the corpus-wide distinct shingle count computed
+    independently."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        _shingle_arrays,
+    )
+
+    rows = sorted(
+        ngram_novelty_timeline(spark, sf_dir).collect(),
+        key=lambda r: r["batch"],
+    )
+    run = 0
+    for r in rows:
+        run += r["n_new_shingles"]
+        assert r["cum_vocab"] == run
+        assert r["n_distinct_shingles"] >= r["n_new_shingles"]
+        assert r["n_shingle_occurrences"] >= r["n_distinct_shingles"]
+    total_vocab = (
+        _shingle_arrays(load_table(spark, sf_dir, "documents"))
+        .select(F.explode("shingles").alias("s"))
+        .agg(F.count_distinct("s"))
+        .collect()[0][0]
+    )
+    assert rows[-1]["cum_vocab"] == total_vocab
+
+
+def test_bpe_merge_census_hand_computed(spark, tmp_path):
+    """'aaab aaab ab x.' twice: pre-tokens aaab(x4) ab(x2) x(x2) '.'(x2)
+    → pairs: aa appears 2x per 'aaab' (positions 1,2) = 8, ab once per
+    'aaab' + once per 'ab' = 6; single-char tokens contribute nothing."""
+    rows = [(1, "aaab aaab ab x."), (2, "aaab aaab ab x.")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["pair"]: r for r in bpe_merge_census(spark, sf).collect()}
+    assert set(out) == {"aa", "ab"}
+    assert out["aa"]["pair_count"] == 8
+    assert out["aa"]["n_distinct_words"] == 1  # only 'aaab' contains 'aa'
+    assert out["ab"]["pair_count"] == 6
+    assert out["ab"]["n_distinct_words"] == 2  # 'aaab' and 'ab'
+
+
+def test_bpe_merge_census_topk_deterministic(spark, sf_dir):
+    """The report is exactly the top-K by (count DESC, pair ASC) — re-run
+    equality pins the deterministic LIMIT, and every pair is 2 chars."""
+    a = [(r["pair"], r["pair_count"]) for r in bpe_merge_census(spark, sf_dir).collect()]
+    b = [(r["pair"], r["pair_count"]) for r in bpe_merge_census(spark, sf_dir).collect()]
+    assert a == b
+    counts = [c for _, c in a]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(p) == 2 for p, _ in a)
+
+
+def test_split_leakage_reconciles_with_composed_surfaces(spark, tmp_path):
+    """Construct near-dup pairs that straddle splits: the report must be
+    EXACTLY the LSH pair set filtered to cross-split endpoints, with the
+    dataset_split hash arithmetic deciding the labels."""
+    # 20-token base text; near-dups share all but one token.
+    base = [f"w{i}" for i in range(20)]
+    text_a = " ".join(base)
+    text_b = " ".join(base[:-1] + ["zz"])
+    # Find ids whose splits differ (by the same hash the engine uses).
+    ids = list(range(1, 400))
+    train_ids = [i for i in ids if _py_split(i) == "train"]
+    test_ids = [i for i in ids if _py_split(i) == "test"]
+    val_ids = [i for i in ids if _py_split(i) == "val"]
+    assert train_ids and test_ids and val_ids
+    rows = [
+        (train_ids[0], text_a),  # near-dup pair crossing train/test
+        (test_ids[0], text_b),
+        (train_ids[1], "totally different words here friend"),  # no pair
+        (val_ids[0], text_a),  # exact dup of train_ids[0] crossing val
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in split_leakage_report(spark, sf).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    expect = {
+        (a, b): j
+        for (a, b), j in lsh.items()
+        if _py_split(a) != _py_split(b)
+    }
+    assert set(got) == set(expect) and expect, (set(lsh), expect)
+    for (a, b), r in got.items():
+        assert r["split_a"] == _py_split(a)
+        assert r["split_b"] == _py_split(b)
+        assert r["jaccard"] == expect[(a, b)]
+
+
+def test_split_leakage_sf_subset_of_lsh(spark, sf_dir):
+    """At sf: every reported pair is an LSH pair with cross-split
+    endpoints, and no cross-split LSH pair is missing."""
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"])
+        for r in split_leakage_report(spark, sf_dir).collect()
+    }
+    assert set(got) <= lsh
+    for (a, b), (sa, sb) in got.items():
+        assert sa == _py_split(a) and sb == _py_split(b) and sa != sb
+    missing = {
+        (a, b)
+        for (a, b) in lsh
+        if _py_split(a) != _py_split(b) and (a, b) not in got
+    }
+    assert not missing

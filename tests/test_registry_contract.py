@@ -55,11 +55,17 @@ ROWS_ONLY_ALLOWED = {
 # dedup_containment [green r5+r6] and profile_events [green r6 + heavy
 # local pins]).
 ROTATED_IN = {
-    # Round 8: compact_manifest (brand-new OPTIMIZE-planning oracle)
-    # straight into the window, swapped against shard_manifest
-    # (hash-green r6+r7; totals reconciliation-pinned through
-    # compact_manifest in test_compaction.py).
+    # Round 8: the four brand-new round-8 oracles straight into the
+    # window — compact_manifest (swapped against shard_manifest, totals
+    # reconciliation-pinned through compact_manifest's bin sums in
+    # test_compaction.py), ngram_novelty_timeline / split_leakage_report
+    # / bpe_merge_census (swapped against doc_repetition /
+    # decontaminate_eval_overlap / event_props_extract — each hash-green
+    # r6+r7 with dedicated local pins).
     "compact_manifest",
+    "ngram_novelty_timeline",
+    "split_leakage_report",
+    "bpe_merge_census",
     # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",
