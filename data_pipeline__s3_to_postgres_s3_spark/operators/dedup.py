@@ -405,7 +405,9 @@ def ngram_df_report(
 
 
 def _shingle_arrays(
-    docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+    docs: DataFrame,
+    keys: tuple[str, ...] = ("doc_id",),
+    keep_empty: bool = False,
 ) -> DataFrame:
     """(*keys, shingles array<string>) — distinct word 3-grams as a
     map-side array column (one row per input doc; `keys` defaults to
@@ -417,7 +419,9 @@ def _shingle_arrays(
     element_at(toks, i)…): higher-order functions evaluate interpreted, and
     the slice/zip_with shape walks each array once instead of doing indexed
     element_at lookups per position. slice length greatest(n-2, 0) makes
-    short docs yield empty arrays (filtered out), matching the oracle."""
+    short docs yield empty arrays (filtered out by default, matching the
+    oracle sh CTE; keep_empty=True keeps every doc row for callers whose
+    census must count 0-shingle docs — ngram_novelty_timeline)."""
     toks = docs.select(*keys, F.split("text", " ").alias("toks"))
     n_sh = f"greatest(size(toks) - {NGRAM_N - 1}, 0)"
     sh = F.expr(
@@ -427,9 +431,10 @@ def _shingle_arrays(
         f" slice(toks, 3, {n_sh}),"
         f" (x, y) -> concat(x, ' ', y)))"
     )
-    return toks.select(*keys, sh.alias("shingles")).where(
-        F.array_size("shingles") > 0
-    )
+    out = toks.select(*keys, sh.alias("shingles"))
+    if keep_empty:
+        return out
+    return out.where(F.array_size("shingles") > 0)
 
 
 def minhash_mins(shingle_arrays: DataFrame, key: str = "doc_id") -> DataFrame:

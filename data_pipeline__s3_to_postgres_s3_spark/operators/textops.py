@@ -774,15 +774,17 @@ def ngram_novelty_timeline(
     decide whether the next crawl slice still adds information (Heaps'
     law flattening = diminishing returns).
 
-    Scale shape: per-batch doc/occurrence totals are row-local arithmetic
-    (array_size over the shingle array — no explode) into a map-side-
-    combined groupBy(batch). The vocabulary pass is ONE exchange on
-    shingle — groupBy(shingle).agg(collect_set(batch)) dedups and
-    captures per-batch presence in the same shuffle (the set is bounded
-    by |batches|, not |docs|) — then explodes back to (batch, is_new)
-    rows: no distinct-pairs frame consumed twice, no checkpoint needed.
-    The final cumsum window runs over the |batches|-row frame (constant-
-    size, curation_funnel precedent).
+    Scale shape: TWO corpus scans total. Scan 1: per-batch doc +
+    occurrence totals fused into one map-side-combined groupBy(batch) —
+    occurrences are row-local array_size over the shingle array, no
+    explode, 0-shingle docs carried (keep_empty). Scan 2: the vocabulary
+    pass — ONE exchange on shingle: groupBy(shingle).agg(
+    collect_set(batch)) dedups and captures per-batch presence in the
+    same shuffle (the set is bounded by |batches|, not |docs|), then
+    explodes back to (batch, is_new) rows — no distinct-pairs frame
+    consumed twice, no checkpoint needed. The final cumsum window runs
+    over the |batches|-row frame (constant-size, curation_funnel
+    precedent).
 
     Determinism: pure integer counts until the one novelty_rate division;
     shingles are doc-level-distinct (dedup-family definition, shared
@@ -795,19 +797,26 @@ def ngram_novelty_timeline(
     batch = F.expr(
         f"CAST(doc_id AS BIGINT) div {NOVELTY_BATCH_DOCS}"
     ).alias("batch")
+    # Scan 1: doc census + occurrence totals in ONE pass. keep_empty so
+    # 0-shingle (and NULL-text) docs still count toward n_docs; their
+    # shingles array is empty/NULL → ns coalesces to 0.
+    per_batch = (
+        _shingle_arrays(docs.select("doc_id", "text"), keep_empty=True)
+        .select(
+            batch,
+            F.coalesce(F.array_size("shingles"), F.lit(0))
+            .cast("long")
+            .alias("ns"),
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ns").cast("long").alias("n_shingle_occurrences"),
+        )
+    )
+    # Scan 2: the vocabulary pass (0-shingle docs contribute nothing).
     sh = _shingle_arrays(docs.select("doc_id", "text")).select(
         batch, "shingles"
-    )
-    # Per-batch doc census: every doc counts (0-shingle docs included).
-    per_batch = (
-        docs.select(batch)
-        .groupBy("batch")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    )
-    occ = (
-        sh.select("batch", F.array_size("shingles").cast("long").alias("ns"))
-        .groupBy("batch")
-        .agg(F.sum("ns").cast("long").alias("n_shingle_occurrences"))
     )
     vocab = (
         sh.select("batch", F.explode("shingles").alias("shingle"))
@@ -827,22 +836,16 @@ def ngram_novelty_timeline(
             .alias("n_new_shingles"),
         )
     )
-    joined = (
-        per_batch.join(occ, "batch", "left")
-        .join(vocab, "batch", "left")
-        .select(
-            "batch",
-            "n_docs",
-            F.coalesce("n_shingle_occurrences", F.lit(0))
-            .cast("long")
-            .alias("n_shingle_occurrences"),
-            F.coalesce("n_distinct_shingles", F.lit(0))
-            .cast("long")
-            .alias("n_distinct_shingles"),
-            F.coalesce("n_new_shingles", F.lit(0))
-            .cast("long")
-            .alias("n_new_shingles"),
-        )
+    joined = per_batch.join(vocab, "batch", "left").select(
+        "batch",
+        "n_docs",
+        "n_shingle_occurrences",
+        F.coalesce("n_distinct_shingles", F.lit(0))
+        .cast("long")
+        .alias("n_distinct_shingles"),
+        F.coalesce("n_new_shingles", F.lit(0))
+        .cast("long")
+        .alias("n_new_shingles"),
     )
     cum_w = Window.orderBy("batch").rowsBetween(
         Window.unboundedPreceding, 0
