@@ -46,14 +46,52 @@ Z_EPOCH = "1970-01-01"
 # NOT injective over the 17 cell ids {-1, 0..15} at any practical n
 # (measured: >=2 collisions even at n=128), so hashing the raw cell id
 # would merge non-adjacent Z-cells into one file and destroy the extents
-# the manifest promises. These 17 integers were pre-solved offline to
-# have 17 DISTINCT values of pmod(murmur3(token), 17) — murmur3 with
-# Spark's fixed seed 42 is a stable public function, so the property
-# holds forever; it is pinned by
-# tests/test_layout.py::test_fid_tokens_perfect_hash. Mapping cell id
-# c -> Z_FID_TOKENS[c + 1] therefore gives every Z-cell its own shuffle
-# partition, i.e. exactly one cell per written file.
-Z_FID_TOKENS = (12, 18, 1, 19, 0, 4, 3, 20, 15, 40, 9, 13, 2, 10, 22, 5, 6)
+# the manifest promises. The table is SOLVED at import time against a
+# pure-Python replica of Spark's Murmur3 int hash (seed 42 — a stable
+# public function, so the solution can never drift; replica equality and
+# injectivity are pinned by tests/test_layout.py), which generalizes the
+# write to ANY cell count: raise Z_FILES_LOG2 and the solver finds a
+# fresh table in O(n log n) driver-side microseconds. Mapping cell id
+# c -> Z_FID_TOKENS[c + 1] gives every Z-cell its own shuffle partition,
+# i.e. exactly one cell per written file.
+
+
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (the hash behind F.hash /
+    HashPartitioning for INT columns), returned as a SIGNED 32-bit int —
+    bit-for-bit equal to F.hash(int_col), pinned in test_layout.py."""
+    m = 0xFFFFFFFF
+    k = (x & m) * 0xCC9E2D51 & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = k * 0x1B873593 & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # fmix with total length 4 bytes
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & m
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _solve_fid_tokens(n: int) -> tuple[int, ...]:
+    """Smallest non-negative ints t_0.. covering every residue of
+    pmod(murmur3(t), n) exactly once — the perfect-hash table for an
+    n-cell file split. Expected O(n·H(n)) candidates (coupon collector);
+    n = 17 solves in ~60 probes."""
+    found: dict[int, int] = {}
+    t = 0
+    while len(found) < n:
+        r = _murmur3_int(t) % n  # Python % is already non-negative (pmod)
+        if r not in found:
+            found[r] = t
+        t += 1
+    return tuple(found[i] for i in range(n))
+
+
+Z_FID_TOKENS = _solve_fid_tokens((1 << Z_FILES_LOG2) + 1)
 
 
 def _morton_sql(x: str, y: str) -> str:

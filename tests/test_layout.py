@@ -51,15 +51,26 @@ def test_morton_sql_matches_python_reference(spark):
 def test_fid_tokens_perfect_hash(spark):
     """The physical write's file split relies on pmod(murmur3(token), 17)
     being injective over Z_FID_TOKENS — one Z-cell per shuffle partition.
-    murmur3 with Spark's fixed seed is stable, so this can only break if
-    someone edits the table; pin it against Spark itself."""
+    The table is solved at import by a pure-Python replica of Spark's
+    Murmur3 int hash; pin (a) replica == F.hash bit-for-bit over a wide
+    value sweep and (b) injectivity against Spark itself, so neither a
+    solver bug nor a (hypothetical) hash change can slip through."""
     from pyspark.sql import functions as F
 
+    from data_pipeline__s3_to_postgres_s3_spark.operators.layout import (
+        _murmur3_int,
+    )
+
+    sweep = list(range(-5, 200)) + [2**31 - 1, -(2**31), 123456789]
+    df = spark.createDataFrame([(v,) for v in sweep], "v int")
+    got = [r[0] for r in df.select(F.hash("v")).collect()]
+    assert got == [_murmur3_int(v) for v in sweep]
+
     assert len(Z_FID_TOKENS) == (1 << Z_FILES_LOG2) + 1  # 16 cells + sentinel
-    df = spark.createDataFrame([(t,) for t in Z_FID_TOKENS], "t int")
+    tok_df = spark.createDataFrame([(t,) for t in Z_FID_TOKENS], "t int")
     residues = [
         r[0]
-        for r in df.select(
+        for r in tok_df.select(
             F.pmod(F.hash("t"), F.lit(len(Z_FID_TOKENS)))
         ).collect()
     ]
