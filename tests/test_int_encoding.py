@@ -59,6 +59,12 @@ QUERIES_UNDER_TEST = [
     "stream_hourly_rollup",
     # o_custkey int width feeds the Morton bit grid (r7).
     "zorder_manifest",
+    # r8: doc_id width feeds the batch division (novelty), the split
+    # hash on BOTH pair endpoints (leakage), and the shard file_idx
+    # row_number (compaction) — all explicitly BIGINT-cast.
+    "ngram_novelty_timeline",
+    "split_leakage_report",
+    "compact_manifest",
 ]
 
 

@@ -35,6 +35,13 @@ QUERIES_UNDER_TEST = [
     # r7: nests quality_gate (NULL text = empty doc) + the BM25 channel.
     "curation_funnel",
     "rrf_hybrid_topk",
+    # r8: NULL text must still count toward the batch doc census
+    # (keep_empty pass) / contribute zero pre-tokens (coalesce).
+    "ngram_novelty_timeline",
+    "bpe_merge_census",
+    # r8: nests the quality gate's kept corpus — NULL-text docs are
+    # gate-dropped on both engines before the file census.
+    "compact_manifest",
 ]
 
 

@@ -44,6 +44,10 @@ QUERIES_UNDER_TEST = [
     # r7: documents-text consumers — BM25 channel and the gate ladder.
     "rrf_hybrid_topk",
     "curation_funnel",
+    # r8: text-heavy newcomers — shingle timeline and the BPE pre-token
+    # regex both read the re-encodable text column directly.
+    "ngram_novelty_timeline",
+    "bpe_merge_census",
 ]
 
 

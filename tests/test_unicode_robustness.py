@@ -39,6 +39,11 @@ QUERIES_UNDER_TEST = [
     "doc_fingerprint",
     "lang_id",
     "pack_sequences",
+    # r8: substring pair extraction must never split a codepoint (the
+    # BPE pre-tokenizer classes multibyte chars as length-1 tokens) and
+    # shingle identity must agree across engines on non-ASCII text.
+    "bpe_merge_census",
+    "ngram_novelty_timeline",
 ]
 
 _TEXTS = [
