@@ -813,3 +813,55 @@ def semantic_decontaminate(
             (F.col("cosine") >= SEMDEDUP_COSINE).alias("is_contaminated"),
         )
     )
+
+
+def similarity_recall_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Recall@k audit of BOTH approximate-ANN paths against the exact
+    baseline: per query and method ('ivf', 'lsh'), how many of the exact
+    cosine top-K the approximate index recovered — the eval harness that
+    justifies (or revokes) trusting the scale path at 100 TB, run as a
+    first-class query instead of an offline notebook. The accuracy twin
+    of the dedup family's minhash_estimate_audit.
+
+    Composition, not re-implementation: the three candidate frames ARE
+    similarity_bruteforce_topk / similarity_ivf_topk /
+    similarity_lsh_topk, so the audited definitions can never drift from
+    the audited queries. The exact frame is |Q|·K rows — lineage-cut
+    once (localCheckpoint) because four tiny consumers would otherwise
+    re-execute its broadcast corpus scan per method.
+
+    Determinism: the underlying top-K sets are deterministic (sims
+    portable-rounded before ranking, id tie-breaks), so the
+    intersection counts and the one recall division are exact."""
+    bf = (
+        similarity_bruteforce_topk(spark, sf_dir, cfg)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    truth = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    reports = []
+    for method, fn in (
+        ("ivf", similarity_ivf_topk),
+        ("lsh", similarity_lsh_topk),
+    ):
+        approx = fn(spark, sf_dir, cfg).select("query_id", "vec_id")
+        hits = bf.join(approx, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        reports.append(
+            truth.join(hits, "query_id", "left").select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                "n_truth",
+                (
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+    return reports[0].unionByName(reports[1])

@@ -1413,3 +1413,41 @@ LIMIT {BPE_TOPK}
 
 
 LLMOPS_ORACLES["bpe_merge_census"] = _bpe_census_sql()
+
+
+# similarity_recall_report: the three top-K oracles composed verbatim as
+# CTEs (the audited definitions can't drift), intersected per query and
+# method. COUNTs cast BIGINT; the recall division is double/double with
+# the COALESCE arm cast, mirroring the Spark column order exactly.
+SIMILARITY_RECALL_REPORT = f"""
+WITH bf AS ({SIMILARITY_BRUTEFORCE_TOPK}),
+ivf AS ({SIMILARITY_IVF_TOPK}),
+lsh AS ({SIMILARITY_LSH_TOPK}),
+truth AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+    FROM bf GROUP BY query_id
+),
+ivf_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.query_id
+),
+lsh_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+    GROUP BY bf.query_id
+)
+SELECT t.query_id, 'ivf' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN ivf_hits h USING (query_id)
+UNION ALL
+SELECT t.query_id, 'lsh' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN lsh_hits h USING (query_id)
+"""
+
+LLMOPS_ORACLES["similarity_recall_report"] = SIMILARITY_RECALL_REPORT

@@ -97,6 +97,7 @@ from .operators.similarity import (
     similarity_bruteforce_topk,
     similarity_ivf_topk,
     similarity_lsh_topk,
+    similarity_recall_report,
 )
 from .operators.multimodal import (
     audio_chunks,
@@ -239,7 +240,12 @@ QUERIES: dict[str, QueryFn] = {
     # semantics locally pinned) for its first driver hash.
     "semantic_decontaminate": semantic_decontaminate,
     # -- similarity reps (IVF = most machinery; quantize = single green) --
-    "similarity_ivf_topk": similarity_ivf_topk,
+    # Round-8 rotation: similarity_recall_report (brand-new recall@k
+    # audit of BOTH approximate paths vs the exact baseline) takes
+    # similarity_ivf_topk's slot (hash-green r6+r7) — the IVF machinery
+    # stays driver-hashed THROUGH the report, whose oracle nests the IVF
+    # oracle verbatim.
+    "similarity_recall_report": similarity_recall_report,
     # -- dedup reps (LSH = most machinery; the three round-5 newcomers
     #    keep their second consecutive driver hash) -----------------------
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -429,6 +435,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": doc_repetition,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "event_props_extract": event_props_extract,
+    "similarity_ivf_topk": similarity_ivf_topk,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

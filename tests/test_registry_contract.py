@@ -66,6 +66,10 @@ ROTATED_IN = {
     "ngram_novelty_timeline",
     "split_leakage_report",
     "bpe_merge_census",
+    # similarity_recall_report swaps against similarity_ivf_topk
+    # (hash-green r6+r7; its machinery and oracle stay driver-hashed
+    # nested inside the report).
+    "similarity_recall_report",
     # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",

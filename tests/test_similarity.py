@@ -286,3 +286,37 @@ def test_semantic_decontaminate_split_and_verdicts(spark, sf_dir):
         assert eb >= VAL_UPTO
         assert -1.0001 <= r["cosine"] <= 1.0001
     assert {r["is_contaminated"] for r in rows} == {True, False}
+
+
+def test_recall_report_reconciles_with_topk_frames(spark, sf_dir):
+    """similarity_recall_report must equal a Python recomputation from
+    the three top-K frames it composes — per (query, method): hits =
+    |approx ∩ exact|, denominator = |exact|, 2·|Q| rows total."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        N_QUERIES,
+        similarity_bruteforce_topk,
+        similarity_ivf_topk,
+        similarity_lsh_topk,
+        similarity_recall_report,
+    )
+
+    def pairs(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    bf = pairs(similarity_bruteforce_topk(spark, sf_dir))
+    approx = {
+        "ivf": pairs(similarity_ivf_topk(spark, sf_dir)),
+        "lsh": pairs(similarity_lsh_topk(spark, sf_dir)),
+    }
+    rows = similarity_recall_report(spark, sf_dir).collect()
+    assert len(rows) == 2 * N_QUERIES
+    for r in rows:
+        truth = bf[r["query_id"]]
+        hits = len(truth & approx[r["method"]].get(r["query_id"], set()))
+        assert r["n_truth"] == len(truth)
+        assert r["n_hits"] == hits, r
+        assert r["recall"] == hits / len(truth)
+        assert 0.0 <= r["recall"] <= 1.0
