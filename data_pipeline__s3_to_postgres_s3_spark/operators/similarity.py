@@ -865,3 +865,69 @@ def similarity_recall_report(
             )
         )
     return reports[0].unionByName(reports[1])
+
+
+def embedding_centroid_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-label embedding centroid census + drift vs the global
+    centroid: (label, n_vecs, centroid_norm, drift_cosine) — the
+    mixture-shift monitor an embedding-space curation loop reads (a
+    label whose centroid drifts from the corpus mean is over- or
+    under-represented, or its upstream encoder changed).
+
+    Physical shape (the kmeans recompute step, minus the loop): ONE
+    posexplode pass per centroid frame — groupBy(label, dim) with
+    map-side combine carries the member count in the same aggregate (no
+    second corpus scan for n_vecs), the global twin is the same pass
+    without the label key, and both collapse back to ordered arrays via
+    array_sort(collect_list(struct(dim, c))). The drift cosine is then
+    a FIXED-ORDER array fold over two |d|-vectors (broadcast crossJoin
+    of the 1-row global frame) — never a groupBy float sum, so
+    accumulation order cannot move it.
+
+    Determinism: per-dim means are portable_round-ed at 1e-6 (IVF_ROUND
+    — the proven kmeans-centroid class for cross-engine distributed-avg
+    agreement), the cosine at 1e-4 (the similarity-family sim scale)."""
+    from ..functions.numeric import portable_round
+
+    emb = _embeddings(spark, sf_dir).select("label", "embedding")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+
+    def _cent(grouped_keys: list[str]) -> DataFrame:
+        per_dim = flat.groupBy(*grouped_keys, "dim").agg(
+            portable_round(
+                F.avg(F.col("val").cast("double")), IVF_ROUND
+            ).alias("c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        return (
+            per_dim.groupBy(*grouped_keys)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
+                    "sc"
+                ),
+                F.max("n").alias("n_vecs"),  # same count for every dim
+            )
+            .select(
+                *grouped_keys,
+                F.expr("transform(sc, x -> x.c)").alias("centroid"),
+                "n_vecs",
+            )
+        )
+
+    lab = _cent(["label"])
+    glob = _cent([]).select(
+        F.col("centroid").alias("g_centroid"),
+    )
+    dot = F.expr(_DOT.format(a="centroid", b="g_centroid"))
+    nl = F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid")))
+    ng = F.sqrt(F.expr(_DOT.format(a="g_centroid", b="g_centroid")))
+    return lab.crossJoin(F.broadcast(glob)).select(
+        "label",
+        "n_vecs",
+        portable_round(nl, 4).alias("centroid_norm"),
+        portable_round(dot / (nl * ng), 4).alias("drift_cosine"),
+    )

@@ -1451,3 +1451,48 @@ FROM truth t LEFT JOIN lsh_hits h USING (query_id)
 """
 
 LLMOPS_ORACLES["similarity_recall_report"] = SIMILARITY_RECALL_REPORT
+
+
+# embedding_centroid_report: per-label / global centroids as 1e-6-rounded
+# per-dim AVGs (the kmeans-centroid cross-engine class), re-assembled into
+# ordered lists, cosine via the fixed-order _DOT_SQL fold — never a
+# groupBy float sum over dims.
+def _centroid_report_sql() -> str:
+    from ..functions.numeric import portable_round_sql as _pr
+
+    dot = _DOT_SQL
+    return f"""
+WITH valid AS (
+    SELECT label, embedding FROM embeddings
+    WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)
+),
+flat AS (
+    SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+    FROM valid, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+lc AS (
+    SELECT label, dim, {_pr('AVG(val)', 6)} AS c,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM flat GROUP BY label, dim
+),
+lcent AS (
+    SELECT label, list(c ORDER BY dim) AS centroid,
+        MAX(n) AS n_vecs
+    FROM lc GROUP BY label
+),
+gc AS (SELECT dim, {_pr('AVG(val)', 6)} AS c FROM flat GROUP BY dim),
+gcent AS (SELECT list(c ORDER BY dim) AS g FROM gc)
+SELECT label, n_vecs,
+    {_pr(f"sqrt({dot.format(a='centroid', b='centroid')})", 4)}
+        AS centroid_norm,
+    {_pr(
+        f"{dot.format(a='centroid', b='g')}"
+        f" / (sqrt({dot.format(a='centroid', b='centroid')})"
+        f" * sqrt({dot.format(a='g', b='g')}))",
+        4,
+    )} AS drift_cosine
+FROM lcent, gcent
+"""
+
+
+LLMOPS_ORACLES["embedding_centroid_report"] = _centroid_report_sql()

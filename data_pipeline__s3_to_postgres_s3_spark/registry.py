@@ -88,6 +88,7 @@ from .operators.dedup import (
     minhash_estimate_audit,
 )
 from .operators.similarity import (
+    embedding_centroid_report,
     embedding_kmeans,
     hard_negative_mining,
     semantic_decontaminate,
@@ -269,7 +270,12 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_repetition": gopher_repetition,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "exact_span_dedup": exact_span_dedup,
-    "hard_negative_mining": hard_negative_mining,
+    # Round-8 rotation: embedding_centroid_report (brand-new mixture-
+    # drift monitor) takes hard_negative_mining's slot (hash-green
+    # r6+r7; its exact branch is the bruteforce shape that stays
+    # driver-hashed inside similarity_recall_report's nested oracles,
+    # and the LSH dispatch is pinned in test_scale_dispatch.py).
+    "embedding_centroid_report": embedding_centroid_report,
     "customer_nation_value_rank": customer_nation_value_rank,
     # ===== round-6 rotation block: never-driver-hashed until now =========
     # -- temporal / events analytics (heaviest machinery first) -----------
@@ -436,6 +442,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "event_props_extract": event_props_extract,
     "similarity_ivf_topk": similarity_ivf_topk,
+    "hard_negative_mining": hard_negative_mining,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

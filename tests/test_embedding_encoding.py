@@ -107,6 +107,10 @@ GATE_QUERIES = sorted(
         "embedding_quantize",
         "semantic_dedup",
         "rrf_hybrid_topk",
+        # r8: the recall report nests all three top-K definitions, the
+        # centroid report the rounded-avg/fixed-order-fold path.
+        "similarity_recall_report",
+        "embedding_centroid_report",
     )
     if name in ORACLES and name in QUERIES
 )

@@ -41,6 +41,10 @@ QUERIES_UNDER_TEST = [
     "semantic_decontaminate",
     "hard_negative_mining",
     "rrf_hybrid_topk",  # r7: dense channel rides the _embeddings chokepoint
+    # r8: both ride the _embeddings chokepoint; the recall report nests
+    # all three top-K definitions, the centroid report the avg/fold path.
+    "similarity_recall_report",
+    "embedding_centroid_report",
 ]
 
 

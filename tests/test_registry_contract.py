@@ -70,6 +70,10 @@ ROTATED_IN = {
     # (hash-green r6+r7; its machinery and oracle stay driver-hashed
     # nested inside the report).
     "similarity_recall_report",
+    # embedding_centroid_report swaps against hard_negative_mining
+    # (hash-green r6+r7; exact branch shape stays hashed inside the
+    # recall report's nested oracles, LSH dispatch locally pinned).
+    "embedding_centroid_report",
     # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",

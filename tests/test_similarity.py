@@ -320,3 +320,51 @@ def test_recall_report_reconciles_with_topk_frames(spark, sf_dir):
         assert r["n_hits"] == hits, r
         assert r["recall"] == hits / len(truth)
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_centroid_report_reconciles_with_numpy(spark, sf_dir):
+    """embedding_centroid_report must equal a numpy recomputation of the
+    same definition (per-dim means rounded 1e-6, cosine rounded 1e-4):
+    counts exactly, floats to the shared rounding grid."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        embedding_centroid_report,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = t.column("embedding").to_pylist()
+    labels = t.column("label").to_pylist()
+    dim = max(len(v) for v in emb if v is not None)
+    rows = [
+        (l, np.asarray(v, dtype=np.float64))
+        for l, v in zip(labels, emb)
+        if v is not None and len(v) == dim
+    ]
+
+    def pr(x, scale):
+        return math.floor(x * 10**scale + 0.5) / 10**scale
+
+    by_label: dict = {}
+    for l, v in rows:
+        by_label.setdefault(l, []).append(v)
+    cents = {
+        l: np.array([pr(c, 6) for c in np.mean(vs, axis=0)])
+        for l, vs in by_label.items()
+    }
+    g = np.array(
+        [pr(c, 6) for c in np.mean([v for _, v in rows], axis=0)]
+    )
+    got = {r["label"]: r for r in embedding_centroid_report(spark, sf_dir).collect()}
+    assert set(got) == set(cents)
+    for l, c in cents.items():
+        r = got[l]
+        assert r["n_vecs"] == len(by_label[l])
+        nl = math.sqrt(float(c @ c))
+        ng = math.sqrt(float(g @ g))
+        assert abs(r["centroid_norm"] - pr(nl, 4)) < 2e-4, l
+        assert abs(r["drift_cosine"] - pr(float(c @ g) / (nl * ng), 4)) < 2e-4, l
+        assert -1.0 <= r["drift_cosine"] <= 1.0
