@@ -118,8 +118,10 @@ CURATION_ORACLES = {
 from ..operators.curation import QG_MAX_DUP_BIGRAM, QG_MAX_STOPWORD
 from .llmops import _BEST, _PRED, _SCORE_COLS, _STOP_LIST
 
-QUALITY_GATE = f"""
-WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+# The row-LOCAL gate chain (mirrors operators/curation.row_gates) — the
+# shared prefix of the batch QUALITY_GATE and the streaming
+# STREAM_QUALITY_GATE oracles, factored so the verdicts can never drift.
+_ROW_GATE_CTES = f"""tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
 ar AS (
     SELECT doc_id, text, t,
         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
@@ -137,7 +139,10 @@ m AS (
     FROM ar
 ),
 wb AS (SELECT *, {_BEST} AS best_score FROM m),
-p AS (SELECT *, {_PRED} AS predicted_lang FROM wb),
+p AS (SELECT *, {_PRED} AS predicted_lang FROM wb)"""
+
+QUALITY_GATE = f"""
+WITH {_ROW_GATE_CTES},
 c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS canon FROM p)
 SELECT doc_id,
     predicted_lang <> 'und' AS lang_ok,

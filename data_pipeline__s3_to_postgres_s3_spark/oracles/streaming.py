@@ -246,3 +246,24 @@ from ..streaming.docs import STREAM_MINHASH_EST_MIN as _SMD_EST_MIN
 STREAMING_ORACLES["stream_minhash_dedup"] = _stream_minhash_dedup_sql(
     _SMD_EST_MIN
 )
+
+
+# stream_quality_gate: the stateless ingest-gate projection — the row-
+# local half of the batch quality gate (shared _ROW_GATE_CTES prefix, so
+# streaming and batch verdicts can never drift); the sink's row set is
+# arrival-order-insensitive because the projection is per-row.
+def _stream_quality_gate_sql() -> str:
+    from .curation import _ROW_GATE_CTES
+    from ..operators.curation import QG_MAX_DUP_BIGRAM, QG_MAX_STOPWORD
+
+    return f"""
+WITH {_ROW_GATE_CTES}
+SELECT doc_id, content_hash,
+    predicted_lang <> 'und' AS lang_ok,
+    dup_bigram_ratio <= {QG_MAX_DUP_BIGRAM} AS rep_ok,
+    stopword_ratio <= {QG_MAX_STOPWORD} AS stop_ok
+FROM p
+"""
+
+
+STREAMING_ORACLES["stream_quality_gate"] = _stream_quality_gate_sql()

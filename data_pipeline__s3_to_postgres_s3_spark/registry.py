@@ -185,6 +185,7 @@ from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
     stream_minhash_dedup,
+    stream_quality_gate,
     stream_funnel_stage,
     stream_ohlc,
     stream_rolling_zscore,
@@ -229,7 +230,12 @@ QUERIES: dict[str, QueryFn] = {
     # -- structured streaming reps (the round-3 breakage class): one
     #    classic watermark agg, one custom-stateful, plus the two round-5
     #    newcomers that have only a single green round behind them --------
-    "stream_funnel_stage": stream_funnel_stage,
+    # Round-8 rotation: stream_quality_gate (brand-new stateless ingest
+    # gate — streaming is the breakage class, straight into the window)
+    # takes stream_funnel_stage's slot (hash-green r5+r6+r7; MIN-state
+    # semantics stay pinned by the no-Spark non-monotonicity test and
+    # the events matrices).
+    "stream_quality_gate": stream_quality_gate,
     "stream_ohlc": stream_ohlc,
     # Late round-6: brand-new streaming oracle enters the window
     # immediately (streaming is the breakage class — stream_ohlc
@@ -443,6 +449,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_props_extract": event_props_extract,
     "similarity_ivf_topk": similarity_ivf_topk,
     "hard_negative_mining": hard_negative_mining,
+    "stream_funnel_stage": stream_funnel_stage,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

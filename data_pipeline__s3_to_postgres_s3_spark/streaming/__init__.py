@@ -1,4 +1,4 @@
-from .docs import stream_minhash_dedup
+from .docs import stream_minhash_dedup, stream_quality_gate
 from .events import (
     stream_dedup_events,
     stream_funnel_stage,
@@ -15,6 +15,7 @@ from .events import (
 __all__ = [
     "stream_dedup_events",
     "stream_minhash_dedup",
+    "stream_quality_gate",
     "stream_funnel_stage",
     "stream_ohlc",
     "stream_hourly_rollup",

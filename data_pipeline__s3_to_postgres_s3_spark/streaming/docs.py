@@ -288,3 +288,28 @@ def stream_minhash_dedup(
         .where(F.col("est_sim") >= STREAM_MINHASH_EST_MIN)
         .distinct()
     )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Quality screening at INGEST time: the row-local gate verdicts
+    (lang_ok / rep_ok / stop_ok, plus the content_hash a downstream
+    exact-dedup consumes) computed on the documents stream as each file
+    arrives — the production shape where gating happens before anything
+    lands in the lake, not as a later batch pass.
+
+    The gates ARE ``operators.curation.row_gates`` (shared expressions —
+    the streaming and batch verdicts can never disagree), and row_gates
+    is row-LOCAL by construction, so this is a stateless streaming
+    projection: no watermark, no state store, no exchange at all — the
+    scan parallelism is the whole plan. The corpus-wide canonical
+    election deliberately stays batch-side (quality_gate): it is a
+    function of the whole corpus, exactly the split the incremental
+    curation pipeline documents."""
+    from ..operators.curation import row_gates
+
+    docs = read_documents_stream(spark, sf_dir, max_files_per_trigger)
+    return run_to_memory(row_gates(docs), "append")

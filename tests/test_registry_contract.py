@@ -74,6 +74,10 @@ ROTATED_IN = {
     # (hash-green r6+r7; exact branch shape stays hashed inside the
     # recall report's nested oracles, LSH dispatch locally pinned).
     "embedding_centroid_report",
+    # stream_quality_gate (stateless ingest gate) swaps against
+    # stream_funnel_stage (hash-green r5+r6+r7; MIN-state semantics
+    # stay pinned by the no-Spark non-monotonicity test).
+    "stream_quality_gate",
     # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",

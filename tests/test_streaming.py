@@ -469,3 +469,27 @@ def test_stream_minhash_dedup_state_ttl(spark, tmp_path):
         stream_minhash_dedup(
             spark, str(tmp_path), epoch_size=0, ttl_epochs=1
         )
+
+
+def test_stream_quality_gate_matches_batch_row_gates(spark, sf_small):
+    """The ingest-time gate must agree row-for-row with the batch
+    row_gates projection (shared expressions — this pins that the
+    file-stream reader's declared schema and the batch loader feed the
+    same values through them)."""
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        row_gates,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.streaming.docs import (
+        stream_quality_gate,
+    )
+
+    got = {
+        r["doc_id"]: (r["content_hash"], r["lang_ok"], r["rep_ok"], r["stop_ok"])
+        for r in stream_quality_gate(spark, sf_small).collect()
+    }
+    want = {
+        r["doc_id"]: (r["content_hash"], r["lang_ok"], r["rep_ok"], r["stop_ok"])
+        for r in row_gates(load_table(spark, sf_small, "documents")).collect()
+    }
+    assert got == want and got
