@@ -42,6 +42,8 @@ QUERIES_UNDER_TEST = [
     # r8: nests the quality gate's kept corpus — NULL-text docs are
     # gate-dropped on both engines before the file census.
     "compact_manifest",
+    # r8: NULL text through the STREAM reader and the row gates.
+    "stream_quality_gate",
 ]
 
 

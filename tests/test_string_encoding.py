@@ -45,9 +45,11 @@ QUERIES_UNDER_TEST = [
     "rrf_hybrid_topk",
     "curation_funnel",
     # r8: text-heavy newcomers — shingle timeline and the BPE pre-token
-    # regex both read the re-encodable text column directly.
+    # regex both read the re-encodable text column directly; the stream
+    # gate's file-stream reader must absorb the re-encoded text too.
     "ngram_novelty_timeline",
     "bpe_merge_census",
+    "stream_quality_gate",
 ]
 
 
