@@ -848,12 +848,16 @@ def similarity_recall_report(
         ("ivf", similarity_ivf_topk),
         ("lsh", similarity_lsh_topk),
     ):
-        approx = fn(spark, sf_dir, cfg).select("query_id", "vec_id")
+        # |Q|·K rows — broadcast so the hit-join never plans a sort-merge
+        # exchange pair over two 40-row frames.
+        approx = F.broadcast(
+            fn(spark, sf_dir, cfg).select("query_id", "vec_id")
+        )
         hits = bf.join(approx, ["query_id", "vec_id"]).groupBy(
             "query_id"
         ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         reports.append(
-            truth.join(hits, "query_id", "left").select(
+            truth.join(F.broadcast(hits), "query_id", "left").select(
                 "query_id",
                 F.lit(method).alias("method"),
                 F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
