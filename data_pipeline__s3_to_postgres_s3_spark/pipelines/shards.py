@@ -172,10 +172,16 @@ def compact_manifest(
     row per OUTPUT file of the compacted layout: its input file count,
     docs, bytes, and doc_id range.
 
-    Scale shape: the per-doc pass is one partitioned window (row_number
-    within (split, lang) — the shard writer's own order) + one groupBy to
-    file granularity; everything after operates on file-census rows,
-    i.e. metadata, not data."""
+    Scale shape: everything from the census on operates on FILE rows —
+    metadata, not data — and at production scale the census itself comes
+    from metadata too: a real table's file list (parquet footers /
+    catalog manifest) goes straight into ``_pack_files``, which is the
+    actual planning entrypoint and never sees a document. The per-doc
+    row_number window below exists only to DERIVE that census from raw
+    docs in the harness (where no standing file manifest exists); its
+    per-(split, lang) sort would be the skewed-partition bottleneck at
+    100 TB precisely because it recomputes what the writer's manifest
+    already knows — the dispatch is: have a manifest, skip the window."""
     kept = _kept_docs(spark, sf_dir)
     doc_w = Window.partitionBy("split", "lang").orderBy("doc_id")
     per_doc = kept.select(
