@@ -243,13 +243,15 @@ def quality_gate(
     )
 
 
-def row_gates(docs: DataFrame) -> DataFrame:
-    """(doc_id, content_hash, lang_ok, rep_ok, stop_ok): the row-LOCAL
-    gate verdicts of quality_gate, factored frame-level. Row-local means
-    subset-invariant — the incremental curation pipeline applies them to
-    a new-docs slice and provably agrees with the full run; only the
-    canonical election (a function of the WHOLE corpus) stays in the
-    callers."""
+def row_gates(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, content_hash, lang_ok, rep_ok, stop_ok, *carry): the
+    row-LOCAL gate verdicts of quality_gate, factored frame-level.
+    Row-local means subset-invariant — the incremental curation pipeline
+    applies them to a new-docs slice and provably agrees with the full
+    run; only the canonical election (a function of the WHOLE corpus)
+    stays in the callers. ``carry`` rides extra input columns through
+    the projection so aggregating callers (source_quality_matrix) never
+    need a corpus-scale join-back for a column the scan already had."""
     from .textops import lang_score_cols, predicted_lang_expr, stopword_ratio_expr
 
     bigrams = _bigrams_expr("split(text, ' ')")
@@ -265,12 +267,14 @@ def row_gates(docs: DataFrame) -> DataFrame:
         stopword_ratio_expr().alias("stopword_ratio"),
         dup_bigram.alias("dup_bigram_ratio"),
         *lang_score_cols(),
+        *carry,
     ).select(
         "doc_id",
         "content_hash",
         "stopword_ratio",
         "dup_bigram_ratio",
         predicted_lang_expr().alias("predicted_lang"),
+        *carry,
     )
     return m.select(
         "doc_id",
@@ -278,6 +282,7 @@ def row_gates(docs: DataFrame) -> DataFrame:
         (F.col("predicted_lang") != "und").alias("lang_ok"),
         (F.col("dup_bigram_ratio") <= QG_MAX_DUP_BIGRAM).alias("rep_ok"),
         (F.col("stopword_ratio") <= QG_MAX_STOPWORD).alias("stop_ok"),
+        *carry,
     )
 
 
@@ -1025,6 +1030,55 @@ def cross_source_neardups(
         )
         .where(F.col("source_a") != F.col("source_b"))
         .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )
+
+
+def source_quality_matrix(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-SOURCE quality funnel: for every feed, how many docs pass each
+    row-local gate and all of them together — the dashboard that tells a
+    mixture owner which upstream feed is junk BEFORE it dilutes the
+    corpus (per-gate rates localize the failure mode: a feed failing
+    lang_id is foreign/garbled, one failing repetition is template spam).
+
+    One scan, one map-side-combined groupBy(source): the gate verdicts
+    ARE row_gates (shared expressions — can never drift from
+    quality_gate) with source CARRIED through the projection, so there is
+    no corpus-scale join anywhere. The corpus-wide canonical gate is
+    deliberately absent: it is not attributable to a source row-locally
+    (the funnel/curation queries own it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = row_gates(docs, carry=("source",))
+    n = F.count(F.lit(1)).cast("long")
+
+    def cnt(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("int")).cast("long")
+
+    all_ok = (
+        F.col("lang_ok") & F.col("rep_ok") & F.col("stop_ok")
+    ).cast("int")
+    return (
+        g.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            cnt("lang_ok").alias("n_lang_ok"),
+            cnt("rep_ok").alias("n_rep_ok"),
+            cnt("stop_ok").alias("n_stop_ok"),
+            F.sum(all_ok).cast("long").alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_lang_ok",
+            "n_rep_ok",
+            "n_stop_ok",
+            "n_pass",
+            (
+                F.col("n_pass").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("pass_rate"),
+        )
     )
 
 

@@ -211,3 +211,61 @@ def item_triangles(
         .localCheckpoint(eager=False)  # three consumers in the wedge join
     )
     return triangle_counts(edges)
+
+
+def dedup_cluster_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-cluster audit of the near-dup graph: one row per MULTI-member
+    cluster with its size, source breadth, verified-pair count and
+    similarity profile — the report a dedup reviewer reads to decide
+    whether a cluster is template spam (large, many sources, high mean
+    jaccard) or a borderline merge (pairs at the threshold floor).
+
+    Composition, not re-implementation: members ARE dedup_clusters and
+    the pair stats ARE dedup_minhash_lsh (shared frames — the report can
+    never disagree with the operators it audits). Scale shape: the
+    size>1 filter shrinks the member frame to the dup mass BEFORE the
+    source join (AQE broadcasts it against the id→source projection);
+    pair stats aggregate the tiny verified pair set; every multi-cluster
+    has ≥ size-1 pairs by construction (components are built FROM the
+    pair graph), so the final join is inner.
+
+    Determinism: integer counts + MIN over exact doubles; the one mean
+    is portable_round-ed at 1e-6 (distributed-avg class)."""
+    from ..functions.numeric import portable_round
+    from .dedup import dedup_minhash_lsh
+
+    members = dedup_clusters(spark, sf_dir, cfg).where(
+        F.col("cluster_size") > 1
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mstats = (
+        members.join(src, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min("cluster_size").cast("long").alias("cluster_size"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir, cfg)
+    pstats = (
+        pairs.join(
+            members.select(F.col("doc_id").alias("doc_a"), "cluster_id"),
+            "doc_a",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            portable_round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.min("jaccard").alias("min_jaccard"),
+        )
+    )
+    return mstats.join(pstats, "cluster_id").select(
+        "cluster_id",
+        "cluster_size",
+        "n_sources",
+        "n_pairs",
+        "mean_jaccard",
+        "min_jaccard",
+    )

@@ -653,3 +653,33 @@ FROM with_in
 
 
 CURATION_ORACLES["curation_funnel"] = _funnel_sql()
+
+
+# source_quality_matrix: the shared row-gate CTE prefix (verdicts can
+# never drift from the batch/stream gates), source attached by a doc_id
+# join oracle-side (the Spark side CARRIES it through the scan
+# projection instead — same values, no corpus join there). Counts
+# BIGINT; the one rate division is double/double.
+SOURCE_QUALITY_MATRIX = f"""
+WITH {_ROW_GATE_CTES},
+v AS (
+    SELECT d.source,
+        (p.predicted_lang <> 'und') AS lang_ok,
+        (p.dup_bigram_ratio <= {QG_MAX_DUP_BIGRAM}) AS rep_ok,
+        (p.stopword_ratio <= {QG_MAX_STOPWORD}) AS stop_ok
+    FROM p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+    CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+    CAST(SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+    CAST(SUM(CASE WHEN lang_ok AND rep_ok AND stop_ok THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_pass,
+    CAST(SUM(CASE WHEN lang_ok AND rep_ok AND stop_ok THEN 1 ELSE 0 END)
+         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM v
+GROUP BY source
+"""
+
+CURATION_ORACLES["source_quality_matrix"] = SOURCE_QUALITY_MATRIX

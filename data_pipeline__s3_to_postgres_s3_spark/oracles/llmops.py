@@ -1496,3 +1496,38 @@ FROM lcent, gcent
 
 
 LLMOPS_ORACLES["embedding_centroid_report"] = _centroid_report_sql()
+
+
+# dedup_cluster_report: clusters + pairs oracles nested verbatim, member
+# stats over the size>1 mass, pair stats keyed by doc_a's cluster. The
+# mean is the 1e-6 portable-round distributed-avg class; MIN over exact
+# doubles is order-free.
+def _cluster_report_sql() -> str:
+    from ..functions.numeric import portable_round_sql as _pr
+
+    return f"""
+WITH vp AS ({DEDUP_MINHASH_LSH}),
+clusters AS ({DEDUP_CLUSTERS}),
+multi AS (SELECT * FROM clusters WHERE cluster_size > 1),
+mstats AS (
+    SELECT m.cluster_id,
+        CAST(MIN(m.cluster_size) AS BIGINT) AS cluster_size,
+        CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+    FROM multi m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY m.cluster_id
+),
+pstats AS (
+    SELECT m.cluster_id,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        {_pr('AVG(vp.jaccard)', 6)} AS mean_jaccard,
+        MIN(vp.jaccard) AS min_jaccard
+    FROM vp JOIN multi m ON m.doc_id = vp.doc_a
+    GROUP BY m.cluster_id
+)
+SELECT s.cluster_id, s.cluster_size, s.n_sources,
+    p.n_pairs, p.mean_jaccard, p.min_jaccard
+FROM mstats s JOIN pstats p USING (cluster_id)
+"""
+
+
+LLMOPS_ORACLES["dedup_cluster_report"] = _cluster_report_sql()

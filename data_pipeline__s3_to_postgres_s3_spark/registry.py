@@ -59,6 +59,7 @@ from .operators.events_analytics import (
 )
 from .operators.curation import (
     ccnet_quality_buckets,
+    source_quality_matrix,
     curation_funnel,
     decontaminate_eval_overlap,
     doc_repetition,
@@ -73,7 +74,12 @@ from .operators.curation import (
     source_overlap,
     source_overlap_minhash,
 )
-from .operators.graph import dedup_clusters, dedup_keep_best, item_triangles
+from .operators.graph import (
+    dedup_cluster_report,
+    dedup_clusters,
+    dedup_keep_best,
+    item_triangles,
+)
 from .operators.dedup import (
     bloom_vocab_novelty,
     dedup_containment,
@@ -303,7 +309,11 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_estimate_audit": minhash_estimate_audit,
     "source_overlap": source_overlap,
     "source_overlap_minhash": source_overlap_minhash,
-    "cross_source_neardups": cross_source_neardups,
+    # Round-8 rotation: dedup_cluster_report (brand-new per-cluster audit
+    # composing the clusters + pair frames) takes cross_source_neardups'
+    # slot (hash-green r6+r7; same composed-LSH class, now represented by
+    # the richer report).
+    "dedup_cluster_report": dedup_cluster_report,
     # -- curation / text ---------------------------------------------------
     "line_dedup": line_dedup,
     "gopher_quality": gopher_quality,
@@ -320,7 +330,11 @@ QUERIES: dict[str, QueryFn] = {
     # train-vs-eval overlap tests, the props bad-payload gate).
     "ngram_novelty_timeline": ngram_novelty_timeline,
     "split_leakage_report": split_leakage_report,
-    "quality_gate": quality_gate,
+    # Round-8 rotation: source_quality_matrix (brand-new per-feed gate
+    # dashboard) takes quality_gate's slot (hash-green r6+r7; the FULL
+    # gate incl. the canonical window stays driver-hashed nested inside
+    # the in-window curation_funnel and compact_manifest oracles).
+    "source_quality_matrix": source_quality_matrix,
     "bpe_merge_census": bpe_merge_census,
     # Round-8 rotation: compact_manifest (brand-new OPTIMIZE-planning
     # oracle) takes shard_manifest's slot (hash-green r6+r7; its totals
@@ -450,6 +464,8 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ivf_topk": similarity_ivf_topk,
     "hard_negative_mining": hard_negative_mining,
     "stream_funnel_stage": stream_funnel_stage,
+    "quality_gate": quality_gate,
+    "cross_source_neardups": cross_source_neardups,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

@@ -195,3 +195,87 @@ def test_split_leakage_sf_subset_of_lsh(spark, sf_dir):
         if _py_split(a) != _py_split(b) and (a, b) not in got
     }
     assert not missing
+
+
+def test_source_quality_matrix_reconciles_with_row_gates(spark, sf_dir):
+    """The per-source matrix must equal a Python aggregation of the
+    row_gates frame, and account for every document exactly once."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        row_gates,
+        source_quality_matrix,
+    )
+
+    gates = row_gates(
+        load_table(spark, sf_dir, "documents"), carry=("source",)
+    ).collect()
+    want: dict = {}
+    for r in gates:
+        w = want.setdefault(
+            r["source"], {"n": 0, "lang": 0, "rep": 0, "stop": 0, "pass": 0}
+        )
+        w["n"] += 1
+        w["lang"] += bool(r["lang_ok"])
+        w["rep"] += bool(r["rep_ok"])
+        w["stop"] += bool(r["stop_ok"])
+        w["pass"] += bool(r["lang_ok"] and r["rep_ok"] and r["stop_ok"])
+    got = {r["source"]: r for r in source_quality_matrix(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for s, w in want.items():
+        g = got[s]
+        assert (
+            g["n_docs"], g["n_lang_ok"], g["n_rep_ok"], g["n_stop_ok"], g["n_pass"]
+        ) == (w["n"], w["lang"], w["rep"], w["stop"], w["pass"]), s
+        assert g["pass_rate"] == w["pass"] / w["n"]
+    n_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert sum(r["n_docs"] for r in got.values()) == n_total
+
+
+def test_dedup_cluster_report_reconciles_with_composed_frames(spark, tmp_path):
+    """On a corpus with real multi-member clusters: the report must equal
+    a Python recomputation from the clusters + pairs frames it composes
+    (the sf corpora have no exact dups, so build one)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.operators.graph import (
+        dedup_cluster_report,
+        dedup_clusters,
+    )
+
+    base = [f"w{i}" for i in range(20)]
+    t = " ".join(base)
+    t2 = " ".join(base[:-1] + ["zz"])
+    rows = [
+        (1, t, "feedA"),
+        (2, t, "feedB"),      # near/exact dup cluster {1,2,3}
+        (3, t2, "feedA"),
+        (4, "completely different words here my friend", "feedC"),
+        (5, "another unrelated document entirely", "feedC"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    members = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, sf).collect()
+        if r["cluster_size"] > 1
+    }
+    pairs = dedup_minhash_lsh(spark, sf).collect()
+    src = {d: s for d, _, s in rows}
+    got = {r["cluster_id"]: r for r in dedup_cluster_report(spark, sf).collect()}
+    assert set(got) == set(members.values()) == {1}
+    rep = got[1]
+    assert rep["cluster_size"] == 3
+    assert rep["n_sources"] == len({src[d] for d in members})
+    in_cluster = [p for p in pairs if members.get(p["doc_a"]) == 1]
+    assert rep["n_pairs"] == len(in_cluster) == 3  # (1,2),(1,3),(2,3)
+    assert rep["min_jaccard"] == min(p["jaccard"] for p in in_cluster)
+    import math
+
+    mean = sum(p["jaccard"] for p in in_cluster) / len(in_cluster)
+    assert abs(rep["mean_jaccard"] - math.floor(mean * 1e6 + 0.5) / 1e6) < 2e-6

@@ -78,6 +78,12 @@ ROTATED_IN = {
     # stream_funnel_stage (hash-green r5+r6+r7; MIN-state semantics
     # stay pinned by the no-Spark non-monotonicity test).
     "stream_quality_gate",
+    # source_quality_matrix swaps against quality_gate (hash-green
+    # r6+r7; the full gate stays hashed nested in curation_funnel /
+    # compact_manifest); dedup_cluster_report against
+    # cross_source_neardups (hash-green r6+r7, same composed-LSH class).
+    "source_quality_matrix",
+    "dedup_cluster_report",
     # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",
