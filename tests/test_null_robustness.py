@@ -44,6 +44,8 @@ QUERIES_UNDER_TEST = [
     "compact_manifest",
     # r8: NULL text through the STREAM reader and the row gates.
     "stream_quality_gate",
+    # r8b: NULL text/source rows must still land in a gate bucket.
+    "source_quality_matrix",
 ]
 
 

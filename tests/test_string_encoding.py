@@ -50,6 +50,8 @@ QUERIES_UNDER_TEST = [
     "ngram_novelty_timeline",
     "bpe_merge_census",
     "stream_quality_gate",
+    # r8b: groups by the dictionary-encodable source column + gate text.
+    "source_quality_matrix",
 ]
 
 
