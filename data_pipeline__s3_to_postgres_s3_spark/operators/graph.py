@@ -222,33 +222,44 @@ def dedup_cluster_report(
     whether a cluster is template spam (large, many sources, high mean
     jaccard) or a borderline merge (pairs at the threshold floor).
 
-    Composition, not re-implementation: members ARE dedup_clusters and
-    the pair stats ARE dedup_minhash_lsh (shared frames — the report can
-    never disagree with the operators it audits). Scale shape: the
-    size>1 filter shrinks the member frame to the dup mass BEFORE the
-    source join (AQE broadcasts it against the id→source projection);
-    pair stats aggregate the tiny verified pair set; every multi-cluster
-    has ≥ size-1 pairs by construction (components are built FROM the
-    pair graph), so the final join is inner.
+    Composition, not re-implementation: the pair frame IS
+    dedup_minhash_lsh and the clustering IS connected_components over it
+    (shared with dedup_clusters — same comp = smallest member id), so
+    the report can never disagree with the operators it audits. Unlike
+    dedup_clusters, the report never touches the documents table for
+    singleton labeling: a multi-member cluster is by definition a node
+    of the pair graph, so the member frame comes straight from the CC
+    output (the full-corpus left join would be pure waste here). Scale
+    shape: ONE pair-frame computation (lineage-cut — it feeds both the
+    CC rounds and the pair stats), one CC output checkpoint for its
+    three tiny consumers (sizes, source stats, pair join), pairs/members
+    both dup-mass-sized; every multi-cluster has ≥ size-1 pairs by
+    construction, so the final joins are inner.
 
     Determinism: integer counts + MIN over exact doubles; the one mean
     is portable_round-ed at 1e-6 (distributed-avg class)."""
     from ..functions.numeric import portable_round
     from .dedup import dedup_minhash_lsh
 
-    members = dedup_clusters(spark, sf_dir, cfg).where(
-        F.col("cluster_size") > 1
+    pairs = dedup_minhash_lsh(spark, sf_dir, cfg).localCheckpoint(
+        eager=False
+    )
+    members = (
+        connected_components(pairs.select("doc_a", "doc_b"))
+        .select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     mstats = (
         members.join(src, "doc_id")
         .groupBy("cluster_id")
-        .agg(
-            F.min("cluster_size").cast("long").alias("cluster_size"),
-            F.count_distinct("source").cast("long").alias("n_sources"),
-        )
+        .agg(F.count_distinct("source").cast("long").alias("n_sources"))
     )
-    pairs = dedup_minhash_lsh(spark, sf_dir, cfg)
     pstats = (
         pairs.join(
             members.select(F.col("doc_id").alias("doc_a"), "cluster_id"),
@@ -261,11 +272,15 @@ def dedup_cluster_report(
             F.min("jaccard").alias("min_jaccard"),
         )
     )
-    return mstats.join(pstats, "cluster_id").select(
-        "cluster_id",
-        "cluster_size",
-        "n_sources",
-        "n_pairs",
-        "mean_jaccard",
-        "min_jaccard",
+    return (
+        sizes.join(mstats, "cluster_id")
+        .join(pstats, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_sources",
+            "n_pairs",
+            "mean_jaccard",
+            "min_jaccard",
+        )
     )
