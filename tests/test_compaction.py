@@ -129,3 +129,74 @@ def test_compact_shards_physical_rewrite(spark, sf_dir, tmp_path):
     # layout intact: same (split, lang) directories
     dirs = lambda paths: {tuple(p.split("/")[-3:-1]) for p in paths}
     assert dirs(after) == dirs(before)
+
+
+def test_pack_files_properties_random_censuses(spark):
+    """Hypothesis sweep over random file censuses: for ANY census the
+    packing must (a) conserve files/docs/bytes exactly, (b) keep every
+    file >= target out of merge bins, (c) bound every merged bin below
+    2x target (next-fit), and (d) keep bins doc_id-contiguous within a
+    partition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    census_rows = st.lists(
+        st.tuples(
+            st.sampled_from(["train", "val"]),
+            st.sampled_from(["en", "fr"]),
+            st.integers(min_value=1, max_value=400_000),  # fbytes
+            st.integers(min_value=1, max_value=50),  # fn_docs
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=census_rows)
+    def run(rows):
+        doc = 0
+        data = []
+        by_part: dict = {}
+        for split, lang, fbytes, fn_docs in rows:
+            idx = by_part.get((split, lang), 0)
+            by_part[(split, lang)] = idx + 1
+            data.append(
+                (split, lang, idx, fn_docs, fbytes, doc, doc + fn_docs - 1)
+            )
+            doc += fn_docs
+        files = spark.createDataFrame(
+            data,
+            "split string, lang string, file_idx long, fn_docs long,"
+            " fbytes long, fdoc_min long, fdoc_max long",
+        )
+        out = _pack_files(files).collect()
+        # (a) conservation
+        assert sum(r["n_files"] for r in out) == len(data)
+        assert sum(r["n_docs"] for r in out) == sum(d[3] for d in data)
+        assert sum(r["est_bytes"] for r in out) == sum(d[4] for d in data)
+        for r in out:
+            # (b)/(c) arm invariants
+            if r["action"] == "keep":
+                assert r["n_files"] == 1
+                assert r["est_bytes"] >= COMPACT_TARGET_BYTES
+            else:
+                assert r["est_bytes"] < 2 * COMPACT_TARGET_BYTES
+        # (d) contiguity per partition AND action: merge bins never
+        # overlap each other (contiguous small-file runs), keeps never
+        # overlap each other (distinct files). A keep CAN legitimately
+        # sit inside a merge bin's span — the cumsum skips large files,
+        # so two smalls straddling a big one still share a bin.
+        for key in {(r["split"], r["lang"], r["action"]) for r in out}:
+            spans = sorted(
+                (r["first_doc"], r["last_doc"])
+                for r in out
+                if (r["split"], r["lang"], r["action"]) == key
+            )
+            for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+                assert a_hi < b_lo, (key, spans)
+
+    run()
