@@ -1337,3 +1337,53 @@ def bloom_vocab_novelty(
             "n_novel_tokens",
         )
     )
+
+
+def _scurve_sql() -> str:
+    """The banded-LSH capture probability P(candidate | jaccard=j) =
+    1 - (1 - j^r)^b for the configured (r=MINHASH_BAND_ROWS, b=bands)
+    over an integer jaccard grid — ONE shared SQL expression string, so
+    Spark and DuckDB evaluate the identical token stream. Powers are
+    expanded into fixed-association multiplication chains (no libm pow —
+    the repo-wide float discipline): exact same IEEE ops in both
+    engines."""
+    r = MINHASH_BAND_ROWS
+    b = MINHASH_PERMS // MINHASH_BAND_ROWS
+    jr = "(" + " * ".join(["j"] * r) + ")"  # j^r, left-assoc chain
+    miss = f"(1.0e0 - {jr})"
+    missb = "(" + " * ".join([miss] * b) + ")"  # (1-j^r)^b
+    return f"(1.0e0 - {missb})"
+
+
+def minhash_param_planner(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The tuning table BEHIND the banding choice: for each jaccard value
+    on a 0.00..1.00 grid, the probability the configured MinHash banding
+    (MINHASH_PERMS perms, MINHASH_BAND_ROWS rows/band) surfaces the pair
+    as a candidate — the S-curve every LSH design doc plots, emitted as
+    a first-class query so the false-negative/false-positive trade of
+    the entire dedup ladder is inspectable (and driver-checkable)
+    next to the operators that embody it.
+
+    ZERO corpus scan: a 101-row literal grid through one codegen
+    projection. Determinism: j = i/100 (identical division both
+    engines), powers expanded to fixed-association multiplication
+    chains — the same IEEE ops in the same order, no libm pow; the
+    verify-threshold flag compares against the exact JACCARD_THRESHOLD
+    literal."""
+    sc = _scurve_sql()
+    return (
+        spark.range(0, 101)
+        .select(F.col("id").cast("long").alias("grid_i"))
+        .select(
+            "grid_i",
+            F.expr("CAST(grid_i AS DOUBLE) / 100.0e0").alias("j"),
+        )
+        .select(
+            "grid_i",
+            "j",
+            F.expr(sc).alias("p_candidate"),
+            (F.col("j") >= F.lit(JACCARD_THRESHOLD)).alias("above_verify"),
+        )
+    )

@@ -1531,3 +1531,22 @@ FROM mstats s JOIN pstats p USING (cluster_id)
 
 
 LLMOPS_ORACLES["dedup_cluster_report"] = _cluster_report_sql()
+
+
+# minhash_param_planner: the identical S-curve expression string (shared
+# _scurve_sql — fixed-association multiplication chains, no libm pow)
+# over DuckDB's generate_series grid; j is the same CAST/100 division.
+def _param_planner_sql() -> str:
+    from ..operators.dedup import JACCARD_THRESHOLD, _scurve_sql
+
+    return f"""
+SELECT CAST(i AS BIGINT) AS grid_i,
+    CAST(i AS DOUBLE) / 100.0e0 AS j,
+    {_scurve_sql().replace('j', '(CAST(i AS DOUBLE) / 100.0e0)')}
+        AS p_candidate,
+    CAST(i AS DOUBLE) / 100.0e0 >= {JACCARD_THRESHOLD} AS above_verify
+FROM generate_series(0, 100) AS t(i)
+"""
+
+
+LLMOPS_ORACLES["minhash_param_planner"] = _param_planner_sql()

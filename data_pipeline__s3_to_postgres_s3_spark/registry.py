@@ -82,6 +82,7 @@ from .operators.graph import (
 )
 from .operators.dedup import (
     bloom_vocab_novelty,
+    minhash_param_planner,
     dedup_containment,
     exact_span_dedup,
     incremental_dedup_bloom,
@@ -306,7 +307,11 @@ QUERIES: dict[str, QueryFn] = {
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
     "brand_band_revenue": brand_band_revenue,
     # -- dedup/source-mixture audits --------------------------------------
-    "minhash_estimate_audit": minhash_estimate_audit,
+    # Round-8 rotation: minhash_param_planner (brand-new zero-scan
+    # S-curve tuning table) takes minhash_estimate_audit's slot
+    # (hash-green r6+r7; the est-vs-exact audit machinery shares the
+    # mins/pair frames with the in-window dedup_minhash_lsh).
+    "minhash_param_planner": minhash_param_planner,
     "source_overlap": source_overlap,
     "source_overlap_minhash": source_overlap_minhash,
     # Round-8 rotation: dedup_cluster_report (brand-new per-cluster audit
@@ -466,6 +471,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_funnel_stage": stream_funnel_stage,
     "quality_gate": quality_gate,
     "cross_source_neardups": cross_source_neardups,
+    "minhash_estimate_audit": minhash_estimate_audit,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

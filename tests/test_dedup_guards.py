@@ -377,3 +377,42 @@ def test_minhash_estimate_audit_bounds_and_coverage(spark, sf_dir):
         for r in dedup_minhash_lsh(spark, sf_dir).collect()
     }
     assert kept <= audited
+
+
+def test_minhash_param_planner_scurve_shape(spark, sf_dir):
+    """The S-curve must match the closed form 1-(1-j^r)^b recomputed in
+    Python (same fixed-association chains), be monotone nondecreasing,
+    and hit the exact endpoints P(0)=0, P(1)=1."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_PERMS,
+        minhash_param_planner,
+    )
+
+    rows = sorted(
+        minhash_param_planner(spark, sf_dir).collect(),
+        key=lambda r: r["grid_i"],
+    )
+    assert len(rows) == 101
+    b = MINHASH_PERMS // MINHASH_BAND_ROWS
+
+    def py_curve(i: int) -> float:
+        j = i / 100.0
+        jr = 1.0
+        for _ in range(MINHASH_BAND_ROWS):
+            jr = jr * j
+        miss = 1.0 - jr
+        missb = 1.0
+        for _ in range(b):
+            missb = missb * miss
+        return 1.0 - missb
+
+    for r in rows:
+        assert r["p_candidate"] == py_curve(r["grid_i"]), r
+    assert rows[0]["p_candidate"] == 0.0
+    assert rows[-1]["p_candidate"] == 1.0
+    ps = [r["p_candidate"] for r in rows]
+    assert all(a <= b2 for a, b2 in zip(ps, ps[1:]))
+    # the verify threshold flag flips exactly at JACCARD_THRESHOLD
+    flags = [(r["j"], r["above_verify"]) for r in rows]
+    assert all(f == (j >= 0.8) for j, f in flags)

@@ -84,6 +84,10 @@ ROTATED_IN = {
     # cross_source_neardups (hash-green r6+r7, same composed-LSH class).
     "source_quality_matrix",
     "dedup_cluster_report",
+    # minhash_param_planner (zero-scan S-curve table) swaps against
+    # minhash_estimate_audit (hash-green r6+r7; shares frames with the
+    # in-window dedup_minhash_lsh).
+    "minhash_param_planner",
     # Round-7 carry-overs (first-hashed r7, keep one more live round):
     "dataset_card",
     "bloom_vocab_novelty",
