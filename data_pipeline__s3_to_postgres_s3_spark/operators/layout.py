@@ -232,3 +232,57 @@ def write_zordered(spark: SparkSession, sf_dir: str, out_path: str) -> None:
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def zorder_skip_estimate(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The layout payoff quantified from the manifest itself: for each
+    clustered dimension, the EXPECTED number (and fraction) of files a
+    uniform random point predicate touches — Σ over files of
+    P(point ∈ file extent) = Σ(extent_f) / span. This is the number a
+    query planner's cost model reads off footer stats, emitted as a
+    first-class query: ~0.25·F per dimension for a healthy 4x4 Z-order
+    vs 1.0·F on the non-sort column of a linear layout.
+
+    ZERO extra scan: the per-file census IS zorder_manifest; the
+    sentinel file (-1, always-scan) is excluded because it has no
+    extents. Everything is integer sums until the two mirrored
+    divisions; the 1-row stats frame is lineage-cut for its two
+    per-dimension consumers."""
+    m = zorder_manifest(spark, sf_dir, cfg).where(F.col("file_id") != -1)
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(
+            F.col("max_custkey") - F.col("min_custkey") + F.lit(1)
+        ).cast("long").alias("ck_ext"),
+        F.min("min_custkey").alias("ck_lo"),
+        F.max("max_custkey").alias("ck_hi"),
+        F.sum(
+            F.datediff("max_orderdate", "min_orderdate") + F.lit(1)
+        ).cast("long").alias("dt_ext"),
+        F.min("min_orderdate").alias("d_lo"),
+        F.max("max_orderdate").alias("d_hi"),
+    ).localCheckpoint(eager=False)
+
+    def dim_row(name: str, ext: str, span: F.Column) -> DataFrame:
+        span_l = span.cast("long")
+        exp_files = F.col(ext).cast("double") / span_l.cast("double")
+        return s.select(
+            F.lit(name).alias("dimension"),
+            "n_files",
+            F.col(ext).alias("sum_extent"),
+            span_l.alias("span"),
+            exp_files.alias("expected_files"),
+            (exp_files / F.col("n_files").cast("double")).alias(
+                "expected_frac"
+            ),
+        )
+
+    ck = dim_row(
+        "custkey", "ck_ext", F.col("ck_hi") - F.col("ck_lo") + F.lit(1)
+    )
+    dt = dim_row(
+        "orderdate", "dt_ext", F.datediff("d_hi", "d_lo") + F.lit(1)
+    )
+    return ck.unionByName(dt)

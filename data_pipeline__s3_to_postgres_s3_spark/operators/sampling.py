@@ -459,3 +459,51 @@ def dataset_card(
         ),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+def pack_efficiency_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Packing-waste audit per language: how full the packed sequences
+    actually are — the number a training-cost owner watches, since every
+    unfilled token in a bin is paid GPU time (and chronic overfull bins
+    mean documents straddle sequence boundaries and lose context).
+
+    Composition: the bin assignment IS pack_sequences (shared frame —
+    the audit can never disagree with the packer). Per (lang, shard,
+    bin) the doc/token totals reduce first (map-side combine), then per
+    lang: bin count, mean fill (rounded at 1e-6 — distributed-avg
+    class), exact min/max fill, and the count of overfull bins — the
+    overfull test compares INTEGER token sums against SEQ_LEN, never a
+    float. fill = bin_tokens / SEQ_LEN is one division by a constant,
+    identical token stream in the oracle."""
+    from ..functions.numeric import portable_round
+
+    packed = pack_sequences(spark, sf_dir, cfg)
+    bins = (
+        packed.groupBy("lang", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+    fill = F.col("bin_tokens").cast("double") / F.lit(SEQ_LEN).cast("double")
+    return (
+        bins.select(
+            "lang",
+            "n_docs",
+            "bin_tokens",
+            fill.alias("fill"),
+            (F.col("bin_tokens") > SEQ_LEN).cast("int").alias("overfull"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            portable_round(F.avg("fill"), 6).alias("mean_fill"),
+            F.min("fill").alias("min_fill"),
+            F.max("fill").alias("max_fill"),
+            F.sum("overfull").cast("long").alias("overfull_bins"),
+        )
+    )

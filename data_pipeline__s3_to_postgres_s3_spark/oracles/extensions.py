@@ -1144,3 +1144,42 @@ GROUP BY 1
 
 
 EXTENSION_ORACLES["zorder_manifest"] = _zorder_sql()
+
+
+def _zorder_skip_sql() -> str:
+    """zorder_skip_estimate oracle: the manifest SQL nested verbatim,
+    sentinel excluded, integer extent sums, the two divisions in the
+    same written order as the Column expressions."""
+    return f"""
+WITH mf AS ({_zorder_sql()}),
+f AS (SELECT * FROM mf WHERE file_id <> -1),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(max_custkey - min_custkey + 1) AS BIGINT) AS ck_ext,
+        MIN(min_custkey) AS ck_lo, MAX(max_custkey) AS ck_hi,
+        CAST(SUM(date_diff('day', min_orderdate, max_orderdate) + 1)
+             AS BIGINT) AS dt_ext,
+        MIN(min_orderdate) AS d_lo, MAX(max_orderdate) AS d_hi
+    FROM f
+)
+SELECT 'custkey' AS dimension, n_files,
+    ck_ext AS sum_extent,
+    CAST(ck_hi - ck_lo + 1 AS BIGINT) AS span,
+    CAST(ck_ext AS DOUBLE) / CAST(CAST(ck_hi - ck_lo + 1 AS BIGINT)
+        AS DOUBLE) AS expected_files,
+    CAST(ck_ext AS DOUBLE) / CAST(CAST(ck_hi - ck_lo + 1 AS BIGINT)
+        AS DOUBLE) / CAST(n_files AS DOUBLE) AS expected_frac
+FROM s
+UNION ALL
+SELECT 'orderdate', n_files,
+    dt_ext,
+    CAST(date_diff('day', d_lo, d_hi) + 1 AS BIGINT),
+    CAST(dt_ext AS DOUBLE) / CAST(CAST(date_diff('day', d_lo, d_hi) + 1
+        AS BIGINT) AS DOUBLE),
+    CAST(dt_ext AS DOUBLE) / CAST(CAST(date_diff('day', d_lo, d_hi) + 1
+        AS BIGINT) AS DOUBLE) / CAST(n_files AS DOUBLE)
+FROM s
+"""
+
+
+EXTENSION_ORACLES["zorder_skip_estimate"] = _zorder_skip_sql()

@@ -268,3 +268,36 @@ FROM per_doc
 """
 
 SAMPLING_ORACLES["dataset_card"] = DATASET_CARD
+
+
+# pack_efficiency_report: the pack_sequences oracle nested verbatim, bins
+# reduced first, per-lang fill stats. Integer overfull test (bin_tokens >
+# SEQ_LEN), fill = one division by the SEQ_LEN constant; mean at the
+# 1e-6 distributed-avg grid; SUMs cast back from HUGEINT.
+PACK_EFFICIENCY_REPORT = f"""
+WITH packed AS ({PACK_SEQUENCES}),
+bins AS (
+    SELECT lang, shard, bin,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, shard, bin
+),
+v AS (
+    SELECT lang, n_docs, bin_tokens,
+        CAST(bin_tokens AS DOUBLE) / CAST({SEQ_LEN} AS DOUBLE) AS fill,
+        CASE WHEN bin_tokens > {SEQ_LEN} THEN 1 ELSE 0 END AS overfull
+    FROM bins
+)
+SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_bins,
+    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+    CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+    {portable_round_sql('AVG(fill)', 6)} AS mean_fill,
+    MIN(fill) AS min_fill,
+    MAX(fill) AS max_fill,
+    CAST(SUM(overfull) AS BIGINT) AS overfull_bins
+FROM v
+GROUP BY lang
+"""
+
+SAMPLING_ORACLES["pack_efficiency_report"] = PACK_EFFICIENCY_REPORT

@@ -47,7 +47,7 @@ from .operators.relational import (
     value_percentiles,
 )
 from .operators.cdc import cdc_merge_customers
-from .operators.layout import zorder_manifest
+from .operators.layout import zorder_manifest, zorder_skip_estimate
 from .operators.events_analytics import (
     active_users_rolling,
     conversion_latency_stats,
@@ -121,6 +121,7 @@ from .operators.profiling import (
 )
 from .operators.sampling import (
     chunk_documents,
+    pack_efficiency_report,
     corpus_stats,
     dataset_card,
     sample_k_per_group,
@@ -472,6 +473,11 @@ QUERIES: dict[str, QueryFn] = {
     "quality_gate": quality_gate,
     "cross_source_neardups": cross_source_neardups,
     "minhash_estimate_audit": minhash_estimate_audit,
+    # -- round-8 late additions under one-round tail grace (brand-new
+    #    oracles, locally gate-checked every pytest run; rotate into the
+    #    window in round 9 per TAIL_GRACE_NEW_THIS_ROUND) --------------
+    "zorder_skip_estimate": zorder_skip_estimate,
+    "pack_efficiency_report": pack_efficiency_report,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

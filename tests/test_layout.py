@@ -242,3 +242,43 @@ def test_zorder_skip_proof_point_predicates(zordered_files):
         m_hi = m_lo + datetime.timedelta(days=30)
         touched = sum(1 for e in extents if e[2] <= m_hi and m_lo <= e[3])
         assert touched <= len(files) / 2, (m_lo, touched)
+
+
+def test_zorder_skip_estimate_reconciles_and_pays_off(spark, sf_dir):
+    """The estimate must equal a Python recomputation from the manifest
+    rows, and at sf show the healthy 4x4 payoff: expected point-predicate
+    fraction ~1/4 (+grid rounding) per dimension — vs 1.0 on the
+    non-sort column of a linear layout."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.layout import (
+        zorder_manifest,
+        zorder_skip_estimate,
+    )
+
+    m = [
+        r
+        for r in zorder_manifest(spark, sf_dir).collect()
+        if r["file_id"] != -1
+    ]
+    got = {r["dimension"]: r for r in zorder_skip_estimate(spark, sf_dir).collect()}
+    assert set(got) == {"custkey", "orderdate"}
+    ck_ext = sum(r["max_custkey"] - r["min_custkey"] + 1 for r in m)
+    ck_span = (
+        max(r["max_custkey"] for r in m) - min(r["min_custkey"] for r in m) + 1
+    )
+    dt_ext = sum(
+        (r["max_orderdate"] - r["min_orderdate"]).days + 1 for r in m
+    )
+    dt_span = (
+        max(r["max_orderdate"] for r in m) - min(r["min_orderdate"] for r in m)
+    ).days + 1
+    for dim, ext, span in (
+        ("custkey", ck_ext, ck_span),
+        ("orderdate", dt_ext, dt_span),
+    ):
+        r = got[dim]
+        assert r["n_files"] == len(m)
+        assert r["sum_extent"] == ext and r["span"] == span, dim
+        assert r["expected_files"] == ext / span
+        assert r["expected_frac"] == ext / span / len(m)
+        # the payoff: ~1/4 of files per point predicate on EITHER dim
+        assert 0.15 <= r["expected_frac"] <= 0.35, r

@@ -99,9 +99,15 @@ ROTATED_IN = {
 # round (they are oracle-checked locally every pytest run); the set must
 # be emptied — entries moved into the window or deleted here — the
 # following round, or test_never_hashed_entries_sit_inside_window fails.
-# Round 7: empty — dataset_card rotated into the window (grace honored)
-# and the round's brand-new oracle (bloom_vocab_novelty) went straight in.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
+# Round 8: the 10 headline new oracles went straight into the window;
+# the two late zero/low-risk report twins (both pure compositions of
+# already-in-window machinery: the zorder manifest and pack_sequences)
+# take the one-round grace — rotate them in in round 9 against the
+# twice-green r7 pool.
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
+    "zorder_skip_estimate",
+    "pack_efficiency_report",
+}
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local

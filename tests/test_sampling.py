@@ -315,3 +315,42 @@ def test_dataset_card_reconciles_with_grouped_views(spark, sf_dir):
     # collapse under the global distinct).
     assert card["n_exact_dups"] >= sum(r["n_exact_dups"] for r in by_source)
     assert 0.0 <= card["exact_dup_rate"] < 1.0
+
+
+def test_pack_efficiency_report_reconciles_with_packer(spark, sf_dir):
+    """The per-lang fill stats must equal a Python aggregation of the
+    pack_sequences frame; fills are exact bin-token/SEQ_LEN ratios and
+    overfull counting is integer."""
+    import math
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        SEQ_LEN,
+        pack_efficiency_report,
+        pack_sequences,
+    )
+
+    bins: dict = {}
+    for r in pack_sequences(spark, sf_dir).collect():
+        k = (r["lang"], r["shard"], r["bin"])
+        d = bins.setdefault(k, {"docs": 0, "toks": 0})
+        d["docs"] += 1
+        d["toks"] += r["n_tokens"]
+    by_lang: dict = {}
+    for (lang, _, _), d in bins.items():
+        w = by_lang.setdefault(lang, {"bins": 0, "docs": 0, "toks": 0, "fills": [], "over": 0})
+        w["bins"] += 1
+        w["docs"] += d["docs"]
+        w["toks"] += d["toks"]
+        w["fills"].append(d["toks"] / SEQ_LEN)
+        w["over"] += d["toks"] > SEQ_LEN
+    got = {r["lang"]: r for r in pack_efficiency_report(spark, sf_dir).collect()}
+    assert set(got) == set(by_lang)
+    for lang, w in by_lang.items():
+        g = got[lang]
+        assert (g["n_bins"], g["n_docs"], g["total_tokens"], g["overfull_bins"]) == (
+            w["bins"], w["docs"], w["toks"], w["over"]
+        ), lang
+        assert g["min_fill"] == min(w["fills"])
+        assert g["max_fill"] == max(w["fills"])
+        mean = sum(w["fills"]) / len(w["fills"])
+        assert abs(g["mean_fill"] - math.floor(mean * 1e6 + 0.5) / 1e6) < 2e-6
