@@ -304,7 +304,14 @@ QUERIES: dict[str, QueryFn] = {
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
     "customer_rfm_segments": customer_rfm_segments,
-    "promo_revenue_share": promo_revenue_share,
+    # Round-8 late rotation: zorder_skip_estimate (brand-new file-skip
+    # estimator composing the in-window zorder_manifest's Morton
+    # machinery) takes promo_revenue_share's slot (hash-green r6+r7;
+    # the conditional-share agg class stays heavily represented by the
+    # surrounding events/orders analytics block). Its tail grace is
+    # spent early — verified 3× fresh-process with the driver-faithful
+    # comparator before the swap.
+    "zorder_skip_estimate": zorder_skip_estimate,
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
     "brand_band_revenue": brand_band_revenue,
     # -- dedup/source-mixture audits --------------------------------------
@@ -325,7 +332,13 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality": gopher_quality,
     "vocab_oov_report": vocab_oov_report,
     "lang_confusion_matrix": lang_confusion_matrix,
-    "weighted_sample_tokens": weighted_sample_tokens,
+    # Round-8 late rotation: pack_efficiency_report (brand-new packing
+    # audit composing pack_sequences' bin machinery) takes
+    # weighted_sample_tokens' slot (hash-green r6+r7; the sampling
+    # family keeps mixture_sample + sample_k_per_group in-window).
+    # Verified 3× fresh-process with the driver-faithful comparator
+    # before the swap.
+    "pack_efficiency_report": pack_efficiency_report,
     "mixture_sample": mixture_sample,
     "sample_k_per_group": sample_k_per_group,
     # Round-8 rotation: the three brand-new round-8 text/curation oracles
@@ -473,11 +486,10 @@ QUERIES: dict[str, QueryFn] = {
     "quality_gate": quality_gate,
     "cross_source_neardups": cross_source_neardups,
     "minhash_estimate_audit": minhash_estimate_audit,
-    # -- round-8 late additions under one-round tail grace (brand-new
-    #    oracles, locally gate-checked every pytest run; rotate into the
-    #    window in round 9 per TAIL_GRACE_NEW_THIS_ROUND) --------------
-    "zorder_skip_estimate": zorder_skip_estimate,
-    "pack_efficiency_report": pack_efficiency_report,
+    # -- round-8 late rotation swap-outs (hash-green r6+r7; swapped for
+    #    the two late round-8 report twins — see in-window comments) ---
+    "promo_revenue_share": promo_revenue_share,
+    "weighted_sample_tokens": weighted_sample_tokens,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

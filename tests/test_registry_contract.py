@@ -94,20 +94,21 @@ ROTATED_IN = {
     "rrf_hybrid_topk",
     "zorder_manifest",
     "curation_funnel",
+    # Round-8 late rotation: the two late report twins spend their tail
+    # grace early — rotated in against promo_revenue_share /
+    # weighted_sample_tokens (each hash-green r6+r7) after 3 fresh-
+    # process driver-faithful verifications.
+    "zorder_skip_estimate",
+    "pack_efficiency_report",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
 # be emptied — entries moved into the window or deleted here — the
 # following round, or test_never_hashed_entries_sit_inside_window fails.
 # Round 8: the 10 headline new oracles went straight into the window;
-# the two late zero/low-risk report twins (both pure compositions of
-# already-in-window machinery: the zorder manifest and pack_sequences)
-# take the one-round grace — rotate them in in round 9 against the
-# twice-green r7 pool.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
-    "zorder_skip_estimate",
-    "pack_efficiency_report",
-}
+# the two late report twins briefly held the grace and were then rotated
+# in the same round (see ROTATED_IN), so the set ends round 8 EMPTY.
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local
