@@ -109,6 +109,16 @@ def dedup_ngram_jaccard(
     expose). The DuckDB oracle applies the identical cap, so results stay
     hash-green whenever it binds."""
     docs = load_table(spark, sf_dir, "documents")
+    return _ngram_pair_jaccard(docs, df_cap).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _ngram_pair_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
+    """The UNTHRESHOLDED pair-similarity frame behind dedup_ngram_jaccard:
+    (doc_a, doc_b, jaccard) for every pair sharing at least one shingle in
+    the DF-capped inverted index. Shared by the thresholded dedup query
+    and jaccard_threshold_sweep (which needs the full similarity CDF)."""
     arrays = _shingle_arrays(docs)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # |A| per doc is just the array size — no groupBy-over-exploded-rows
@@ -139,7 +149,6 @@ def dedup_ngram_jaccard(
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -1386,4 +1395,94 @@ def minhash_param_planner(
             F.expr(sc).alias("p_candidate"),
             (F.col("j") >= F.lit(JACCARD_THRESHOLD)).alias("above_verify"),
         )
+    )
+
+
+# Threshold grid for jaccard_threshold_sweep, in integer hundredths so the
+# threshold doubles are the identical i/100 division in both engines. Dense
+# at the low end where the incidental-overlap mass lives (sf0.01 corpus:
+# 3404 pairs >= 0.01 vs 25 >= 0.05 — the planted near-dups), sparse above.
+SWEEP_GRID_HUNDREDTHS = (1, 2, 3, 5, 10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def jaccard_threshold_sweep(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The MEASURED complement of minhash_param_planner's theoretical
+    S-curve: for each candidate dedup threshold t, how many verified pairs
+    and how many distinct documents the corpus actually has at similarity
+    >= t, plus the banding capture probability at exactly t — the table a
+    dedup owner reads to pick JACCARD_THRESHOLD (where does the pair CDF
+    flatten, what fraction of the corpus is implicated, and would the
+    configured LSH banding even surface those pairs).
+
+    Scale design: the pair frame is dedup_ngram_jaccard's DF-capped
+    inverted-index expansion (never all-pairs), localCheckpoint-ed because
+    BOTH the pair census and the per-doc max-similarity census consume it
+    (the shared-subtree re-execution class, CLAUDE.md). The 13-row
+    threshold grid is BROADCAST into theta-joins that stream the pair
+    frame — grid side tiny by construction, pair side never broadcast or
+    collected. Empty thresholds survive via grid LEFT JOIN + coalesce(0),
+    so the row count is fixed at len(grid) on any corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _ngram_pair_jaccard(docs, NGRAM_DF_CAP).localCheckpoint(
+        eager=False
+    )
+    grid = spark.createDataFrame(
+        [(i,) for i in SWEEP_GRID_HUNDREDTHS], "grid_i int"
+    ).select(
+        "grid_i",
+        F.expr("CAST(grid_i AS DOUBLE) / 100.0e0").alias("threshold"),
+    )
+    # Per-doc max pair similarity: the smallest threshold at which the doc
+    # is still implicated (one groupBy over the 2|pairs| stacked rows).
+    doc_max = (
+        pairs.select(F.col("doc_a").alias("doc"), "jaccard")
+        .unionAll(pairs.select(F.col("doc_b").alias("doc"), "jaccard"))
+        .groupBy("doc")
+        .agg(F.max("jaccard").alias("max_jac"))
+    )
+    pair_counts = (
+        pairs.join(
+            F.broadcast(grid), F.col("jaccard") >= F.col("threshold")
+        )
+        .groupBy("grid_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    doc_counts = (
+        doc_max.join(
+            F.broadcast(grid), F.col("max_jac") >= F.col("threshold")
+        )
+        .groupBy("grid_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs"))
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    joined = (
+        grid.join(pair_counts, "grid_i", "left")
+        .join(doc_counts, "grid_i", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "grid_i",
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_docs_in_pairs"),
+            "n_docs_total",
+        )
+    )
+    return joined.select(
+        "grid_i",
+        "threshold",
+        "n_pairs",
+        "n_docs_in_pairs",
+        "n_docs_total",
+        (
+            F.col("n_docs_in_pairs").cast("double")
+            / F.col("n_docs_total").cast("double")
+        ).alias("dup_doc_rate"),
+        F.expr(_scurve_sql().replace("j", "threshold")).alias(
+            "p_lsh_capture"
+        ),
     )

@@ -1550,3 +1550,112 @@ FROM generate_series(0, 100) AS t(i)
 
 
 LLMOPS_ORACLES["minhash_param_planner"] = _param_planner_sql()
+
+
+# jaccard_threshold_sweep: the same DF-capped pair CTE as the jaccard
+# oracles (unthresholded), the same i/100 grid division as the planner
+# oracle, and the same shared S-curve string with the threshold column
+# substituted — grid LEFT JOINs keep empty thresholds alive exactly like
+# the Spark coalesce(0) arm.
+def _threshold_sweep_sql() -> str:
+    from ..operators.dedup import (
+        NGRAM_DF_CAP,
+        SWEEP_GRID_HUNDREDTHS,
+        _scurve_sql,
+    )
+
+    grid_vals = ", ".join(f"({i})" for i in SWEEP_GRID_HUNDREDTHS)
+    sc = _scurve_sql().replace("j", "threshold")
+    return f"""
+WITH {_SHINGLES},
+df_ok AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_ok USING (shingle)),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+        CAST(n_inter AS DOUBLE) / (ca.n_shingles + cb.n_shingles - n_inter)
+            AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+),
+grid AS (
+    SELECT CAST(i AS INT) AS grid_i,
+        CAST(i AS DOUBLE) / 100.0e0 AS threshold
+    FROM (VALUES {grid_vals}) AS g(i)
+),
+doc_max AS (
+    SELECT doc, MAX(jaccard) AS max_jac FROM (
+        SELECT doc_a AS doc, jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc, jaccard FROM pairs
+    ) GROUP BY doc
+),
+pc AS (
+    SELECT grid_i, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p JOIN grid g ON p.jaccard >= g.threshold
+    GROUP BY grid_i
+),
+dc AS (
+    SELECT grid_i, CAST(COUNT(*) AS BIGINT) AS n_docs_in_pairs
+    FROM doc_max d JOIN grid g ON d.max_jac >= g.threshold
+    GROUP BY grid_i
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents)
+SELECT grid_i, threshold,
+    CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+    CAST(COALESCE(n_docs_in_pairs, 0) AS BIGINT) AS n_docs_in_pairs,
+    n_docs_total,
+    CAST(COALESCE(n_docs_in_pairs, 0) AS DOUBLE)
+        / CAST(n_docs_total AS DOUBLE) AS dup_doc_rate,
+    {sc} AS p_lsh_capture
+FROM grid
+LEFT JOIN pc USING (grid_i)
+LEFT JOIN dc USING (grid_i)
+CROSS JOIN tot
+"""
+
+
+LLMOPS_ORACLES["jaccard_threshold_sweep"] = _threshold_sweep_sql()
+
+
+# pii_source_report: the IDENTICAL per-category patterns as pii_scrub
+# (shared PII_PATTERNS), NULL text mirrored to the empty doc on both
+# sides, per-source conditional sums in the repo's CAST(... AS BIGINT)
+# dtype discipline.
+def _pii_source_sql() -> str:
+    counts = ",\n        ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{pattern}'))"
+        f" AS n_{name}"
+        for name, pattern, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    totals = ",\n    ".join(
+        f"CAST(SUM(n_{name}) AS BIGINT) AS total_{name}"
+        for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+WITH c AS (
+    SELECT source,
+        {counts}
+    FROM documents
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    {totals},
+    CAST(SUM(CASE WHEN ({total}) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pii_docs,
+    CAST(SUM(CASE WHEN ({total}) > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS pii_doc_rate
+FROM c
+GROUP BY source
+"""
+
+
+LLMOPS_ORACLES["pii_source_report"] = _pii_source_sql()

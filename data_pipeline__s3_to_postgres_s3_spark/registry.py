@@ -82,6 +82,7 @@ from .operators.graph import (
 )
 from .operators.dedup import (
     bloom_vocab_novelty,
+    jaccard_threshold_sweep,
     minhash_param_planner,
     dedup_containment,
     exact_span_dedup,
@@ -113,7 +114,7 @@ from .operators.multimodal import (
     media_catalog,
     media_features,
 )
-from .operators.pii import pii_scrub
+from .operators.pii import pii_scrub, pii_source_report
 from .operators.profiling import (
     profile_documents,
     profile_events,
@@ -321,14 +322,25 @@ QUERIES: dict[str, QueryFn] = {
     # mins/pair frames with the in-window dedup_minhash_lsh).
     "minhash_param_planner": minhash_param_planner,
     "source_overlap": source_overlap,
-    "source_overlap_minhash": source_overlap_minhash,
+    # Round-8 late rotation: jaccard_threshold_sweep (brand-new measured
+    # threshold CDF — the empirical complement of minhash_param_planner's
+    # theoretical S-curve, sharing its _scurve_sql string and the jaccard
+    # oracles' pair CTE) takes source_overlap_minhash's slot (hash-green
+    # r6+r7; minhash machinery stays driver-hashed via the in-window
+    # dedup_minhash_lsh + minhash_param_planner).
+    "jaccard_threshold_sweep": jaccard_threshold_sweep,
     # Round-8 rotation: dedup_cluster_report (brand-new per-cluster audit
     # composing the clusters + pair frames) takes cross_source_neardups'
     # slot (hash-green r6+r7; same composed-LSH class, now represented by
     # the richer report).
     "dedup_cluster_report": dedup_cluster_report,
     # -- curation / text ---------------------------------------------------
-    "line_dedup": line_dedup,
+    # Round-8 late rotation: pii_source_report (brand-new per-feed PII
+    # incidence matrix sharing pii_scrub's count_exprs) takes line_dedup's
+    # slot (hash-green r6+r7; the sf corpus has no boilerplate lines so
+    # its driver hash is a near-empty census — the line-dedup semantics
+    # are pinned by the synthetic-corpus tests in test_curation.py).
+    "pii_source_report": pii_source_report,
     "gopher_quality": gopher_quality,
     "vocab_oov_report": vocab_oov_report,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -487,9 +499,12 @@ QUERIES: dict[str, QueryFn] = {
     "cross_source_neardups": cross_source_neardups,
     "minhash_estimate_audit": minhash_estimate_audit,
     # -- round-8 late rotation swap-outs (hash-green r6+r7; swapped for
-    #    the two late round-8 report twins — see in-window comments) ---
+    #    the two late round-8 report twins and the two round-8 closing
+    #    ops — see in-window comments) ----------------------------------
     "promo_revenue_share": promo_revenue_share,
     "weighted_sample_tokens": weighted_sample_tokens,
+    "source_overlap_minhash": source_overlap_minhash,
+    "line_dedup": line_dedup,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

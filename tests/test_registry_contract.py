@@ -100,6 +100,12 @@ ROTATED_IN = {
     # process driver-faithful verifications.
     "zorder_skip_estimate",
     "pack_efficiency_report",
+    # Round-8 closing ops, straight into the window (headline-op
+    # precedent): jaccard_threshold_sweep against source_overlap_minhash,
+    # pii_source_report against line_dedup (each swap-out hash-green
+    # r6+r7 with dedicated local pins).
+    "jaccard_threshold_sweep",
+    "pii_source_report",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
