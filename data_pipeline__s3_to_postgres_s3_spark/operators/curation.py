@@ -1207,3 +1207,81 @@ def curation_funnel(
             F.col("n_dropped").cast("double") / F.col("n_in"),
         ).otherwise(F.lit(0.0)).alias("drop_rate"),
     )
+
+
+# Nano-nat quantization for per-word KL terms: terms are tiny
+# (p_s · ln-ratio, often < 1e-6), so the micro scale the surprisal ops
+# use would zero most of them; 1e9 keeps 3 significant digits on a
+# 1e-6 term while Σ|terms| stays far below bigint range.
+KL_NANO_SCALE = 1_000_000_000
+
+
+def source_unigram_kl(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-source domain-shift monitor: KL(P_source ‖ P_corpus) over the
+    unigram distribution — Σ_w p_s(w)·ln(p_s(w)/p_c(w)). A feed whose
+    language drifts from the corpus mixture (new template spam, a
+    foreign-language crawl slice, schema rot upstream) spikes its KL
+    long before eyeballing samples catches it; the mixture owner
+    thresholds on it next to source_quality_matrix's gate rates.
+
+    Scale shape: ONE tokenize+explode scan into a map-side-combined
+    groupBy(source, word); that (|sources|·vocab)-bounded frame is
+    lineage-cut for its FOUR consumers (per-source totals, corpus word
+    counts, the corpus-total scalar, the probe). The probe join
+    shuffles on word; the per-source frame broadcasts (≤ |sources|
+    rows). NULL source coalesces to '' at the chokepoint so the group
+    survives the equality joins on both engines (NULL keys drop from
+    equi-joins identically — but silently losing a feed from a drift
+    monitor is the one failure mode it must not have).
+
+    Determinism: integer counts throughout; one ln() per (source, word)
+    term, the term quantized to nano-nats BEFORE the per-source sum
+    (integer combine order — tfidf/bm25 convention); kl_nats is the
+    exact integer/1e9 division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("w"),
+    )
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+        .localCheckpoint(eager=False)
+    )
+    ns = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    total = int(sw.agg(F.sum("c_sw").alias("n")).collect()[0]["n"] or 0)
+    p_s = F.col("c_sw").cast("double") / F.col("n_tokens").cast("double")
+    term = p_s * F.log(
+        p_s / (F.col("c_w").cast("double") / F.lit(float(total)))
+    )
+    return (
+        sw.join(F.broadcast(ns), ["source"])
+        .join(cw, ["w"])
+        .select(
+            "source",
+            "n_tokens",
+            "n_word_types",
+            F.floor(term * F.lit(float(KL_NANO_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("kl_nano"),
+        )
+        .groupBy("source", "n_tokens", "n_word_types")
+        .agg(F.sum("kl_nano").cast("long").alias("kl_nano_sum"))
+        .select(
+            "source",
+            "n_tokens",
+            "n_word_types",
+            "kl_nano_sum",
+            (
+                F.col("kl_nano_sum").cast("double") / F.lit(1000000000.0)
+            ).alias("kl_nats"),
+        )
+    )

@@ -924,3 +924,199 @@ def bpe_merge_census(
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(BPE_TOPK)
     )
+
+
+# Bigram-LM quality scoring (the CCNet recipe's core signal: docs whose
+# text the corpus LM finds surprising are junk or out-of-domain).
+# Micro-nat quantization scale for per-bigram surprisal — the tfidf/bm25
+# ln()-ulp insulation convention.
+LM_NLL_SCALE = 1_000_000
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent whitespace-token pair, in
+    position order. NULL text = empty doc (mirrored coalesce); docs with
+    < 2 tokens contribute nothing (the sequence() guard doubles as the
+    empty-split [''] case: array_size 1). Shared by the bigram-LM scorer
+    and the PMI collocation census so tokenization can never drift
+    between them."""
+    toks = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+    )
+    return (
+        toks.where(F.array_size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, array_size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+
+
+def ngram_lm_perplexity(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-document bigram language-model surprisal — the CCNet-style
+    quality signal: train an add-one (Laplace) bigram LM on the corpus
+    itself in one pass, then score every document by its mean negative
+    log-probability under that LM. High avg_nll = the corpus finds the
+    doc surprising (boilerplate soup, foreign text, mojibake); the
+    downstream mixture owner buckets or thresholds on it exactly like
+    CCNet's wiki-LM perplexity filter.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), c(w1·) = corpus
+    count of w1 in bigram-left position, V = |{distinct w2}|. Emits
+    doc_id, n_bigrams, the order-independent integer micro-nat sum, the
+    mean NLL, and perplexity = exp(mean NLL). Docs with < 2 whitespace
+    tokens (incl. NULL text via the mirrored coalesce) have no bigrams
+    and carry no row — deterministic and oracle-mirrored.
+
+    Scale shape: ONE tokenize+explode scan feeds a per-doc bigram
+    groupBy; that frame is lineage-cut (localCheckpoint — dedup_simhash
+    precedent) because FOUR consumers re-execute it otherwise (c2, c1,
+    the vocab scalar, the probe side). The count tables are vocab-sized
+    (Zipf: bigram types ≪ occurrences), built with map-side partial
+    aggregation; the probe joins shuffle on (w1,w2) then (w1) — at
+    100 TB the hot-context skew on the w1 join (think "the") is the AQE
+    skew-join class, and both count tables usually broadcast outright.
+    V is a 1-row scalar read off the checkpointed frame (watermark-read
+    precedent).
+
+    Determinism: per-bigram surprisal is quantized to integer micro-nats
+    BEFORE the per-doc SUM (floor(-ln(p)·1e6 + 0.5) — libm-ulp
+    insulation, tfidf precedent), so the distributed sum is exact
+    integer arithmetic in any combine order; the two final divisions and
+    exp() run on identical doubles in both engines, portable_round-ed."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _doc_bigrams(docs)
+    # Per-doc bigram multiplicities: the ONLY corpus-scale explode, cut
+    # once and reused by all four consumers below.
+    bgc = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = bgc.groupBy("w1", "w2").agg(
+        F.sum("m").cast("long").alias("c_bg")
+    )
+    c1 = bgc.groupBy("w1").agg(F.sum("m").cast("long").alias("c_ctx"))
+    vocab = int(
+        bgc.agg(F.count_distinct("w2").alias("v")).collect()[0]["v"] or 0
+    )
+    p = (F.col("c_bg").cast("double") + F.lit(1.0)) / (
+        F.col("c_ctx").cast("double") + F.lit(float(vocab))
+    )
+    scored = (
+        bgc.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            "m",
+            F.floor((-F.log(p)) * F.lit(float(LM_NLL_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("nll_micro"))
+        .cast("long")
+        .alias("nll_micro_sum"),
+    )
+    from ..functions.numeric import portable_round
+
+    avg_nll = portable_round(
+        (F.col("nll_micro_sum").cast("double") / F.lit(1000000.0))
+        / F.col("n_bigrams").cast("double"),
+        4,
+    )
+    return agg.select(
+        "doc_id", "n_bigrams", "nll_micro_sum", avg_nll.alias("avg_nll")
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro_sum",
+        "avg_nll",
+        portable_round(F.exp(F.col("avg_nll")), 2).alias("ppl"),
+    )
+
+
+# Collocation census: report size and the hapax guard (PMI alone ranks
+# one-off pairs first; any corpus-linguistics run screens by count).
+PMI_TOPK = 50
+PMI_MIN_PAIR_COUNT = 5
+
+
+def bigram_pmi_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Collocation mining: the corpus's top-PMI adjacent word pairs —
+    pointwise mutual information ln(P(w1,w2) / (P(w1·)·P(·w2))) over the
+    bigram table, screened to pairs seen >= PMI_MIN_PAIR_COUNT times.
+    This is the classic multi-word-expression detector a tokenizer/vocab
+    curation pass runs ("new york", "machine learning" merge before
+    random pairs), sibling of bpe_merge_census one level up (words, not
+    characters).
+
+    Scale shape: one tokenize+explode scan into a map-side-combined
+    groupBy(w1,w2); the pair-type frame (vocab²-bounded, ≪ occurrences)
+    is lineage-cut for its FOUR consumers (two marginal groupBys, the
+    total scalar, the probe). Marginals are computed from the FULL pair
+    table (probabilities stay exact); only the probe side is screened.
+    Top-K is TakeOrdered (O(K) per partition, no global sort) over a
+    total order: integer pmi_micro DESC, then (w1, w2) — deterministic
+    because pmi_micro is quantized BEFORE ranking (tfidf precedent).
+
+    Determinism: all counts integer; one ln() per surviving pair,
+    quantized to micro-nats with identical token streams in both
+    engines; the reported pmi is the exact integer/1e6 division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _doc_bigrams(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .localCheckpoint(eager=False)
+    )
+    left = pairs.groupBy("w1").agg(
+        F.sum("pair_count").cast("long").alias("c_left")
+    )
+    right = pairs.groupBy("w2").agg(
+        F.sum("pair_count").cast("long").alias("c_right")
+    )
+    total = int(
+        pairs.agg(F.sum("pair_count").alias("t")).collect()[0]["t"] or 0
+    )
+    pmi = F.log(
+        (F.col("pair_count").cast("double") * F.lit(float(total)))
+        / (F.col("c_left").cast("double") * F.col("c_right").cast("double"))
+    )
+    return (
+        pairs.where(F.col("pair_count") >= PMI_MIN_PAIR_COUNT)
+        .join(left, ["w1"])
+        .join(right, ["w2"])
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "c_left",
+            "c_right",
+            F.floor(pmi * F.lit(float(LM_NLL_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .select(
+            "*",
+            (F.col("pmi_micro").cast("double") / F.lit(1000000.0)).alias(
+                "pmi"
+            ),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOPK)
+    )

@@ -683,3 +683,52 @@ GROUP BY source
 """
 
 CURATION_ORACLES["source_quality_matrix"] = SOURCE_QUALITY_MATRIX
+
+
+# source_unigram_kl (operators/curation.source_unigram_kl): per-word KL
+# terms quantized to nano-nats BEFORE the per-source sum; NULL source
+# coalesces to '' at the chokepoint (mirrored — NULL keys would drop
+# from the equi-joins on both engines); integer SUMs cast back from
+# HUGEINT; kl_nats is the exact integer/1e9 division.
+
+
+def _source_kl_sql() -> str:
+    from ..operators.curation import KL_NANO_SCALE
+
+    return f"""
+WITH toks AS (
+    SELECT coalesce(source, '') AS source,
+        unnest(string_split(coalesce(text, ''), ' ')) AS w
+    FROM documents
+),
+sw AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+    FROM toks GROUP BY source, w
+),
+ns AS (
+    SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_word_types
+    FROM sw GROUP BY source
+),
+cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+tot AS (SELECT CAST(SUM(c_sw) AS DOUBLE) AS n FROM sw),
+terms AS (
+    SELECT sw.source, n_tokens, n_word_types,
+        CAST(FLOOR(((CAST(c_sw AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+            * ln((CAST(c_sw AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                / (CAST(c_w AS DOUBLE) / n)))
+            * {float(KL_NANO_SCALE)} + 0.5) AS BIGINT) AS kl_nano
+    FROM sw
+    JOIN ns USING (source)
+    JOIN cw USING (w)
+    CROSS JOIN tot
+)
+SELECT source, n_tokens, n_word_types,
+    CAST(SUM(kl_nano) AS BIGINT) AS kl_nano_sum,
+    CAST(CAST(SUM(kl_nano) AS BIGINT) AS DOUBLE) / 1000000000.0 AS kl_nats
+FROM terms
+GROUP BY source, n_tokens, n_word_types
+"""
+
+
+CURATION_ORACLES["source_unigram_kl"] = _source_kl_sql()

@@ -1659,3 +1659,118 @@ GROUP BY source
 
 
 LLMOPS_ORACLES["pii_source_report"] = _pii_source_sql()
+
+
+# ngram_lm_perplexity: add-one bigram LM surprisal
+# (operators/textops.ngram_lm_perplexity). Mirrors: coalesce(text,'')
+# NULL-doc convention, 1-based list indexing (element_at), per-bigram
+# micro-nat quantization BEFORE the per-doc sum (ln-ulp insulation),
+# every integer SUM cast back from HUGEINT (pandas-dtype lesson), and
+# the exact division/round token streams of the Spark side.
+
+
+def _ngram_lm_sql() -> str:
+    from ..operators.textops import LM_NLL_SCALE
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+        CAST(COUNT(*) AS BIGINT) AS m
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    GROUP BY doc_id, t[i], t[i + 1]
+),
+c2 AS (
+    SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c_bg FROM bg GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(SUM(m) AS BIGINT) AS c_ctx FROM bg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS vocab FROM bg),
+sc AS (
+    SELECT bg.doc_id, bg.m,
+        CAST(FLOOR((- ln((CAST(c_bg AS DOUBLE) + 1.0)
+            / (CAST(c_ctx AS DOUBLE) + vocab)))
+            * {float(LM_NLL_SCALE)} + 0.5) AS BIGINT) AS nll_micro
+    FROM bg
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+),
+agg AS (
+    SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        CAST(SUM(m * nll_micro) AS BIGINT) AS nll_micro_sum
+    FROM sc GROUP BY doc_id
+),
+rounded AS (
+    SELECT doc_id, n_bigrams, nll_micro_sum,
+        FLOOR(((CAST(nll_micro_sum AS DOUBLE) / 1000000.0)
+            / CAST(n_bigrams AS DOUBLE)) * 10000 + 0.5) / 10000 AS avg_nll
+    FROM agg
+)
+SELECT doc_id, n_bigrams, nll_micro_sum, avg_nll,
+    FLOOR(exp(avg_nll) * 100 + 0.5) / 100 AS ppl
+FROM rounded
+"""
+
+
+LLMOPS_ORACLES["ngram_lm_perplexity"] = _ngram_lm_sql()
+
+
+# bigram_pmi_topk: collocation census (operators/textops.bigram_pmi_topk).
+# Marginals from the FULL pair table, screen only the probe; pmi_micro
+# quantized BEFORE ranking so (pmi_micro DESC, w1, w2) is a total order
+# and the LIMIT is deterministic on both engines. Integer SUMs cast back
+# from HUGEINT.
+
+
+def _bigram_pmi_sql() -> str:
+    from ..operators.textops import (
+        LM_NLL_SCALE,
+        PMI_MIN_PAIR_COUNT,
+        PMI_TOPK,
+    )
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+    FROM documents
+),
+bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+pairs AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM bg GROUP BY w1, w2
+),
+lft AS (
+    SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS c_left
+    FROM pairs GROUP BY w1
+),
+rgt AS (
+    SELECT w2, CAST(SUM(pair_count) AS BIGINT) AS c_right
+    FROM pairs GROUP BY w2
+),
+tot AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS t FROM pairs),
+sc AS (
+    SELECT w1, w2, pair_count, c_left, c_right,
+        CAST(FLOOR(ln((CAST(pair_count AS DOUBLE) * t)
+            / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE)))
+            * {float(LM_NLL_SCALE)} + 0.5) AS BIGINT) AS pmi_micro
+    FROM pairs
+    JOIN lft USING (w1)
+    JOIN rgt USING (w2)
+    CROSS JOIN tot
+    WHERE pair_count >= {PMI_MIN_PAIR_COUNT}
+)
+SELECT w1, w2, pair_count, c_left, c_right, pmi_micro,
+    CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
+FROM sc
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOPK}
+"""
+
+
+LLMOPS_ORACLES["bigram_pmi_topk"] = _bigram_pmi_sql()

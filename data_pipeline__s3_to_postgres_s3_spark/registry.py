@@ -73,6 +73,7 @@ from .operators.curation import (
     quality_gate,
     source_overlap,
     source_overlap_minhash,
+    source_unigram_kl,
 )
 from .operators.graph import (
     dedup_cluster_report,
@@ -142,7 +143,9 @@ from .operators.temporal import (
 )
 from .operators.textops import (
     bm25_topk,
+    bigram_pmi_topk,
     bpe_merge_census,
+    ngram_lm_perplexity,
     ngram_novelty_timeline,
     rrf_hybrid_topk,
     char_ngram_diversity,
@@ -505,6 +508,11 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_tokens": weighted_sample_tokens,
     "source_overlap_minhash": source_overlap_minhash,
     "line_dedup": line_dedup,
+    # -- brand-new this round (TAIL_GRACE_NEW_THIS_ROUND): oracle-checked
+    #    locally every pytest run; rotates into the window next round ---
+    "ngram_lm_perplexity": ngram_lm_perplexity,
+    "bigram_pmi_topk": bigram_pmi_topk,
+    "source_unigram_kl": source_unigram_kl,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

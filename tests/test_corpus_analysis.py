@@ -279,3 +279,86 @@ def test_dedup_cluster_report_reconciles_with_composed_frames(spark, tmp_path):
 
     mean = sum(p["jaccard"] for p in in_cluster) / len(in_cluster)
     assert abs(rep["mean_jaccard"] - math.floor(mean * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_ngram_lm_perplexity_hand_computed(spark, tmp_path):
+    """Add-one bigram LM on a 4-doc corpus, scored by hand.
+
+    Corpus bigram counts: c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts
+    c(a·)=3, c(b·)=2; V=|{b,a,c}|=3. Surprisals (micro-nats):
+    -ln((3+1)/(3+3)) = 405465, -ln((1+1)/(2+3)) = 916291. Docs with <2
+    tokens (incl. NULL text) carry no row."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        ngram_lm_perplexity,
+    )
+
+    rows = [
+        (1, "a b a b"),  # bigrams (a,b)x2 (b,a)x1
+        (2, "a b c"),  # (a,b) (b,c)
+        (3, "z"),  # 1 token -> no bigrams
+        (4, None),  # NULL text -> empty doc
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in ngram_lm_perplexity(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    d1, d2 = out[1], out[2]
+    assert d1["n_bigrams"] == 3
+    assert d1["nll_micro_sum"] == 2 * 405465 + 916291
+    assert d1["avg_nll"] == 0.5757
+    assert d1["ppl"] == 1.78
+    assert d2["n_bigrams"] == 2
+    assert d2["nll_micro_sum"] == 405465 + 916291
+    assert d2["avg_nll"] == 0.6609
+    assert d2["ppl"] == 1.94
+
+
+def test_bigram_pmi_topk_hand_computed(spark, tmp_path):
+    """Two docs of alternating pairs: (a,b) and (c,d) each occur 5 times
+    (the back-pairs (b,a)/(d,c) only 4 — screened out). T=18,
+    c_left(a)=5, c_right(b)=5 → PMI = ln(5·18/(5·5)) = ln(3.6),
+    micro-quantized 1280934. Tie on pmi_micro breaks by w1 ASC."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        bigram_pmi_topk,
+    )
+
+    rows = [
+        (1, "a b a b a b a b a b"),
+        (2, "c d c d c d c d c d"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = bigram_pmi_topk(spark, sf).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("a", "b"), ("c", "d")]
+    for r in out:
+        assert r["pair_count"] == 5
+        assert r["c_left"] == 5 and r["c_right"] == 5
+        assert r["pmi_micro"] == 1280934
+        assert r["pmi"] == 1.280934
+
+
+def test_source_unigram_kl_hand_computed(spark, tmp_path):
+    """Two symmetric sources over a two-word vocabulary. Source a:
+    {x:3, y:1}, source b: {x:1, y:3}; corpus p(x)=p(y)=0.5. KL each =
+    0.75·ln(1.5) + 0.25·ln(0.5) → nano terms 304098831 + (-173286795)
+    = 130812036. NULL source/text fold into the '' group / empty-token
+    distribution deterministically."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.curation import (
+        source_unigram_kl,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "x x x y", "a"),
+            (2, "x y y y", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in source_unigram_kl(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a", "b"}
+    for s in ("a", "b"):
+        r = out[s]
+        assert r["n_tokens"] == 4 and r["n_word_types"] == 2
+        assert r["kl_nano_sum"] == 130812036
+        assert r["kl_nats"] == 0.130812036

@@ -46,6 +46,12 @@ QUERIES_UNDER_TEST = [
     "stream_quality_gate",
     # r8b: NULL text/source rows must still land in a gate bucket.
     "source_quality_matrix",
+    # r8c: NULL text = empty doc = no bigrams — the doc must vanish from
+    # the report identically on both engines (mirrored coalesce).
+    "ngram_lm_perplexity",
+    "bigram_pmi_topk",
+    # r8c: NULL source must fold into the '' group, not vanish.
+    "source_unigram_kl",
 ]
 
 

@@ -114,7 +114,16 @@ ROTATED_IN = {
 # Round 8: the 10 headline new oracles went straight into the window;
 # the two late report twins briefly held the grace and were then rotated
 # in the same round (see ROTATED_IN), so the set ends round 8 EMPTY.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
+    # Round-8 continuation session: bigram-LM surprisal scorer
+    # (CCNet-recipe quality signal). Oracle-checked locally every pytest
+    # run; rotate into the window round 9.
+    "ngram_lm_perplexity",
+    # PMI collocation census riding the same bigram machinery.
+    "bigram_pmi_topk",
+    # Per-source unigram KL drift monitor.
+    "source_unigram_kl",
+}
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local

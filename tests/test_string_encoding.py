@@ -52,6 +52,11 @@ QUERIES_UNDER_TEST = [
     "stream_quality_gate",
     # r8b: groups by the dictionary-encodable source column + gate text.
     "source_quality_matrix",
+    # r8c: bigram-LM / PMI joins key on token strings read straight off
+    # the re-encodable text column.
+    "ngram_lm_perplexity",
+    "bigram_pmi_topk",
+    "source_unigram_kl",
 ]
 
 

@@ -44,6 +44,11 @@ QUERIES_UNDER_TEST = [
     # shingle identity must agree across engines on non-ASCII text.
     "bpe_merge_census",
     "ngram_novelty_timeline",
+    # r8c: bigram join keys are raw tokens — cross-engine string
+    # equality on non-ASCII tokens is the whole correctness story.
+    "ngram_lm_perplexity",
+    "bigram_pmi_topk",
+    "source_unigram_kl",
 ]
 
 _TEXTS = [
