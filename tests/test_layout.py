@@ -282,3 +282,31 @@ def test_zorder_skip_estimate_reconciles_and_pays_off(spark, sf_dir):
         assert r["expected_frac"] == ext / span / len(m)
         # the payoff: ~1/4 of files per point predicate on EITHER dim
         assert 0.15 <= r["expected_frac"] <= 0.35, r
+
+
+def test_zorder_grid_survives_int32_keys_with_wide_range(spark, tmp_path):
+    """ANSI-overflow pin for the grid normalization (round-8 advisor
+    finding): with an int32-encoded o_custkey and a key RANGE past ~32k
+    (sf1 has 150k customers), (ck - min) * 65535 exceeds 2^31 — an
+    INT*INT product errors under Spark 4 ANSI unless both coordinates
+    are widened to BIGINT before the arithmetic. The operator widens at
+    the helper-column chokepoint; this fails loudly if that cast is
+    ever dropped."""
+    rows = [
+        (1, 1, datetime.datetime(2000, 1, 1)),
+        (2, 150_000, datetime.datetime(2005, 6, 1)),
+        (3, 75_000, datetime.datetime(2002, 3, 1)),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey int, o_custkey int, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    m = zorder_manifest(spark, str(tmp_path)).collect()
+    assert sum(r["n_rows"] for r in m) == len(rows)
+    assert {r["min_custkey"] for r in m} <= {1, 75_000, 150_000}
+    out = str(tmp_path / "orders_z")
+    write_zordered(spark, str(tmp_path), out)
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/part-*.parquet")
+    )
+    assert total == len(rows)
