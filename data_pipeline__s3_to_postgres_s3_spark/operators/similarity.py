@@ -935,3 +935,85 @@ def embedding_centroid_report(
         portable_round(nl, 4).alias("centroid_norm"),
         portable_round(dot / (nl * ng), 4).alias("drift_cosine"),
     )
+
+
+def similarity_sq_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Scalar-quantized ADC top-K: the search half of embedding_quantize —
+    rank candidates by cosine over the int8 codes (symmetric distance
+    computation), then audit the winners against full-precision cosine.
+    At billion-vector scale this is why the 4× memory cut matters: the
+    hot scan touches only codes; per-vector scales CANCEL out of the
+    quantized cosine (s_q·s_c·Σq_aq_b / (s_q√Σq_a²·s_c√Σq_c²)), so
+    ranking is pure integer dot products + two precomputed code norms.
+
+    Same fixed query workload, exclusion rule, ordering and TOP_K as
+    similarity_bruteforce_topk, so the two reports are directly
+    comparable; sim_exact is computed ONLY for the K winners (at scale
+    the full-precision re-rank touches K·|Q| vectors, not the corpus).
+
+    Determinism: codes are the portable round-half-up int grid
+    (embedding_quantize's exact expression — bit-identical cross-engine);
+    the integer dot/norms make the rank key a single IEEE division of
+    identical doubles, portable_round-ed before ranking with the vec_id
+    tie-break."""
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    scale = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) / 127"
+    )
+    qexpr = (
+        "transform(embedding, v -> CASE WHEN scale = 0 THEN 0"
+        " ELSE CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5) AS INT) END)"
+    )
+    qq = (
+        "aggregate(q, CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + CAST(v * v AS BIGINT))"
+    )
+    codes = (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .select("vec_id", F.expr(qexpr).alias("q"))
+        .select("vec_id", "q", F.sqrt(F.expr(qq).cast("double")).alias("qnorm"))
+    )
+    queries = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    dotq = F.expr(
+        "aggregate(zip_with(q_q, q, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT))"
+    )
+    sim_sq = portable_round(
+        dotq.cast("double") / (F.col("q_qnorm") * F.col("qnorm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_sq"), F.asc("vec_id")
+    )
+    top = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim_sq.alias("sim_sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    sim_exact = portable_round(
+        _cosine("q_embedding", "embedding", "q_norm", "norm"), 4
+    )
+    return (
+        top.join(F.broadcast(qe), "query_id")
+        .join(emb, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "sim_sq",
+            sim_exact.alias("sim_exact"),
+            "rank",
+        )
+    )

@@ -1774,3 +1774,62 @@ LIMIT {PMI_TOPK}
 
 
 LLMOPS_ORACLES["bigram_pmi_topk"] = _bigram_pmi_sql()
+
+
+# similarity_sq_topk (operators/similarity.similarity_sq_topk): symmetric
+# scalar-quantized ADC ranking — embedding_quantize's exact code grid,
+# integer dot/norms (exact, order-free), one IEEE division per pair
+# portable-rounded BEFORE the rank; sim_exact recomputed only for the K
+# winners from the full-precision vectors (the bruteforce _COS_AB form).
+_SQ_CODES = f"""
+base AS (
+    SELECT vec_id, embedding,
+        sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
+        list_max(list_transform(embedding,
+                 v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+),
+coded AS (
+    SELECT vec_id, embedding, norm,
+        list_transform(embedding,
+            v -> CASE WHEN scale = 0 THEN 0
+                 ELSE CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5) AS INT)
+                 END) AS q
+    FROM base
+),
+en AS (
+    SELECT vec_id, embedding, norm, q,
+        sqrt(CAST(list_sum(list_transform(q,
+            v -> CAST(v * v AS BIGINT))) AS DOUBLE)) AS qnorm
+    FROM coded
+)
+"""
+
+SIMILARITY_SQ_TOPK = f"""
+WITH {_SQ_CODES},
+qs AS (SELECT * FROM en WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT qs.vec_id AS query_id, en.vec_id AS vec_id,
+        FLOOR((CAST(list_sum(list_transform(list_zip(qs.q, en.q),
+                x -> x[1] * x[2])) AS DOUBLE)
+            / (qs.qnorm * en.qnorm)) * 10000 + 0.5) / 10000 AS sim_sq
+    FROM qs, en
+    WHERE en.vec_id <> qs.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim_sq DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+),
+sel AS (SELECT query_id, vec_id, sim_sq, rank FROM ranked WHERE rank <= {TOP_K})
+SELECT s.query_id, s.vec_id, s.sim_sq,
+    FLOOR(({_DOT_SQL.format(a='qe.embedding', b='ce.embedding')}
+        / (qe.norm * ce.norm)) * 10000 + 0.5) / 10000 AS sim_exact,
+    s.rank
+FROM sel s
+JOIN en qe ON qe.vec_id = s.query_id
+JOIN en ce ON ce.vec_id = s.vec_id
+"""
+
+LLMOPS_ORACLES["similarity_sq_topk"] = SIMILARITY_SQ_TOPK

@@ -108,6 +108,7 @@ from .operators.similarity import (
     similarity_ivf_topk,
     similarity_lsh_topk,
     similarity_recall_report,
+    similarity_sq_topk,
 )
 from .operators.multimodal import (
     audio_chunks,
@@ -513,6 +514,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_lm_perplexity": ngram_lm_perplexity,
     "bigram_pmi_topk": bigram_pmi_topk,
     "source_unigram_kl": source_unigram_kl,
+    "similarity_sq_topk": similarity_sq_topk,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

@@ -45,6 +45,9 @@ QUERIES_UNDER_TEST = [
     # all three top-K definitions, the centroid report the avg/fold path.
     "similarity_recall_report",
     "embedding_centroid_report",
+    # r8c: quantized ADC ranking rides the same chokepoint; codes for
+    # NULL/empty/ragged vectors must never be built at all.
+    "similarity_sq_topk",
 ]
 
 

@@ -123,6 +123,8 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     "bigram_pmi_topk",
     # Per-source unigram KL drift monitor.
     "source_unigram_kl",
+    # Scalar-quantized ADC top-K (the search half of embedding_quantize).
+    "similarity_sq_topk",
 }
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of

@@ -16,6 +16,7 @@ from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
     similarity_bruteforce_topk,
     similarity_ivf_topk,
     similarity_lsh_topk,
+    similarity_sq_topk,
 )
 
 
@@ -368,3 +369,27 @@ def test_centroid_report_reconciles_with_numpy(spark, sf_dir):
         assert abs(r["centroid_norm"] - pr(nl, 4)) < 2e-4, l
         assert abs(r["drift_cosine"] - pr(float(c @ g) / (nl * ng), 4)) < 2e-4, l
         assert -1.0 <= r["drift_cosine"] <= 1.0
+
+
+def test_sq_topk_reconciles_with_bruteforce(spark, sf_dir):
+    """The ADC ranking is the reconstructed-vector ranking (scales cancel
+    out of the quantized cosine), so the operator must (a) emit exactly
+    TOP_K contiguous ranks per query, (b) report sim_exact values that
+    EQUAL similarity_bruteforce_topk's sim on every shared pair (same
+    cosine, same rounding), and (c) recall ≥0.9 of the exact top-5 —
+    the numpy quantization property, now over the operator itself."""
+    sq = similarity_sq_topk(spark, sf_dir).collect()
+    bf = {
+        (r["query_id"], r["vec_id"]): r["sim"]
+        for r in similarity_bruteforce_topk(spark, sf_dir).collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in sq:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        assert sorted(x["rank"] for x in rows) == [1, 2, 3, 4, 5]
+    overlap = [r for r in sq if (r["query_id"], r["vec_id"]) in bf]
+    assert overlap, "SQ top-5 shares nothing with exact top-5"
+    for r in overlap:
+        assert r["sim_exact"] == bf[(r["query_id"], r["vec_id"])]
+    assert len(overlap) / len(bf) >= 0.9
