@@ -284,3 +284,89 @@ def dedup_cluster_report(
             "min_jaccard",
         )
     )
+
+
+# Integer PageRank: damping 85/100 as exact rationals, ranks in
+# micro-units. Float PageRank can never hash-match across engines (the
+# per-node contribution sum is combine-order-dependent); doing the whole
+# recurrence in bigint arithmetic — (85·r) div (100·deg) per edge, integer
+# teleport — makes every iteration exact and order-free on both engines.
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_ITERS = 6
+PR_TELEPORT = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+
+
+def item_pagerank(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """PageRank over the item co-occurrence graph — the graph-centrality
+    popularity signal a recommender/curation pass weights by (an item
+    co-bought with many well-connected items outranks one with the same
+    raw degree in a clique of nobodies). Composition, not
+    re-implementation: the edge list IS item_cooccurrence's verified pair
+    frame (same baskets, cap, and props guard), symmetrized.
+
+    Scale shape: PR_ITERS fixed synchronous iterations; each is one
+    vocab²-bounded join of the rank frame against the degree-annotated
+    edge list plus one map-side-combined groupBy(dst) — the classic
+    distributed PageRank shape (never a driver-side adjacency). The
+    edge+degree frame is built once and lineage-cut for its PR_ITERS
+    reuses. No global rank window — the driver/reader sorts; a global
+    ROW_NUMBER over the vocabulary would be the single-partition class
+    ccnet's dispatch exists to avoid.
+
+    Determinism: ranks live in integer micro-units; per-edge contribution
+    floor((85·r) div (100·deg)) and teleport (PR_DAMP applied to
+    PR_SCALE exactly) keep every iteration in bigint — combine order
+    cannot move a bit, so PR_ITERS rounds are reproducible anywhere. The
+    'pr' column is the exact integer/1e6 division."""
+    from .events_analytics import item_cooccurrence
+
+    pairs = item_cooccurrence(spark, sf_dir, cfg).select("item_a", "item_b")
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    return integer_pagerank(edges)
+
+
+def integer_pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """The exact-integer PageRank recurrence over a SYMMETRIC (src, dst)
+    edge frame — see item_pagerank for the semantics and scale notes.
+    Exposed so synthetic graphs can pin the arithmetic by hand."""
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("item"), "deg").localCheckpoint(
+        eager=False
+    )
+    ranks = nodes.select(
+        "item", F.lit(PR_SCALE).cast("long").alias("r")
+    )
+    contrib_expr = F.expr(
+        f"({PR_DAMP_NUM} * r) div ({PR_DAMP_DEN} * deg)"
+    ).cast("long")
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ed, ranks["item"] == ed["src"])
+            .select(F.col("dst").alias("item"), contrib_expr.alias("c"))
+            .groupBy("item")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        ranks = nodes.select("item").join(contrib, "item", "left").select(
+            "item",
+            (
+                F.lit(PR_TELEPORT).cast("long")
+                + F.coalesce(F.col("c"), F.lit(0).cast("long"))
+            ).alias("r"),
+        )
+    return nodes.join(ranks, "item").select(
+        "item",
+        F.col("deg").alias("degree"),
+        F.col("r").alias("pr_micro"),
+        (F.col("r").cast("double") / F.lit(1000000.0)).alias("pr"),
+    )

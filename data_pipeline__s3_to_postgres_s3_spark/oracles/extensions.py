@@ -1183,3 +1183,59 @@ FROM s
 
 
 EXTENSION_ORACLES["zorder_skip_estimate"] = _zorder_skip_sql()
+
+
+# item_pagerank (operators/graph.item_pagerank): nests the
+# item_cooccurrence oracle verbatim (composition precedent:
+# item_triangles), symmetrizes, then unrolls PR_ITERS integer-arithmetic
+# rounds (kmeans generated-SQL precedent — aggregates are not allowed in
+# a recursive CTE's recursive member). Every quantity is bigint:
+# (85·r) // (100·deg) per edge and the exact integer teleport, so the
+# per-node SUM is combine-order-free and bit-identical to Spark.
+
+
+def _pagerank_sql() -> str:
+    from ..operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+    )
+
+    rounds = []
+    for i in range(PR_ITERS):
+        prev = "r0" if i == 0 else f"r{i}"
+        rounds.append(f"""
+c{i + 1} AS (
+    SELECT e.dst AS item,
+        CAST(SUM(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * d.deg))
+             AS BIGINT) AS c
+    FROM {prev} r
+    JOIN edges e ON e.src = r.item
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r{i + 1} AS (
+    SELECT n.item,
+        CAST({PR_TELEPORT} + COALESCE(c.c, 0) AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c{i + 1} c USING (item)
+)""")
+    return f"""
+WITH co AS ({ITEM_COOCCURRENCE}),
+edges AS (
+    SELECT item_a AS src, item_b AS dst FROM co
+    UNION ALL
+    SELECT item_b AS src, item_a AS dst FROM co
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS item, deg FROM deg),
+r0 AS (SELECT item, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(rounds)}
+SELECT n.item, n.deg AS degree, r.r AS pr_micro,
+    CAST(r.r AS DOUBLE) / 1000000.0 AS pr
+FROM nodes n JOIN r{PR_ITERS} r USING (item)
+"""
+
+
+EXTENSION_ORACLES["item_pagerank"] = _pagerank_sql()

@@ -79,6 +79,7 @@ from .operators.graph import (
     dedup_cluster_report,
     dedup_clusters,
     dedup_keep_best,
+    item_pagerank,
     item_triangles,
 )
 from .operators.dedup import (
@@ -515,6 +516,7 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_pmi_topk": bigram_pmi_topk,
     "source_unigram_kl": source_unigram_kl,
     "similarity_sq_topk": similarity_sq_topk,
+    "item_pagerank": item_pagerank,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

@@ -190,6 +190,11 @@ def test_props_bad_payload_gate_stays_green(spark, tmp_path):
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
     )
-    for name in ("event_props_extract", "item_cooccurrence", "item_triangles"):
+    for name in (
+        "event_props_extract",
+        "item_cooccurrence",
+        "item_triangles",
+        "item_pagerank",
+    ):
         report = compare(QUERIES[name](spark, str(tmp_path)), con, ORACLES[name])
         assert report["ok"], f"{name} under bad props payloads: {report}"

@@ -50,6 +50,9 @@ QUERIES_UNDER_TEST = [
     "top_session_paths",
     "item_cooccurrence",
     "item_triangles",
+    # r8c: composes item_cooccurrence's basket base — NULL users/props
+    # must drop from the graph identically on both engines.
+    "item_pagerank",
     "value_histogram",
     "purchase_last_view_asof",
     "error_bursts_range",

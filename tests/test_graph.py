@@ -84,3 +84,30 @@ def test_triangle_counts_ordered_wedge_exactness(spark):
     df = spark.createDataFrame(edges, "a bigint, b bigint")
     got = {r["item"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_integer_pagerank_hand_computed(spark):
+    """Path graph a-b-c (ids 1-2-3), two exact-integer rounds by hand:
+    it1: ends get 150000 + (85·1e6)//200 = 575000, middle
+    150000 + 2·(85·1e6)//100... (each end contributes (85·1e6)//(100·1)
+    = 850000) = 1850000. it2: ends 150000 + (85·1850000)//200 = 936250,
+    middle 150000 + 2·(85·575000)//100 = 1127500. Integer arithmetic ⇒
+    these are EXACT on any engine, any combine order."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.graph import (
+        integer_pagerank,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a bigint, b bigint"
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    out = {r["item"]: r for r in integer_pagerank(edges, iters=2).collect()}
+    assert {k: v["degree"] for k, v in out.items()} == {1: 1, 2: 2, 3: 1}
+    assert out[1]["pr_micro"] == 936250
+    assert out[3]["pr_micro"] == 936250
+    assert out[2]["pr_micro"] == 1127500
+    assert out[2]["pr"] == 1.1275

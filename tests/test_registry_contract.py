@@ -125,6 +125,8 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     "source_unigram_kl",
     # Scalar-quantized ADC top-K (the search half of embedding_quantize).
     "similarity_sq_topk",
+    # Integer-arithmetic PageRank over the co-occurrence graph.
+    "item_pagerank",
 }
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
