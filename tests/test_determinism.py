@@ -29,6 +29,8 @@ PRONE = [
     "weighted_sample_tokens",     # top-K cut on divided priorities
     "events_ohlc",                # min_by/max_by under ts ties
     "item_triangles",             # wedge join + corner explode order
+    "bigram_pmi_topk",            # quantized-PMI LIMIT cut under ties
+    "similarity_sq_topk",         # ADC rank window on rounded sims
 ]
 
 
