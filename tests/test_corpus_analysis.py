@@ -362,3 +362,59 @@ def test_source_unigram_kl_hand_computed(spark, tmp_path):
         assert r["n_tokens"] == 4 and r["n_word_types"] == 2
         assert r["kl_nano_sum"] == 130812036
         assert r["kl_nats"] == 0.130812036
+
+
+def test_ngram_lm_perplexity_matches_python_replica(spark, tmp_path):
+    """Independent semantic pin on a seeded random word-soup corpus: a
+    pure-Python add-one bigram LM scored with the same micro-nat
+    quantization — catches a formulation bug the DuckDB oracle would
+    share (both engines' SQL is written from the same derivation)."""
+    import math
+    import random
+    from collections import Counter
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.textops import (
+        LM_NLL_SCALE,
+        ngram_lm_perplexity,
+    )
+
+    rng = random.Random(13)
+    vocab = ["red", "green", "blue", "ox", "owl", "fir", "elm"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(1, 25)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    bg = Counter()
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        grams = list(zip(toks, toks[1:]))
+        if grams:
+            per_doc[doc_id] = grams
+            bg.update(grams)
+    ctx = Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    v = len({w2 for _, w2 in bg})
+    expected = {}
+    for doc_id, grams in per_doc.items():
+        s = 0
+        for g in grams:
+            p = (bg[g] + 1.0) / (ctx[g[0]] + float(v))
+            s += math.floor((-math.log(p)) * float(LM_NLL_SCALE) + 0.5)
+        avg = math.floor(((s / 1000000.0) / len(grams)) * 10000 + 0.5) / 10000
+        ppl = math.floor(math.exp(avg) * 100 + 0.5) / 100
+        expected[doc_id] = (len(grams), s, avg, ppl)
+
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["nll_micro_sum"],
+            r["avg_nll"],
+            r["ppl"],
+        )
+        for r in ngram_lm_perplexity(spark, sf).collect()
+    }
+    assert got == expected

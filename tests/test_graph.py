@@ -111,3 +111,58 @@ def test_integer_pagerank_hand_computed(spark):
     assert out[3]["pr_micro"] == 936250
     assert out[2]["pr_micro"] == 1127500
     assert out[2]["pr"] == 1.1275
+
+
+def test_integer_pagerank_matches_python_replica_on_random_graphs(spark):
+    """Independent semantic pin: a pure-Python replica of the integer
+    recurrence on three seeded random graphs — this catches a
+    formulation bug the DuckDB oracle would share (both sides are
+    written from the same derivation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+        integer_pagerank,
+    )
+
+    for seed in (7, 21, 42):
+        rng = random.Random(seed)
+        n = rng.randint(5, 12)
+        pairs = sorted(
+            {
+                (a, b)
+                for _ in range(n * 2)
+                for a, b in [sorted(rng.sample(range(1, n + 1), 2))]
+            }
+        )
+        # Python replica over the symmetrized adjacency.
+        adj: dict[int, list[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        r = {v: PR_SCALE for v in adj}
+        for _ in range(PR_ITERS):
+            nxt = {v: PR_TELEPORT for v in adj}
+            for u, nbrs in adj.items():
+                c = (PR_DAMP_NUM * r[u]) // (PR_DAMP_DEN * len(nbrs))
+                for v in nbrs:
+                    nxt[v] += c
+            r = nxt
+
+        pdf = spark.createDataFrame(pairs, "a bigint, b bigint")
+        edges = pdf.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            pdf.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        got = {
+            row["item"]: (row["degree"], row["pr_micro"])
+            for row in integer_pagerank(edges).collect()
+        }
+        assert got == {v: (len(adj[v]), r[v]) for v in adj}, f"seed {seed}"
