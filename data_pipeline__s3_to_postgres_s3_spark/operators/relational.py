@@ -868,3 +868,91 @@ def brand_band_revenue(
             (F.sum(rev_c) / 10000.0).alias("revenue"),
         )
     )
+
+
+def top_supplier_by_revenue(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q15 shape (top supplier view + scalar MAX): each supplier's
+    shipped revenue over one quarter, keeping every supplier whose
+    revenue EQUALS the global maximum — the aggregate-vs-scalar-subquery
+    pattern (Q15 keeps ties by spec, and because revenue accumulates in
+    exact integer cents the equality is deterministic, not a float
+    near-miss).
+
+    Scale shape: one filtered scan + one map-side-combined
+    groupBy(l_suppkey); the supplier frame is vocab-sized, lineage-cut
+    for its two consumers (the 1-row MAX and the filter), the MAX
+    re-enters by broadcast crossJoin (scalar-injection idiom) and the
+    supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev_c).alias("rev_c"))
+        .localCheckpoint(eager=False)
+    )
+    mx = per_supp.agg(F.max("rev_c").alias("mx"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_c") == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+def returned_item_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the top 20 customers by
+    revenue lost to returns in one quarter — the churn-risk list an
+    account team works. Revenue accumulates in exact integer cents so
+    the DESC cut is deterministic (equal-cents ties break by c_custkey);
+    acctbal re-quantizes through cents too, keeping the output immune to
+    the money-DECIMAL re-encode axis on both engines.
+
+    Scale shape: returnflag + order-date filters reach both scans
+    (pushdown); one shuffled agg on custkey; nation broadcasts; TakeOrdered(20)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_c).alias("rev_c"))
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c") / 10000.0).alias("revenue"),
+            (cents(F.col("c_acctbal")) / 100.0).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

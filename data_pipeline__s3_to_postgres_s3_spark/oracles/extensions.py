@@ -1239,3 +1239,49 @@ FROM nodes n JOIN r{PR_ITERS} r USING (item)
 
 
 EXTENSION_ORACLES["item_pagerank"] = _pagerank_sql()
+
+
+# top_supplier_by_revenue (operators/relational.py, TPC-H Q15 shape):
+# integer-cents revenue makes the =MAX tie test exact; HUGEINT SUM is
+# only compared/divided, never emitted raw.
+TOP_SUPPLIER_BY_REVENUE = f"""
+WITH rev AS (
+    SELECT l_suppkey, SUM({_REV}) AS rev_c
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1998-01-01'
+      AND l_shipdate < DATE '1998-04-01'
+    GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(rev_c) AS mx FROM rev)
+SELECT s.s_suppkey, s.s_name, rev.rev_c / 10000.0 AS total_revenue
+FROM rev
+CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.rev_c = mx.mx
+"""
+
+EXTENSION_ORACLES["top_supplier_by_revenue"] = TOP_SUPPLIER_BY_REVENUE
+
+
+# returned_item_report (operators/relational.py, TPC-H Q10 shape):
+# cents-exact revenue DESC + c_custkey ASC is a total order for the
+# LIMIT; acctbal re-quantizes through cents so the money-DECIMAL
+# re-encode axis cannot move the value or its dtype.
+RETURNED_ITEM_REPORT = f"""
+SELECT c.c_custkey, c.c_name,
+    SUM({_REV}) / 10000.0 AS revenue,
+    CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) / 100.0 AS acctbal,
+    n.n_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1998-01-01'
+  AND o.o_orderdate < DATE '1998-04-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+EXTENSION_ORACLES["returned_item_report"] = RETURNED_ITEM_REPORT

@@ -36,7 +36,9 @@ from .operators.relational import (
     small_quantity_revenue,
     order_priority_lateness,
     order_to_ship_lag_stats,
+    returned_item_report,
     suppliers_kept_waiting,
+    top_supplier_by_revenue,
     value_histogram,
     cube_orders,
     customer_set_ops,
@@ -517,6 +519,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_unigram_kl": source_unigram_kl,
     "similarity_sq_topk": similarity_sq_topk,
     "item_pagerank": item_pagerank,
+    "top_supplier_by_revenue": top_supplier_by_revenue,
+    "returned_item_report": returned_item_report,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

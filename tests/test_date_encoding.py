@@ -36,6 +36,10 @@ QUERIES_UNDER_TEST = [
     "promo_revenue_share",     # date_trunc month on l_shipdate (r5)
     "order_to_ship_lag_stats", # datediff across both tables' dates (r5)
     "zorder_manifest",         # datediff grid + DATE extents (r7)
+    # r8c TPC-H shapes: quarter-window date-literal filters on
+    # l_shipdate / o_orderdate must push down under every encoding.
+    "top_supplier_by_revenue",
+    "returned_item_report",
 ]
 
 

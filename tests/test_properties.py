@@ -183,3 +183,39 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["a", "b"])
     got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want_label
+
+
+def test_top_supplier_by_revenue_keeps_ties(spark, tmp_path):
+    """Q15 keeps EVERY supplier at the max (cents-exact equality): two
+    suppliers engineered to identical quarter revenue both survive; a
+    third below max and a fourth outside the window do not."""
+    import datetime as dtm
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.relational import (
+        top_supplier_by_revenue,
+    )
+
+    d_in = dtm.datetime(1998, 2, 1)
+    d_out = dtm.datetime(1997, 2, 1)
+    rows = [
+        # suppkey, shipdate, extendedprice, discount
+        (1, d_in, 100.0, 0.0),
+        (1, d_in, 50.0, 0.0),
+        (2, d_in, 300.0, 0.5),  # 150.0 — ties supplier 1
+        (3, d_in, 10.0, 0.0),
+        (4, d_out, 999.0, 0.0),  # outside the quarter
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_suppkey bigint, l_shipdate timestamp,"
+        " l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(i, f"Supplier#{i}") for i in range(1, 5)],
+        "s_suppkey bigint, s_name string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    out = {
+        r["s_suppkey"]: r["total_revenue"]
+        for r in top_supplier_by_revenue(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 150.0, 2: 150.0}

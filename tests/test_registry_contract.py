@@ -127,6 +127,9 @@ TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     "similarity_sq_topk",
     # Integer-arithmetic PageRank over the co-occurrence graph.
     "item_pagerank",
+    # TPC-H Q15/Q10 shapes (scalar-MAX ties; returned-item top-20).
+    "top_supplier_by_revenue",
+    "returned_item_report",
 }
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
