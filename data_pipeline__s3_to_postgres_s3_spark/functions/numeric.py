@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 
 def portable_round(col: Column, scale: int = 2) -> Column:
-    """Engine-portable round-half-up for non-negative doubles."""
+    """Engine-portable round-half-up.
+
+    floor(x·10^s + 0.5)/10^s is well-defined for ANY sign and mirrored
+    token-identically in the oracle SQL — but note the semantics for
+    negative inputs: halves round toward +inf (-0.005 → -0.0), i.e.
+    half-UP, not half-away-from-zero. Signed consumers (cosines in
+    similarity_sq_topk, KL/PMI terms) rely on the mirroring, not on
+    half-away semantics."""
     factor = 10**scale
     return F.floor(col * factor + F.lit(0.5)) / factor
 

@@ -69,10 +69,20 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_sum skips NULLs, so ragged dims can never agree). The
     max-dim probe is a 1-row scalar aggregate (watermark precedent) so
     the rule survives a driver dimension change without a hardcoded
-    dim; every similarity oracle applies the identical filter."""
+    dim; every similarity oracle applies the identical filter.
+
+    r9 (ADVICE): vectors with an INTERIOR NULL element also drop on both
+    engines — they are the remaining un-mirrorable fold class (Spark's
+    aggregate() null-propagates qnorm/sim to NULL while DuckDB's
+    list_sum/list_max skip NULL elements, and NULL sort keys then hit
+    unpinned window NULL-ordering). Mirror: every oracle adds
+    ``len(list_filter(embedding, v -> v IS NULL)) = 0``."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
-    return emb.where(F.size("embedding") == dim)
+    return emb.where(
+        (F.size("embedding") == dim)
+        & F.expr("NOT exists(embedding, v -> v IS NULL)")
+    )
 
 
 def similarity_bruteforce_topk(
@@ -998,7 +1008,7 @@ def similarity_sq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
     )
-    qe = emb.select(
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("norm").alias("q_norm"),

@@ -438,7 +438,7 @@ _EMB_NORM = f"""
 e AS (
     SELECT vec_id, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 )
 """
 
@@ -527,12 +527,12 @@ WITH scaled AS (
     SELECT vec_id, embedding,
         list_max(list_transform(embedding,
                  v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 ),
 coded AS (
     SELECT vec_id, embedding, scale,
         list_transform(embedding,
-            v -> CASE WHEN scale = 0 THEN 0
+            v -> CASE WHEN coalesce(scale, 0) = 0 THEN 0
                  ELSE CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5) AS INT)
                  END) AS q
     FROM scaled
@@ -553,7 +553,7 @@ SEMANTIC_DEDUP = f"""
 WITH e AS (
     SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 ),
 losers AS (
     SELECT DISTINCT b.vec_id
@@ -584,7 +584,7 @@ flat AS (
     -- NULL-label rows train no centroid (mirrors ivf_centroids).
     SELECT label, unnest(embedding) AS val,
         generate_subscripts(embedding, 1) AS dim
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
     WHERE label IS NOT NULL
 ),
 cent AS (
@@ -737,10 +737,10 @@ WINDOW w AS (
 def _kmeans_oracle() -> str:
     ctes = [
         "flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,"
-        " generate_subscripts(embedding, 1) AS dim FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings)",
+        " generate_subscripts(embedding, 1) AS dim FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings)",
         f"c0 AS (SELECT vec_id AS cell,"
         f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid"
-        f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings WHERE vec_id < {KMEANS_K})",
+        f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings WHERE vec_id < {KMEANS_K})",
     ]
     d2 = (
         "FLOOR((" + _D2_SQL.format(a="e.embedding", b="c.centroid")
@@ -749,7 +749,7 @@ def _kmeans_oracle() -> str:
     for i in range(KMEANS_ITERS + 1):
         ctes.append(
             f"s{i} AS (SELECT e.vec_id, c.cell, {d2} AS d2"
-            f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) e, c{i} c)"
+            f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) e, c{i} c)"
         )
         ctes.append(
             f"a{i} AS (SELECT vec_id, cell, d2 FROM ("
@@ -1256,7 +1256,7 @@ HARD_NEGATIVE_MINING = f"""
 WITH el AS (
     SELECT vec_id, label, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 ),
 q AS (SELECT * FROM el WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -1295,7 +1295,7 @@ WITH e AS (
     SELECT vec_id, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
         vec_id * {_SD_MULT} % {_SD_MOD} % {_SD_BUCKETS} AS bucket
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 ),
 train AS (SELECT * FROM e WHERE bucket < {_SD_TRAIN}),
 ev AS (SELECT * FROM e WHERE bucket >= {_SD_VAL}),
@@ -1464,7 +1464,7 @@ def _centroid_report_sql() -> str:
     return f"""
 WITH valid AS (
     SELECT label, embedding FROM embeddings
-    WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)
+    WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0
 ),
 flat AS (
     SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
@@ -1787,12 +1787,12 @@ base AS (
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
         list_max(list_transform(embedding,
                  v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 ),
 coded AS (
     SELECT vec_id, embedding, norm,
         list_transform(embedding,
-            v -> CASE WHEN scale = 0 THEN 0
+            v -> CASE WHEN coalesce(scale, 0) = 0 THEN 0
                  ELSE CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5) AS INT)
                  END) AS q
     FROM base

@@ -68,6 +68,13 @@ def degenerate_embeddings_dir(sf_small, tmp_path_factory):
             emb[i] = []
         elif i % 37 == 11:
             emb[i] = emb[i][:8]  # ragged: short vector
+        elif i % 41 == 13:
+            # r9 (ADVICE): interior NULL element — full-length vector, so
+            # it survives the max-dim filter; only the interior-NULL drop
+            # in the _embeddings chokepoint keeps the engines mirrored
+            # (Spark aggregate() null-propagates, DuckDB list_* skips).
+            emb[i] = list(emb[i])
+            emb[i][3] = None
         if i % 23 == 3:
             labels[i] = None
     pq.write_table(
