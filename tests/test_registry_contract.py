@@ -55,57 +55,20 @@ ROWS_ONLY_ALLOWED = {
 # dedup_containment [green r5+r6] and profile_events [green r6 + heavy
 # local pins]).
 ROTATED_IN = {
-    # Round 8: the four brand-new round-8 oracles straight into the
-    # window — compact_manifest (swapped against shard_manifest, totals
-    # reconciliation-pinned through compact_manifest's bin sums in
-    # test_compaction.py), ngram_novelty_timeline / split_leakage_report
-    # / bpe_merge_census (swapped against doc_repetition /
-    # decontaminate_eval_overlap / event_props_extract — each hash-green
-    # r6+r7 with dedicated local pins).
-    "compact_manifest",
-    "ngram_novelty_timeline",
-    "split_leakage_report",
-    "bpe_merge_census",
-    # similarity_recall_report swaps against similarity_ivf_topk
-    # (hash-green r6+r7; its machinery and oracle stay driver-hashed
-    # nested inside the report).
-    "similarity_recall_report",
-    # embedding_centroid_report swaps against hard_negative_mining
-    # (hash-green r6+r7; exact branch shape stays hashed inside the
-    # recall report's nested oracles, LSH dispatch locally pinned).
-    "embedding_centroid_report",
-    # stream_quality_gate (stateless ingest gate) swaps against
-    # stream_funnel_stage (hash-green r5+r6+r7; MIN-state semantics
-    # stay pinned by the no-Spark non-monotonicity test).
-    "stream_quality_gate",
-    # source_quality_matrix swaps against quality_gate (hash-green
-    # r6+r7; the full gate stays hashed nested in curation_funnel /
-    # compact_manifest); dedup_cluster_report against
-    # cross_source_neardups (hash-green r6+r7, same composed-LSH class).
-    "source_quality_matrix",
-    "dedup_cluster_report",
-    # minhash_param_planner (zero-scan S-curve table) swaps against
-    # minhash_estimate_audit (hash-green r6+r7; shares frames with the
-    # in-window dedup_minhash_lsh).
-    "minhash_param_planner",
-    # Round-7 carry-overs (first-hashed r7, keep one more live round):
-    "dataset_card",
-    "bloom_vocab_novelty",
-    "rrf_hybrid_topk",
-    "zorder_manifest",
-    "curation_funnel",
-    # Round-8 late rotation: the two late report twins spend their tail
-    # grace early — rotated in against promo_revenue_share /
-    # weighted_sample_tokens (each hash-green r6+r7) after 3 fresh-
-    # process driver-faithful verifications.
-    "zorder_skip_estimate",
-    "pack_efficiency_report",
-    # Round-8 closing ops, straight into the window (headline-op
-    # precedent): jaccard_threshold_sweep against source_overlap_minhash,
-    # pii_source_report against line_dedup (each swap-out hash-green
-    # r6+r7 with dedicated local pins).
-    "jaccard_threshold_sweep",
-    "pii_source_report",
+    # Round 9 (VERDICT r8 ask #1 — the round's hard contract): the seven
+    # round-8-continuation grace ops take their first driver hash.
+    # Swap-outs (see the in-window comments in registry.py): the five r7
+    # first-timers now twice-green (rrf_hybrid_topk, zorder_manifest,
+    # curation_funnel, bloom_vocab_novelty, dataset_card) plus
+    # mixture_sample / sample_k_per_group (each hash-green r6+r7+r8,
+    # sampling determinism pinned by test_sampling.py).
+    "ngram_lm_perplexity",
+    "bigram_pmi_topk",
+    "source_unigram_kl",
+    "similarity_sq_topk",
+    "item_pagerank",
+    "top_supplier_by_revenue",
+    "returned_item_report",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
@@ -114,23 +77,9 @@ ROTATED_IN = {
 # Round 8: the 10 headline new oracles went straight into the window;
 # the two late report twins briefly held the grace and were then rotated
 # in the same round (see ROTATED_IN), so the set ends round 8 EMPTY.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
-    # Round-8 continuation session: bigram-LM surprisal scorer
-    # (CCNet-recipe quality signal). Oracle-checked locally every pytest
-    # run; rotate into the window round 9.
-    "ngram_lm_perplexity",
-    # PMI collocation census riding the same bigram machinery.
-    "bigram_pmi_topk",
-    # Per-source unigram KL drift monitor.
-    "source_unigram_kl",
-    # Scalar-quantized ADC top-K (the search half of embedding_quantize).
-    "similarity_sq_topk",
-    # Integer-arithmetic PageRank over the co-occurrence graph.
-    "item_pagerank",
-    # TPC-H Q15/Q10 shapes (scalar-MAX ties; returned-item top-20).
-    "top_supplier_by_revenue",
-    "returned_item_report",
-}
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
+# Round 9: the seven round-8-continuation grace ops rotated into the
+# window (see ROTATED_IN) — the set is EMPTY again.
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local
