@@ -828,19 +828,21 @@ def semantic_decontaminate(
 def similarity_recall_report(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Recall@k audit of BOTH approximate-ANN paths against the exact
-    baseline: per query and method ('ivf', 'lsh'), how many of the exact
-    cosine top-K the approximate index recovered — the eval harness that
-    justifies (or revokes) trusting the scale path at 100 TB, run as a
+    """Recall@k audit of ALL approximate-ANN paths against the exact
+    baseline: per query and method ('ivf', 'lsh', 'sq' — r9 adds the
+    scalar-quantized ADC channel), how many of the exact cosine top-K
+    the approximate index recovered — the eval harness that justifies
+    (or revokes) trusting the scale path at 100 TB, run as a
     first-class query instead of an offline notebook. The accuracy twin
     of the dedup family's minhash_estimate_audit.
 
-    Composition, not re-implementation: the three candidate frames ARE
+    Composition, not re-implementation: the candidate frames ARE
     similarity_bruteforce_topk / similarity_ivf_topk /
-    similarity_lsh_topk, so the audited definitions can never drift from
-    the audited queries. The exact frame is |Q|·K rows — lineage-cut
-    once (localCheckpoint) because four tiny consumers would otherwise
-    re-execute its broadcast corpus scan per method.
+    similarity_lsh_topk / similarity_sq_topk, so the audited definitions
+    can never drift from the audited queries. The exact frame is |Q|·K
+    rows — lineage-cut once (localCheckpoint) because the tiny
+    consumers would otherwise re-execute its broadcast corpus scan per
+    method.
 
     Determinism: the underlying top-K sets are deterministic (sims
     portable-rounded before ranking, id tie-breaks), so the
@@ -857,6 +859,7 @@ def similarity_recall_report(
     for method, fn in (
         ("ivf", similarity_ivf_topk),
         ("lsh", similarity_lsh_topk),
+        ("sq", similarity_sq_topk),
     ):
         # |Q|·K rows — broadcast so the hit-join never plans a sort-merge
         # exchange pair over two 40-row frames.
@@ -878,7 +881,10 @@ def similarity_recall_report(
                 ).alias("recall"),
             )
         )
-    return reports[0].unionByName(reports[1])
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def embedding_centroid_report(

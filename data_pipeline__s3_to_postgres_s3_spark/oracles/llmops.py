@@ -1415,42 +1415,6 @@ LIMIT {BPE_TOPK}
 LLMOPS_ORACLES["bpe_merge_census"] = _bpe_census_sql()
 
 
-# similarity_recall_report: the three top-K oracles composed verbatim as
-# CTEs (the audited definitions can't drift), intersected per query and
-# method. COUNTs cast BIGINT; the recall division is double/double with
-# the COALESCE arm cast, mirroring the Spark column order exactly.
-SIMILARITY_RECALL_REPORT = f"""
-WITH bf AS ({SIMILARITY_BRUTEFORCE_TOPK}),
-ivf AS ({SIMILARITY_IVF_TOPK}),
-lsh AS ({SIMILARITY_LSH_TOPK}),
-truth AS (
-    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
-    FROM bf GROUP BY query_id
-),
-ivf_hits AS (
-    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-    FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
-    GROUP BY bf.query_id
-),
-lsh_hits AS (
-    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-    FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
-    GROUP BY bf.query_id
-)
-SELECT t.query_id, 'ivf' AS method,
-    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
-    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
-        AS recall
-FROM truth t LEFT JOIN ivf_hits h USING (query_id)
-UNION ALL
-SELECT t.query_id, 'lsh' AS method,
-    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
-    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
-        AS recall
-FROM truth t LEFT JOIN lsh_hits h USING (query_id)
-"""
-
-LLMOPS_ORACLES["similarity_recall_report"] = SIMILARITY_RECALL_REPORT
 
 
 # embedding_centroid_report: per-label / global centroids as 1e-6-rounded
@@ -1833,3 +1797,54 @@ JOIN en ce ON ce.vec_id = s.vec_id
 """
 
 LLMOPS_ORACLES["similarity_sq_topk"] = SIMILARITY_SQ_TOPK
+
+
+# similarity_recall_report: the FOUR top-K oracles composed verbatim as
+# CTEs (the audited definitions can't drift), intersected per query and
+# method (r9: sq channel added — the newest ANN path reports recall@k in
+# the same frame; its oracle nests as a sub-WITH). COUNTs cast BIGINT; the recall division is double/double with
+# the COALESCE arm cast, mirroring the Spark column order exactly.
+SIMILARITY_RECALL_REPORT = f"""
+WITH bf AS ({SIMILARITY_BRUTEFORCE_TOPK}),
+ivf AS ({SIMILARITY_IVF_TOPK}),
+lsh AS ({SIMILARITY_LSH_TOPK}),
+sq AS ({SIMILARITY_SQ_TOPK}),
+truth AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+    FROM bf GROUP BY query_id
+),
+ivf_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.query_id
+),
+lsh_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+    GROUP BY bf.query_id
+),
+sq_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN sq ON bf.query_id = sq.query_id AND bf.vec_id = sq.vec_id
+    GROUP BY bf.query_id
+)
+SELECT t.query_id, 'ivf' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN ivf_hits h USING (query_id)
+UNION ALL
+SELECT t.query_id, 'lsh' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN lsh_hits h USING (query_id)
+UNION ALL
+SELECT t.query_id, 'sq' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN sq_hits h USING (query_id)
+"""
+
+LLMOPS_ORACLES["similarity_recall_report"] = SIMILARITY_RECALL_REPORT

@@ -291,14 +291,16 @@ def test_semantic_decontaminate_split_and_verdicts(spark, sf_dir):
 
 def test_recall_report_reconciles_with_topk_frames(spark, sf_dir):
     """similarity_recall_report must equal a Python recomputation from
-    the three top-K frames it composes — per (query, method): hits =
-    |approx ∩ exact|, denominator = |exact|, 2·|Q| rows total."""
+    the top-K frames it composes — per (query, method): hits =
+    |approx ∩ exact|, denominator = |exact|, 3·|Q| rows total (r9: the
+    sq ADC channel audits in the same frame)."""
     from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
         N_QUERIES,
         similarity_bruteforce_topk,
         similarity_ivf_topk,
         similarity_lsh_topk,
         similarity_recall_report,
+        similarity_sq_topk,
     )
 
     def pairs(df):
@@ -311,9 +313,11 @@ def test_recall_report_reconciles_with_topk_frames(spark, sf_dir):
     approx = {
         "ivf": pairs(similarity_ivf_topk(spark, sf_dir)),
         "lsh": pairs(similarity_lsh_topk(spark, sf_dir)),
+        "sq": pairs(similarity_sq_topk(spark, sf_dir)),
     }
     rows = similarity_recall_report(spark, sf_dir).collect()
-    assert len(rows) == 2 * N_QUERIES
+    assert len(rows) == 3 * N_QUERIES
+    assert {r["method"] for r in rows} == {"ivf", "lsh", "sq"}
     for r in rows:
         truth = bf[r["query_id"]]
         hits = len(truth & approx[r["method"]].get(r["query_id"], set()))
