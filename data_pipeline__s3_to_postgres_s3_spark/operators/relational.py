@@ -167,6 +167,48 @@ def cube_orders(
     )
 
 
+def grouping_sets_orders(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (priority), ()) with
+    grouping_id() — the one relational-surface gap a migrating warehouse
+    user hits after ROLLUP/CUBE (r8 VERDICT ask #6): arbitrary set lists
+    are NOT expressible as either (this one mixes a detail set with a
+    cross-dimension marginal), and the gid column is the standard way a
+    report disambiguates a subtotal row from a genuine NULL key.
+
+    Physical shape = the same single Expand + one shuffled aggregate
+    Spark plans for rollup/cube (each input row expands to one replica
+    per grouping set, partial-aggregated map-side) — no per-set re-scan.
+    gid bit order (first grouping column = MSB) matches DuckDB's
+    GROUPING(a, b); both return BIGINT. Revenue is the cents-exact
+    integer sum shared with rollup_orders/cube_orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "gid",
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
 def distinct_aggregates(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -92,6 +92,20 @@ FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
+# grouping_sets_orders (operators/relational.grouping_sets_orders):
+# explicit set list + GROUPING id; DuckDB's GROUPING(a, b) uses the same
+# first-column-is-MSB bit order as Spark's grouping_id() and returns
+# BIGINT on both engines.
+GROUPING_SETS_ORDERS = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       {_GROUPED_TOTALS}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
 DISTINCT_AGGREGATES = """
 SELECT n_name,
     COUNT(DISTINCT c_mktsegment) AS n_segments,
@@ -682,6 +696,7 @@ EXTENSION_ORACLES = {
     "customer_set_ops": CUSTOMER_SET_OPS,
     "rollup_orders": ROLLUP_ORDERS,
     "cube_orders": CUBE_ORDERS,
+    "grouping_sets_orders": GROUPING_SETS_ORDERS,
     "distinct_aggregates": DISTINCT_AGGREGATES,
     "events_sessionized": EVENTS_SESSIONIZED,
     "events_running_totals": EVENTS_RUNNING_TOTALS,

@@ -43,6 +43,7 @@ from .operators.relational import (
     cube_orders,
     customer_set_ops,
     distinct_aggregates,
+    grouping_sets_orders,
     pricing_summary,
     rollup_orders,
     top_revenue_customers_per_region,
@@ -350,7 +351,12 @@ QUERIES: dict[str, QueryFn] = {
     # are pinned by the synthetic-corpus tests in test_curation.py).
     "pii_source_report": pii_source_report,
     "gopher_quality": gopher_quality,
-    "vocab_oov_report": vocab_oov_report,
+    # Round-9 new op, straight into the window (headline-op precedent):
+    # grouping_sets_orders (explicit GROUPING SETS + grouping_id — the
+    # post-ROLLUP/CUBE relational gap, r8 VERDICT ask #6) takes
+    # vocab_oov_report's slot (hash-green r6+r7+r8; the OOV census is a
+    # 0-exchange doc scan locally pinned in test_textops.py).
+    "grouping_sets_orders": grouping_sets_orders,
     "lang_confusion_matrix": lang_confusion_matrix,
     # Round-8 late rotation: pack_efficiency_report (brand-new packing
     # audit composing pack_sequences' bin machinery) takes
@@ -528,6 +534,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_sample": mixture_sample,
     "sample_k_per_group": sample_k_per_group,
     "dataset_card": dataset_card,
+    "vocab_oov_report": vocab_oov_report,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

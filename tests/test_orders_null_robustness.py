@@ -26,6 +26,9 @@ QUERIES_UNDER_TEST = [
     "pricing_summary",
     "rollup_orders",
     "cube_orders",
+    # r9: explicit GROUPING SETS + grouping_id — gid disambiguates a
+    # subtotal row from a genuine NULL key under the null probe.
+    "grouping_sets_orders",
     "order_status_pivot",
     "order_status_unpivot",
     "customer_order_distribution",

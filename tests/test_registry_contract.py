@@ -69,6 +69,11 @@ ROTATED_IN = {
     "item_pagerank",
     "top_supplier_by_revenue",
     "returned_item_report",
+    # Round-9 new op, straight into the window (headline-op precedent):
+    # explicit GROUPING SETS + grouping_id, swapped against
+    # vocab_oov_report (hash-green r6+r7+r8, 0-exchange census locally
+    # pinned).
+    "grouping_sets_orders",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
