@@ -122,6 +122,49 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
+    # Targeted min-of-2 (round-9 judge ask #5): every round re-litigates
+    # individual movers by hand because the min-of-2 rule was applied only
+    # at the TOTAL level. Compare this run against the previous committed
+    # bench_latest.json with bench_delta's own guards, and re-run JUST the
+    # flagged movers once more, recording the second sample next to the
+    # first. The headline "queries" numbers stay the FIRST run (driver
+    # contract unchanged); tools/bench_delta.py consumes "second_sample"
+    # to auto-close noise-class movers (min of the two clears the guard).
+    second_sample: dict[str, float] = {}
+    latest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_latest.json"
+    )
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from bench_delta import MIN_DELTA, THRESHOLD
+
+        baseline = json.load(open(latest))["queries"]
+        movers = sorted(
+            (
+                (n / o, name)
+                for name, n in per_query.items()
+                if isinstance(n, float)
+                and isinstance(o := baseline.get(name), (int, float))
+                and o > 0
+                and n / o > THRESHOLD
+                and n - o > MIN_DELTA
+            ),
+            reverse=True,
+        )[:12]  # bounded overhead: worst 12 ratios only
+        for _ratio, name in movers:
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                second_sample[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — retry must never kill the run
+                print(f"bench: retry {name} failed: {exc}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — no baseline / guards = no retries
+        print(f"bench: min-of-2 pass skipped: {exc}", file=sys.stderr)
+
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
@@ -130,6 +173,8 @@ def main() -> None:
         "sf": infer_sf(sf_dir),
         "corpus": corpus_shape(sf_dir),
     }
+    if second_sample:
+        out["second_sample"] = second_sample
     if errors:
         out["n_errors"] = len(errors)
     print(json.dumps(out))

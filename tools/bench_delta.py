@@ -127,6 +127,15 @@ def main(argv: list[str]) -> int:
         flag = ""
         if ratio > THRESHOLD and n - o > MIN_DELTA:
             flag = "REGRESSION"
+            # Targeted min-of-2 (r9): bench.py re-runs flagged movers once
+            # and records the second sample; if the MIN of the two clears
+            # the guard, the mover is the documented single-run noise
+            # class — auto-close it instead of re-litigating by hand.
+            second = new.get("second_sample", {}).get(name)
+            if isinstance(second, (int, float)):
+                eff = min(n, second)
+                if not (eff / o > THRESHOLD and eff - o > MIN_DELTA):
+                    flag = f"noise(min2={second:.2f}s)"
         elif ratio < 1 / THRESHOLD and o - n > MIN_DELTA:
             flag = "improved"
         rows.append((ratio, name, o, n, flag))
