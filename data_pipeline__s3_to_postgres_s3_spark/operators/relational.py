@@ -998,3 +998,137 @@ def returned_item_report(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+def part_revenue_concentration(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q11 shape (important-stock scan): parts whose discounted
+    revenue exceeds 1.3× the mean per-part share of total revenue — the
+    classic HAVING-against-a-scalar-subquery concentration report
+    (reference anchor: the warehouse SQL surface in sql/transformation.sql
+    is GROUP BY + ratio shapes; this is the missing global-fraction twin).
+
+    Decorrelation: the scalar subquery (total revenue + part count) is a
+    1-row aggregate over the SAME per-part frame, broadcast back via
+    crossJoin — the per-part groupBy runs ONCE (localCheckpoint'd, two
+    consumers) and the threshold compare is exact integer algebra
+    (rc·np·10 > 13·t — no float share ever computed before the filter).
+    share is then one IEEE division, portable-rounded for output only.
+
+    Scale shape: one shuffled agg on l_partkey (map-side combined), a
+    1-row broadcast, and a scan-thin projection; no join with part needed
+    until a consumer wants attributes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev_c).alias("rc"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per_part.agg(
+        F.sum("rc").alias("t"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("rc") * F.col("np") * 10 > 13 * F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("rc") / 10000.0).alias("part_revenue"),
+            portable_round(
+                F.col("rc").cast("double") / F.col("t").cast("double"), 8
+            ).alias("revenue_share"),
+        )
+    )
+
+
+def large_order_customers(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer list): the top 100 orders
+    whose total lineitem quantity exceeds 250, with the owning customer —
+    the IN-(GROUP BY … HAVING SUM > X) subquery every migrating
+    warehouse user writes, decorrelated into one grouped pass + joins.
+
+    Determinism: quantity sums are exact integer centi-units; the top-100
+    cut orders by (o_totalprice cents DESC, o_orderkey ASC) — all-integer
+    keys, no float rank anywhere.
+
+    Scale shape: one shuffled agg on l_orderkey with map-side combine and
+    the HAVING filter applied BEFORE the joins (the qualifying tail is
+    tiny, so orders/customer join it broadcast-side via AQE); TakeOrdered
+    ships 100 rows per partition at most."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents(F.col("l_quantity"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .where(F.col("qty_c") > 250 * 100)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            (cents(F.col("o_totalprice")) / 100.0).alias("totalprice"),
+            (F.col("qty_c") / 100.0).alias("sum_qty"),
+        )
+        .orderBy(
+            F.desc(cents(F.col("totalprice"))), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+def min_cost_supplier(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): for every part seen
+    in lineitem, the supplier offering the lowest observed unit price —
+    the correlated MIN-subquery (`WHERE cost = (SELECT MIN … WHERE
+    same part)`) decorrelated into one grouped pass + a top-1-per-group
+    window (the W1 pattern), never a per-part re-scan.
+
+    Determinism: unit price = price_cents / quantity is ONE IEEE division
+    of exact integers (bit-identical cross-engine), portable-rounded at
+    1e-4 before ranking; ties break by s_suppkey ASC.
+
+    Scale shape: per-(part,supplier) MIN collapses the fact table first
+    (map-side combine), the window ranks the collapsed frame (|parts|·
+    |offering suppliers| rows, not lineitems), supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = portable_round(
+        cents(F.col("l_extendedprice")).cast("double") / F.col("l_quantity"),
+        4,
+    )
+    per_ps = (
+        li.select(
+            "l_partkey", "l_suppkey", unit.alias("unit_cents")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cents").alias("min_unit_cents"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("min_unit_cents"), F.asc("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            (F.col("min_unit_cents") / 100.0).alias("best_unit_price"),
+        )
+    )

@@ -215,12 +215,16 @@ def _lsh_bucket_entries(emb: DataFrame) -> DataFrame:
 
 
 # Pair volume (|probe side| × |block side|) above which the exact
-# broadcast-block scan dispatches to LSH candidate generation. The exact
-# scan is linear-in-corpus per block row — perfect until the product
-# explodes; 5e7 pairs ≈ a few seconds of vectorized dot products per
-# core, while the sf workloads sit orders of magnitude below (1k × 8 and
-# ~400 × ~100), so the oracle always pins the exact branch.
-SIM_EXACT_PAIR_BUDGET = 50_000_000
+# broadcast-block scan dispatches to LSH candidate generation. r9 scale
+# probe MEASUREMENT (tools/scale_probe.py, 20k vecs → 16k×2k = 32M
+# pairs): the 64-dim dot is an interpreted higher-order fold
+# (aggregate/zip_with), ~100 µs per pair-core — 32M pairs took 390 s on
+# 8 cores, NOT "a few seconds of vectorized dot products" as this
+# comment previously claimed. Budget sized from the measured cost: 2M
+# pairs ≈ 25 s on 8 cores / ~6 s on 32. The sf workloads sit well below
+# (sf0.1 decontaminate 1600×200 = 320k; topk 2k×8 = 16k), so the oracle
+# still always pins the exact branch.
+SIM_EXACT_PAIR_BUDGET = 2_000_000
 
 
 def _candidate_variant(

@@ -106,6 +106,74 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderpriority), ())
 """
 
+# part_revenue_concentration (operators/relational.part_revenue_concentration):
+# TPC-H Q11 shape — the threshold compare stays in exact integers
+# (rc·np·10 > 13·t) on both engines; share is one IEEE division of the
+# same integers, portable-rounded at 1e-8.
+PART_REVENUE_CONCENTRATION = f"""
+WITH pp AS (
+    SELECT l_partkey,
+        SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+            AS BIGINT)) AS rc
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rc) AS t, COUNT(*) AS np FROM pp)
+SELECT l_partkey AS partkey,
+    rc / 10000.0 AS part_revenue,
+    {portable_round_sql('CAST(rc AS DOUBLE) / CAST(t AS DOUBLE)', 8)}
+        AS revenue_share
+FROM pp, tot
+WHERE rc * np * 10 > 13 * t
+"""
+
+# large_order_customers (operators/relational.large_order_customers):
+# TPC-H Q18 shape — HAVING on exact integer centi-quantities before any
+# join; the top-100 cut orders by integer cents + orderkey.
+LARGE_ORDER_CUSTOMERS = """
+WITH big AS (
+    SELECT l_orderkey,
+        SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_c
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > 25000
+)
+SELECT c_custkey, c_name, o_orderkey,
+    CAST(o_orderdate AS DATE) AS orderdate,
+    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) / 100.0 AS totalprice,
+    qty_c / 100.0 AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# min_cost_supplier (operators/relational.min_cost_supplier): TPC-H Q2
+# shape — unit price is ONE IEEE division of exact integers
+# (bit-identical cross-engine), portable-rounded at 1e-4 BEFORE the MIN
+# and the rank; ties break by suppkey.
+_UNIT = portable_round_sql(
+    "CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DOUBLE)"
+    " / l_quantity", 4
+)
+MIN_COST_SUPPLIER = f"""
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey, MIN({_UNIT}) AS min_unit_cents
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT l_partkey, l_suppkey, min_unit_cents,
+        ROW_NUMBER() OVER (
+            PARTITION BY l_partkey
+            ORDER BY min_unit_cents ASC, l_suppkey ASC
+        ) AS rn
+    FROM per_ps
+)
+SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name,
+    min_unit_cents / 100.0 AS best_unit_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
 DISTINCT_AGGREGATES = """
 SELECT n_name,
     COUNT(DISTINCT c_mktsegment) AS n_segments,
@@ -697,6 +765,9 @@ EXTENSION_ORACLES = {
     "rollup_orders": ROLLUP_ORDERS,
     "cube_orders": CUBE_ORDERS,
     "grouping_sets_orders": GROUPING_SETS_ORDERS,
+    "part_revenue_concentration": PART_REVENUE_CONCENTRATION,
+    "large_order_customers": LARGE_ORDER_CUSTOMERS,
+    "min_cost_supplier": MIN_COST_SUPPLIER,
     "distinct_aggregates": DISTINCT_AGGREGATES,
     "events_sessionized": EVENTS_SESSIONIZED,
     "events_running_totals": EVENTS_RUNNING_TOTALS,

@@ -44,6 +44,9 @@ from .operators.relational import (
     customer_set_ops,
     distinct_aggregates,
     grouping_sets_orders,
+    large_order_customers,
+    min_cost_supplier,
+    part_revenue_concentration,
     pricing_summary,
     rollup_orders,
     top_revenue_customers_per_region,
@@ -350,14 +353,18 @@ QUERIES: dict[str, QueryFn] = {
     # its driver hash is a near-empty census — the line-dedup semantics
     # are pinned by the synthetic-corpus tests in test_curation.py).
     "pii_source_report": pii_source_report,
-    "gopher_quality": gopher_quality,
+    # Round-9 new TPC-H-shape ops, straight into the window (headline-op
+    # precedent), swapped against gopher_quality / lang_confusion_matrix
+    # / profile_documents (each hash-green r6+r7+r8 with dedicated local
+    # pins in test_curation.py / test_textops.py / test_profiling.py):
+    "part_revenue_concentration": part_revenue_concentration,
     # Round-9 new op, straight into the window (headline-op precedent):
     # grouping_sets_orders (explicit GROUPING SETS + grouping_id — the
     # post-ROLLUP/CUBE relational gap, r8 VERDICT ask #6) takes
     # vocab_oov_report's slot (hash-green r6+r7+r8; the OOV census is a
     # 0-exchange doc scan locally pinned in test_textops.py).
     "grouping_sets_orders": grouping_sets_orders,
-    "lang_confusion_matrix": lang_confusion_matrix,
+    "large_order_customers": large_order_customers,
     # Round-8 late rotation: pack_efficiency_report (brand-new packing
     # audit composing pack_sequences' bin machinery) takes
     # weighted_sample_tokens' slot (hash-green r6+r7; the sampling
@@ -391,7 +398,7 @@ QUERIES: dict[str, QueryFn] = {
     # stay driver-hashed THROUGH compact_manifest — the bin sums equal
     # the shard totals, reconciliation-pinned in test_compaction.py).
     "compact_manifest": compact_manifest,
-    "profile_documents": profile_documents,
+    "min_cost_supplier": min_cost_supplier,
     # Round-9 rotation: returned_item_report (TPC-H Q10 shape, grace op)
     # takes dataset_card's slot (hash-green r7+r8; the card's corpus
     # census stays pinned by test_curation.py).
@@ -535,6 +542,9 @@ QUERIES: dict[str, QueryFn] = {
     "sample_k_per_group": sample_k_per_group,
     "dataset_card": dataset_card,
     "vocab_oov_report": vocab_oov_report,
+    "gopher_quality": gopher_quality,
+    "lang_confusion_matrix": lang_confusion_matrix,
+    "profile_documents": profile_documents,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

@@ -42,6 +42,10 @@ QUERIES_UNDER_TEST = [
     "order_to_ship_lag_stats",
     "order_priority_lateness",
     "large_volume_orders",
+    # r9: Q18 shape — the top-100 cut orders by cents(o_totalprice)
+    # DESC; NULL totalprice must sort identically (both engines default
+    # NULLS LAST under DESC) and NULL custkey drops at the join.
+    "large_order_customers",
     "customer_churn_reconciliation",
     "incremental_load_watermark",
     "orders_without_lineitems_anti",

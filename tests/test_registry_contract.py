@@ -74,6 +74,13 @@ ROTATED_IN = {
     # vocab_oov_report (hash-green r6+r7+r8, 0-exchange census locally
     # pinned).
     "grouping_sets_orders",
+    # Round-9 TPC-H-shape trio (Q11/Q18/Q2 analogues), straight into the
+    # window against gopher_quality / lang_confusion_matrix /
+    # profile_documents (each hash-green r6+r7+r8 with dedicated local
+    # pins).
+    "part_revenue_concentration",
+    "large_order_customers",
+    "min_cost_supplier",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
