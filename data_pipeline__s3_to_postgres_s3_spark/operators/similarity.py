@@ -1037,3 +1037,44 @@ def similarity_sq_topk(
             "rank",
         )
     )
+
+
+def embedding_norm_profile(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-label L2-norm distribution profile: (label, n_vecs, mean_norm,
+    min_norm, max_norm, p50_norm) — the encoder-health monitor next to
+    embedding_centroid_report's direction drift: a label whose norm
+    distribution collapses or explodes signals a broken/retrained
+    upstream encoder before any cosine-based consumer notices (cosine
+    normalizes the very signal this reads).
+
+    Determinism: each norm is quantized to the integer micro-unit grid
+    (floor(norm·1e6 + 0.5), the tfidf/micro-nat precedent) BEFORE any
+    aggregate — SUM is exact in any combine order, MIN/MAX are
+    order-free, and the median is the exact interpolated percentile over
+    integers (Spark percentile() ↔ DuckDB quantile_cont, the
+    value_percentiles bit-match precedent). One scan, one
+    map-side-combined groupBy(label); |labels| rows out."""
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    nq = F.floor(F.col("norm") * 1e6 + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        emb.select("label", nq.alias("nq"))
+        .groupBy("label")
+        .agg(
+            n.cast("long").alias("n_vecs"),
+            portable_round(
+                F.sum("nq").cast("double") / 1e6 / n, 4
+            ).alias("mean_norm"),
+            portable_round(F.min("nq").cast("double") / 1e6, 4).alias(
+                "min_norm"
+            ),
+            portable_round(F.max("nq").cast("double") / 1e6, 4).alias(
+                "max_norm"
+            ),
+            portable_round(
+                F.percentile(F.col("nq"), F.lit(0.5)) / 1e6, 4
+            ).alias("p50_norm"),
+        )
+    )

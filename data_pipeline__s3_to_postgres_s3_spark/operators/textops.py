@@ -1120,3 +1120,93 @@ def bigram_pmi_topk(
         .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOPK)
     )
+
+
+# Count-min sketch geometry: 4 independent rows × 1024 buckets = 4096
+# cells TOTAL regardless of vocabulary size — the whole point at 100 TB.
+# Hash family: (a·h + b) mod PRIME mod WIDTH over the shared first-7-hex
+# md5 integer (the minhash permutation idiom, operators/dedup.py).
+CMS_ROWS_AB = ((131, 737), (1031, 4349), (7919, 104729), (611953, 7368787))
+CMS_WIDTH = 1024
+CMS_PRIME = 4294967311  # smallest prime > 2^32 (shared with minhash)
+CMS_TOPK = 20
+
+
+def heavy_hitters_cms(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: estimate the corpus's top
+    CMS_TOPK token frequencies from a 4×1024-cell CMS and report them
+    NEXT TO the exact counts — (token, exact_count, cms_estimate,
+    overestimate). The sketch class the dedup/similarity families don't
+    cover (HLL counts distincts, MinHash sets, Bloom membership; CMS
+    answers point-frequency queries in bounded memory), with the
+    estimate-vs-exact audit twin the minhash_estimate_audit precedent
+    established. CMS never under-counts, so overestimate ≥ 0 — pinned in
+    tests.
+
+    Scale shape: the sketch is a groupBy((row, bucket)) SUM over ≤ 4096
+    keys — at 100 TB the cells build directly from the token stream with
+    map-side combine (each mapper emits at most 4096 partial cells, the
+    shuffle is 4096 rows per mapper regardless of corpus size) and the
+    probe set comes from a candidate stream. At sf the exact census is
+    affordable and doubles as BOTH the audit's truth side and the cell
+    source (summing per-token counts into cells is associative —
+    identical to streaming increments). One tokenize scan; the census
+    frame is lineage-cut for its two consumers; the probe/cell joins
+    move ≤ 4·CMS_TOPK rows.
+
+    Determinism: md5 is the shared cross-engine hash; every bucket and
+    count is exact integer arithmetic; the probe set orders by
+    (count DESC, token ASC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    tc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10).cast("long")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    (F.lit(a) * h + F.lit(b)) % CMS_PRIME % CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for r, (a, b) in enumerate(CMS_ROWS_AB)
+        ]
+    )
+    cells = (
+        tc.select("exact_count", F.explode(entries).alias("e"))
+        .groupBy("e.r", "e.bucket")
+        .agg(F.sum("exact_count").alias("cell"))
+    )
+    probe = (
+        tc.orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CMS_TOPK)
+        .select("token", "exact_count", F.explode(entries).alias("e"))
+        .select("token", "exact_count", "e.r", "e.bucket")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cell").alias("cms_estimate"),
+        )
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+    )

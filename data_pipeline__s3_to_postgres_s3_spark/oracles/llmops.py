@@ -1848,3 +1848,81 @@ FROM truth t LEFT JOIN sq_hits h USING (query_id)
 """
 
 LLMOPS_ORACLES["similarity_recall_report"] = SIMILARITY_RECALL_REPORT
+
+
+# heavy_hitters_cms (operators/textops.heavy_hitters_cms): count-min
+# sketch + exact audit. Same md5-hex7 hash, same (a·h+b) mod P mod W
+# family, pure integer arithmetic end-to-end; SUM/MIN cast back to
+# BIGINT (HUGEINT trap).
+from ..operators.textops import (  # noqa: E402
+    CMS_PRIME,
+    CMS_ROWS_AB,
+    CMS_TOPK,
+    CMS_WIDTH,
+)
+
+_CMS_PARAMS = ", ".join(
+    f"({r}, {a}, {b})" for r, (a, b) in enumerate(CMS_ROWS_AB)
+)
+
+HEAVY_HITTERS_CMS = f"""
+WITH toks AS (
+    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+    FROM documents
+),
+tc AS (
+    SELECT token, COUNT(*) AS exact_count
+    FROM toks WHERE token <> '' GROUP BY token
+),
+hx AS (SELECT token, exact_count, md5(token) AS m FROM tc),
+hv AS (SELECT token, exact_count, {_HEX7_TO_INT} AS h FROM hx),
+params(r, a, b) AS (VALUES {_CMS_PARAMS}),
+entries AS (
+    SELECT token, exact_count, r,
+        (a * h + b) % {CMS_PRIME} % {CMS_WIDTH} AS bucket
+    FROM hv, params
+),
+cells AS (
+    SELECT r, bucket, CAST(SUM(exact_count) AS BIGINT) AS cell
+    FROM entries GROUP BY r, bucket
+),
+probe AS (
+    SELECT token FROM tc
+    ORDER BY exact_count DESC, token ASC LIMIT {CMS_TOPK}
+)
+SELECT e.token,
+    CAST(MAX(e.exact_count) AS BIGINT) AS exact_count,
+    CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+    CAST(MIN(c.cell) - MAX(e.exact_count) AS BIGINT) AS overestimate
+FROM entries e
+JOIN probe p ON e.token = p.token
+JOIN cells c ON e.r = c.r AND e.bucket = c.bucket
+GROUP BY e.token
+"""
+
+LLMOPS_ORACLES["heavy_hitters_cms"] = HEAVY_HITTERS_CMS
+
+
+# embedding_norm_profile (operators/similarity.embedding_norm_profile):
+# norms quantized to integer micro-units BEFORE any aggregate; mean is
+# exact-int-sum / 1e6 / n in the same association as the Column expr;
+# median is quantile_cont over integers (value_percentiles bit-match
+# precedent).
+EMBEDDING_NORM_PROFILE = f"""
+WITH v AS (
+    SELECT label,
+        CAST(FLOOR(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+             * 1000000 + 0.5) AS BIGINT) AS nq
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
+)
+SELECT label,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    {portable_round_sql('CAST(SUM(nq) AS DOUBLE) / 1000000.0 / COUNT(*)', 4)}
+        AS mean_norm,
+    {portable_round_sql('CAST(MIN(nq) AS DOUBLE) / 1000000.0', 4)} AS min_norm,
+    {portable_round_sql('CAST(MAX(nq) AS DOUBLE) / 1000000.0', 4)} AS max_norm,
+    {portable_round_sql('quantile_cont(nq, 0.5) / 1000000.0', 4)} AS p50_norm
+FROM v GROUP BY label
+"""
+
+LLMOPS_ORACLES["embedding_norm_profile"] = EMBEDDING_NORM_PROFILE

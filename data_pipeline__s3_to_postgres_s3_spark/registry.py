@@ -105,6 +105,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import (
     embedding_centroid_report,
+    embedding_norm_profile,
     embedding_kmeans,
     hard_negative_mining,
     semantic_decontaminate,
@@ -151,6 +152,7 @@ from .operators.temporal import (
 )
 from .operators.textops import (
     bm25_topk,
+    heavy_hitters_cms,
     bigram_pmi_topk,
     bpe_merge_census,
     ngram_lm_perplexity,
@@ -311,7 +313,11 @@ QUERIES: dict[str, QueryFn] = {
     "purchases_pit_stage": purchases_pit_stage,
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
-    "top_session_paths": top_session_paths,
+    # Round-9 new op, straight into the window: per-label norm profile
+    # (encoder-health monitor), swapped against top_session_paths
+    # (hash-green r6+r7+r8; session-path semantics locally pinned in
+    # test_events_analytics.py).
+    "embedding_norm_profile": embedding_norm_profile,
     "item_cooccurrence": item_cooccurrence,
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
@@ -333,7 +339,12 @@ QUERIES: dict[str, QueryFn] = {
     # (hash-green r6+r7; the est-vs-exact audit machinery shares the
     # mins/pair frames with the in-window dedup_minhash_lsh).
     "minhash_param_planner": minhash_param_planner,
-    "source_overlap": source_overlap,
+    # Round-9 new op, straight into the window: count-min-sketch heavy-
+    # hitter audit (the point-frequency sketch class), swapped against
+    # source_overlap (hash-green r6+r7+r8; the overlap matrix machinery
+    # stays pinned by its synthetic hand-computed matrix test and the
+    # minhash estimator twin).
+    "heavy_hitters_cms": heavy_hitters_cms,
     # Round-8 late rotation: jaccard_threshold_sweep (brand-new measured
     # threshold CDF — the empirical complement of minhash_param_planner's
     # theoretical S-curve, sharing its _scurve_sql string and the jaccard
@@ -545,6 +556,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality": gopher_quality,
     "lang_confusion_matrix": lang_confusion_matrix,
     "profile_documents": profile_documents,
+    "source_overlap": source_overlap,
+    "top_session_paths": top_session_paths,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

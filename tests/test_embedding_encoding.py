@@ -110,6 +110,7 @@ GATE_QUERIES = sorted(
         # r8: the recall report nests all three top-K definitions, the
         # centroid report the rounded-avg/fixed-order-fold path.
         "similarity_recall_report",
+        "embedding_norm_profile",
         "embedding_centroid_report",
     )
     if name in ORACLES and name in QUERIES

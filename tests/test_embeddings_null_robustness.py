@@ -48,6 +48,9 @@ QUERIES_UNDER_TEST = [
     # r8c: quantized ADC ranking rides the same chokepoint; codes for
     # NULL/empty/ragged vectors must never be built at all.
     "similarity_sq_topk",
+    # r9: per-label norm profile — degenerate vectors must never
+    # contribute a quantized norm.
+    "embedding_norm_profile",
 ]
 
 

@@ -20,6 +20,9 @@ from .oracle_harness import compare, duckdb_connection
 
 QUERIES_UNDER_TEST = [
     "dedup_exact",
+    # r9: NULL text = zero tokens via the mirrored coalesce; the CMS
+    # census and probe must agree on the empty-token drop.
+    "heavy_hitters_cms",
     "corpus_stats",
     "dataset_card",
     "per_source_report",

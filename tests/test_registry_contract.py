@@ -81,6 +81,11 @@ ROTATED_IN = {
     "part_revenue_concentration",
     "large_order_customers",
     "min_cost_supplier",
+    # Round-9 sketch/profile pair, straight into the window against
+    # source_overlap / top_session_paths (each hash-green r6+r7+r8 with
+    # dedicated local pins).
+    "heavy_hitters_cms",
+    "embedding_norm_profile",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must

@@ -32,6 +32,9 @@ from .oracle_harness import compare, duckdb_connection
 
 QUERIES_UNDER_TEST = [
     "dedup_exact",
+    # r9: whitespace token census + md5 hashing read the re-encodable
+    # text column directly.
+    "heavy_hitters_cms",
     "gopher_quality",
     "gopher_repetition",
     "corpus_stats",
