@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_events, load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .dedup import _shingle_arrays
-from .sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
+from .sampling import SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO, split_hash
 
 # A train doc sharing at least this fraction of its distinct 3-gram
 # shingles with the eval split is flagged (near-copies of eval docs sit
@@ -75,7 +75,7 @@ def decontaminate_eval_overlap(
     ladder, so the three surfaces compose: split → decontaminate → dedup.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    bucket = split_hash(F.col("doc_id")) % SPLIT_BUCKETS
     sh = _shingle_arrays(docs).withColumn("bucket", bucket)
 
     eval_shingles = (
@@ -1099,10 +1099,10 @@ def split_leakage_report(
     source axis, the split is PURE doc_id arithmetic, so no join at all:
     two column expressions over the (tiny) verified pair set."""
     from .dedup import dedup_minhash_lsh
-    from .sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
+    from .sampling import SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO, split_hash
 
     def split_of(col: str) -> F.Column:
-        b = (F.col(col) * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+        b = split_hash(F.col(col)) % SPLIT_BUCKETS
         return (
             F.when(b < TRAIN_UPTO, "train")
             .when(b < VAL_UPTO, "val")

@@ -39,12 +39,46 @@ SPLIT_BUCKETS = 100
 TRAIN_UPTO = 80  # buckets [0,80) → train
 VAL_UPTO = 90  # [80,90) → val, [90,100) → test
 
+
+def split_hash(col: F.Column, salt: int = 0) -> F.Column:
+    """((col + salt) · HASH_MULT) mod HASH_MOD, overflow-safe for the
+    full non-negative int64 id range — THE single split-hash chokepoint
+    (r9 scale probe: 9e9-range doc_ids overflowed the naive product
+    under ANSI on BOTH engines; every split/sample consumer and every
+    oracle routes through this pair now).
+
+    HASH_MOD = 2^32 is a power of two, so the residue depends only on
+    the low 32 bits of each factor: reduce the salted id mod 2^32,
+    split it into 16-bit halves, and fold — every intermediate stays
+    below 2^49, and the result is ALGEBRAICALLY IDENTICAL to the naive
+    (col·m) % 2^32 for every id, so committed driver hashes and all
+    sf results are unchanged. Mirrored token-for-token by
+    ``split_hash_sql``."""
+    a = (col + F.lit(salt)) % HASH_MOD
+    hi = F.shiftright(a.cast("long"), 16)  # ids are non-negative
+    lo = a.cast("long").bitwiseAND(F.lit(65535))
+    return (
+        ((hi * HASH_MULT) % 65536) * 65536 + lo * HASH_MULT
+    ) % HASH_MOD
+
+
+def split_hash_sql(expr: str = "doc_id", salt: int = 0) -> str:
+    """DuckDB twin of ``split_hash`` (// and % mirror shiftright/mask
+    for non-negative ids)."""
+    a = f"(({expr}) + {salt}) % {HASH_MOD}"
+    hi = f"(({a}) // 65536)"
+    lo = f"(({a}) % 65536)"
+    return (
+        f"((({hi} * {HASH_MULT}) % 65536) * 65536"
+        f" + {lo} * {HASH_MULT}) % {HASH_MOD}"
+    )
+
 SEQ_LEN = 2048  # token budget per packed sequence
 PACK_SHARD = 10_000  # docs per packing shard (bounds window partitions)
 
 
 def _bucket() -> F.Column:
-    return (F.col("doc_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    return split_hash(F.col("doc_id")) % SPLIT_BUCKETS
 
 
 def dataset_split(
@@ -113,7 +147,7 @@ def mixture_sample(
     Shuffle-free, reproducible, and stable under corpus growth — the
     properties random sampling lacks in an incremental pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    b = ((F.col("doc_id") + MIXTURE_SALT) * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    b = split_hash(F.col("doc_id"), MIXTURE_SALT) % SPLIT_BUCKETS
     rate = F.coalesce(
         *[
             F.when(F.col("lang") == lang, F.lit(pct))
@@ -150,7 +184,7 @@ def stratified_sample(
     same surface swaps to rate-keep + exact trim of the boundary bucket.
     Row_number ties cannot occur: (hash, doc_id) is unique per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    h = ((F.col("doc_id") + STRATIFIED_SALT) * HASH_MULT) % HASH_MOD
+    h = split_hash(F.col("doc_id"), STRATIFIED_SALT)
     rank_w = Window.partitionBy("lang").orderBy("h", "doc_id")
     count_w = Window.partitionBy("lang")
     pct = F.coalesce(
@@ -185,7 +219,7 @@ GROUP_SAMPLE_K = 20
 
 
 def _sample_hash(salt: int) -> F.Column:
-    return ((F.col("doc_id") + salt) * HASH_MULT) % HASH_MOD
+    return split_hash(F.col("doc_id"), salt)
 
 
 def uniform_sample_k(
@@ -331,7 +365,7 @@ def temperature_resample(
     quotas = weights.crossJoin(F.broadcast(total)).select(
         "source", ((x - x % F.col("t")) / F.col("t")).cast("long").alias("quota")
     )
-    h = ((F.col("doc_id") + TEMPERATURE_SALT) * HASH_MULT) % HASH_MOD
+    h = split_hash(F.col("doc_id"), TEMPERATURE_SALT)
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
         docs.select("doc_id", "lang", "source", h.alias("h"))

@@ -741,16 +741,15 @@ def semantic_decontaminate(
       clustered synthetic corpora in test_scale_dispatch.py.
     Cosines are portable_round-ed at 1e-4 (fold-order-proof)."""
     from .sampling import (
-        HASH_MOD,
-        HASH_MULT,
         SPLIT_BUCKETS,
         TRAIN_UPTO,
         VAL_UPTO,
+        split_hash,
     )
 
     emb = _with_norm(_embeddings(spark, sf_dir))
     budget = SIM_EXACT_PAIR_BUDGET if pair_budget is None else pair_budget
-    bucket = (F.col("vec_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    bucket = split_hash(F.col("vec_id")) % SPLIT_BUCKETS
     emb = emb.withColumn("bucket", bucket)
     is_train = F.col("bucket") < TRAIN_UPTO
     is_eval = F.col("bucket") >= VAL_UPTO

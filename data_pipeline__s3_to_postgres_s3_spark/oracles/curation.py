@@ -6,10 +6,10 @@ surfaces exactly the way the Spark side does.
 """
 
 from ..operators.curation import CONTAM_THRESHOLD
-from ..operators.sampling import HASH_MOD, HASH_MULT, SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO
+from ..operators.sampling import SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO, split_hash_sql
 from .llmops import _SHINGLES
 
-_BUCKET = f"(doc_id * {HASH_MULT}) % {HASH_MOD} % {SPLIT_BUCKETS}"
+_BUCKET = f"{split_hash_sql()} % {SPLIT_BUCKETS}"
 
 DECONTAMINATE_EVAL_OVERLAP = f"""
 WITH {_SHINGLES},
@@ -576,14 +576,14 @@ CURATION_ORACLES["cross_source_neardups"] = CROSS_SOURCE_NEARDUPS
 
 # split_leakage_report: the same composed LSH pair CTE, endpoints labeled
 # with the dataset_split hash arithmetic (pure doc_id math — no join),
-# cross-split pairs only. HASH_MULT > 2^31 makes the multiplication
-# BIGINT on both engines regardless of the doc_id encoding width.
+# cross-split pairs only. The hash routes through the overflow-safe
+# split_hash_sql chokepoint (r9 scale probe: wide doc_ids overflowed the
+# naive product on both engines).
 _SPLIT_CASE = (
-    "CASE WHEN ({col} * "
-    f"{HASH_MULT}) % {HASH_MOD} % {SPLIT_BUCKETS} < {TRAIN_UPTO} "
-    "THEN 'train' WHEN ({col} * "
-    f"{HASH_MULT}) % {HASH_MOD} % {SPLIT_BUCKETS} < {VAL_UPTO} "
-    "THEN 'val' ELSE 'test' END"
+    "CASE WHEN " + split_hash_sql("{col}") + f" % {SPLIT_BUCKETS}"
+    f" < {TRAIN_UPTO} THEN 'train' WHEN "
+    + split_hash_sql("{col}")
+    + f" % {SPLIT_BUCKETS} < {VAL_UPTO} THEN 'val' ELSE 'test' END"
 )
 
 SPLIT_LEAKAGE_REPORT = f"""

@@ -1282,11 +1282,10 @@ LLMOPS_ORACLES["hard_negative_mining"] = HARD_NEGATIVE_MINING
 # (keyed on vec_id — the doc-embedding convention), same cosine fold and
 # portable rounding, same (cosine DESC, eval_vec_id ASC) nearest pick.
 from ..operators.sampling import (
-    HASH_MOD as _SD_MOD,
-    HASH_MULT as _SD_MULT,
     SPLIT_BUCKETS as _SD_BUCKETS,
     TRAIN_UPTO as _SD_TRAIN,
     VAL_UPTO as _SD_VAL,
+    split_hash_sql as _sd_hash_sql,
 )
 from ..operators.similarity import SEMDEDUP_COSINE as _SD_COSINE
 
@@ -1294,7 +1293,7 @@ SEMANTIC_DECONTAMINATE = f"""
 WITH e AS (
     SELECT vec_id, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
-        vec_id * {_SD_MULT} % {_SD_MOD} % {_SD_BUCKETS} AS bucket
+        {_sd_hash_sql('vec_id')} % {_SD_BUCKETS} AS bucket
     FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
 ),
 train AS (SELECT * FROM e WHERE bucket < {_SD_TRAIN}),

@@ -3,9 +3,8 @@
 
 from ..functions.numeric import portable_round_sql
 from ..operators.sampling import (
-    HASH_MOD,
-    HASH_MULT,
     MIXTURE_SALT,
+    split_hash_sql,
     MIXTURE_WEIGHTS,
     PACK_SHARD,
     SEQ_LEN,
@@ -14,7 +13,7 @@ from ..operators.sampling import (
     VAL_UPTO,
 )
 
-_BUCKET = f"doc_id * {HASH_MULT} % {HASH_MOD} % {SPLIT_BUCKETS}"
+_BUCKET = f"{split_hash_sql()} % {SPLIT_BUCKETS}"
 
 DATASET_SPLIT = f"""
 SELECT doc_id, lang, source,
@@ -68,7 +67,7 @@ WINDOW w AS (
 )
 """
 
-_MIX_BUCKET = f"(doc_id + {MIXTURE_SALT}) * {HASH_MULT} % {HASH_MOD} % {SPLIT_BUCKETS}"
+_MIX_BUCKET = f"{split_hash_sql(salt=MIXTURE_SALT)} % {SPLIT_BUCKETS}"
 _MIX_RATE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}"
     for lang, pct in sorted(MIXTURE_WEIGHTS.items())
@@ -85,7 +84,7 @@ WHERE {_MIX_BUCKET} < {_MIX_RATE}
 def _stratified_sql() -> str:
     from ..operators.sampling import STRATIFIED_QUOTA_PCT, STRATIFIED_SALT
 
-    h = f"(doc_id + {STRATIFIED_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    h = split_hash_sql(salt=STRATIFIED_SALT)
     pct = (
         "CASE "
         + " ".join(
@@ -114,7 +113,7 @@ STRATIFIED_SAMPLE = _stratified_sql()
 def _uniform_sample_sql() -> str:
     from ..operators.sampling import UNIFORM_SAMPLE_K, UNIFORM_SAMPLE_SALT
 
-    h = f"(doc_id + {UNIFORM_SAMPLE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    h = split_hash_sql(salt=UNIFORM_SAMPLE_SALT)
     return f"""
 SELECT doc_id, lang, source, {h} AS h
 FROM documents
@@ -126,7 +125,7 @@ LIMIT {UNIFORM_SAMPLE_K}
 def _group_sample_sql() -> str:
     from ..operators.sampling import GROUP_SAMPLE_K, UNIFORM_SAMPLE_SALT
 
-    h = f"(doc_id + {UNIFORM_SAMPLE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    h = split_hash_sql(salt=UNIFORM_SAMPLE_SALT)
     return f"""
 SELECT doc_id, lang, source, CAST(rn AS INT) AS sample_rank
 FROM (
@@ -169,7 +168,7 @@ def _temperature_sql() -> str:
     HUGEINT-adjacent but never reach the output (filter only)."""
     from ..operators.sampling import TEMPERATURE_SALT, TEMPERATURE_TARGET
 
-    h = f"(doc_id + {TEMPERATURE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    h = split_hash_sql(salt=TEMPERATURE_SALT)
     return f"""
 WITH counts AS (
     SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
@@ -225,7 +224,7 @@ def _weighted_sample_sql() -> str:
     (priority, doc_id)."""
     from ..operators.sampling import WEIGHTED_SAMPLE_K, WEIGHTED_SAMPLE_SALT
 
-    h = f"(doc_id + {WEIGHTED_SAMPLE_SALT}) * {HASH_MULT} % {HASH_MOD}"
+    h = split_hash_sql(salt=WEIGHTED_SAMPLE_SALT)
     return f"""
 SELECT doc_id, lang, source,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -30,18 +30,17 @@ from ..catalog import load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..operators.curation import quality_gate
 from ..operators.sampling import (
-    HASH_MOD,
-    HASH_MULT,
     SPLIT_BUCKETS,
     TRAIN_UPTO,
     VAL_UPTO,
+    split_hash,
 )
 
 SHARD_MAX_RECORDS = 200  # per-file record cap (tiny for the harness corpus)
 
 
 def _split_col() -> F.Column:
-    b = (F.col("doc_id") * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+    b = split_hash(F.col("doc_id")) % SPLIT_BUCKETS
     return (
         F.when(b < TRAIN_UPTO, "train").when(b < VAL_UPTO, "val").otherwise("test")
     )

@@ -354,3 +354,60 @@ def test_pack_efficiency_report_reconciles_with_packer(spark, sf_dir):
         assert g["max_fill"] == max(w["fills"])
         mean = sum(w["fills"]) / len(w["fills"])
         assert abs(g["mean_fill"] - math.floor(mean * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_split_hash_survives_wide_64bit_doc_ids(spark, sf_dir, tmp_path):
+    """r9 scale-probe regression pin: 9e9-range doc_ids overflowed the
+    naive (doc_id · HASH_MULT) product under ANSI on BOTH engines
+    (tools/scale_probe.py caught split_leakage_report and
+    compact_manifest dying with ARITHMETIC_OVERFLOW). The split_hash
+    chokepoint's 16-bit-split mulmod must (1) run on wide ids without
+    overflow, (2) equal the naive arithmetic computed in unbounded
+    Python, and (3) stay oracle-mirrored end-to-end."""
+    import shutil
+
+    import duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+    from data_pipeline__s3_to_postgres_s3_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
+        SPLIT_BUCKETS,
+        TRAIN_UPTO,
+        VAL_UPTO,
+        dataset_split,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    from .oracle_harness import compare, duckdb_connection
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{sf_dir}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    wide_ids = pc.add(src.column("doc_id"), 9_000_000_000)
+    src = src.set_column(
+        src.schema.get_field_index("doc_id"), "doc_id", wide_ids
+    )
+    pq.write_table(src, str(tmp_path / "documents.parquet"))
+
+    rows = dataset_split(spark, str(tmp_path)).collect()
+    assert rows, "wide-id split produced no rows"
+    for r in rows[:500]:
+        b = (r["doc_id"] * HASH_MULT) % HASH_MOD % SPLIT_BUCKETS
+        assert r["bucket"] == b, r
+        want = "train" if b < TRAIN_UPTO else ("val" if b < VAL_UPTO else "test")
+        assert r["split"] == want, r
+
+    con = duckdb_connection(str(tmp_path))
+    try:
+        for name in ("dataset_split", "mixture_sample", "shard_manifest"):
+            from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
+
+            rep = compare(QUERIES[name](spark, str(tmp_path)), con, ORACLES[name])
+            assert rep["ok"], (name, rep)
+    finally:
+        con.close()
