@@ -1132,3 +1132,40 @@ def min_cost_supplier(
             (F.col("min_unit_cents") / 100.0).alias("best_unit_price"),
         )
     )
+
+
+def supplier_nation_profit(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): discounted
+    revenue attributed to the supplier's nation, grouped by
+    (nation, ship year) — the date-function-in-the-grouping-key report
+    every warehouse runs for seasonality (the synthetic schema has no
+    partsupp supplycost, so profit = revenue; the shape — fact →
+    dim-chain joins + EXTRACT(year) grouping — is the point).
+
+    Scale shape: one shuffled agg on (nationkey, year) with map-side
+    combine; supplier and nation broadcast (10k / 25 rows); only three
+    fact columns read. Revenue accumulates in exact integer 4-decimal
+    cents; the output division is one IEEE op."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.year("l_shipdate").alias("o_year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            (F.sum(rev_c) / 10000.0).alias("profit"),
+        )
+    )

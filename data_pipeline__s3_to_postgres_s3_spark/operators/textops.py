@@ -1132,6 +1132,28 @@ CMS_PRIME = 4294967311  # smallest prime > 2^32 (shared with minhash)
 CMS_TOPK = 20
 
 
+def cms_entries(token_col: str = "token") -> F.Column:
+    """array<struct<r,bucket>> — the token's 4 CMS cell coordinates.
+    Shared expression between the batch audit (heavy_hitters_cms) and
+    the streaming maintainer (streaming.stream_heavy_hitters) so the
+    sketch geometry can never drift between them; mirrored in SQL by
+    the oracle's params VALUES + the md5-hex7 Horner chain."""
+    h = F.conv(
+        F.substring(F.md5(F.col(token_col)), 1, 7), 16, 10
+    ).cast("long")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    (F.lit(a) * h + F.lit(b)) % CMS_PRIME % CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for r, (a, b) in enumerate(CMS_ROWS_AB)
+        ]
+    )
+
+
 def heavy_hitters_cms(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -1170,18 +1192,7 @@ def heavy_hitters_cms(
         .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
         .localCheckpoint(eager=False)
     )
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10).cast("long")
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (
-                    (F.lit(a) * h + F.lit(b)) % CMS_PRIME % CMS_WIDTH
-                ).alias("bucket"),
-            )
-            for r, (a, b) in enumerate(CMS_ROWS_AB)
-        ]
-    )
+    entries = cms_entries()
     cells = (
         tc.select("exact_count", F.explode(entries).alias("e"))
         .groupBy("e.r", "e.bucket")

@@ -174,6 +174,21 @@ FROM best JOIN supplier ON l_suppkey = s_suppkey
 WHERE rn = 1
 """
 
+# supplier_nation_profit (operators/relational.supplier_nation_profit):
+# TPC-H Q9 shape — EXTRACT(year) in the grouping key; exact 4-decimal
+# integer revenue; year cast INT to match Spark's year().
+SUPPLIER_NATION_PROFIT = """
+SELECT n_name,
+    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+    CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+        AS BIGINT)) / 10000.0 AS profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+"""
+
 DISTINCT_AGGREGATES = """
 SELECT n_name,
     COUNT(DISTINCT c_mktsegment) AS n_segments,
@@ -768,6 +783,7 @@ EXTENSION_ORACLES = {
     "part_revenue_concentration": PART_REVENUE_CONCENTRATION,
     "large_order_customers": LARGE_ORDER_CUSTOMERS,
     "min_cost_supplier": MIN_COST_SUPPLIER,
+    "supplier_nation_profit": SUPPLIER_NATION_PROFIT,
     "distinct_aggregates": DISTINCT_AGGREGATES,
     "events_sessionized": EVENTS_SESSIONIZED,
     "events_running_totals": EVENTS_RUNNING_TOTALS,

@@ -1925,3 +1925,23 @@ FROM v GROUP BY label
 """
 
 LLMOPS_ORACLES["embedding_norm_profile"] = EMBEDDING_NORM_PROFILE
+
+
+# stream_heavy_hitters (streaming/docs.stream_heavy_hitters): complete-mode
+# final sink == the batch CMS cell table; counted over token OCCURRENCES
+# (identical to summing per-token counts — addition is associative).
+STREAM_HEAVY_HITTERS = f"""
+WITH toks AS (
+    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+    FROM documents
+),
+hx AS (SELECT md5(token) AS m FROM toks WHERE token <> ''),
+hv AS (SELECT {_HEX7_TO_INT} AS h FROM hx),
+params(r, a, b) AS (VALUES {_CMS_PARAMS})
+SELECT r, (a * h + b) % {CMS_PRIME} % {CMS_WIDTH} AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cell
+FROM hv, params
+GROUP BY r, bucket
+"""
+
+LLMOPS_ORACLES["stream_heavy_hitters"] = STREAM_HEAVY_HITTERS

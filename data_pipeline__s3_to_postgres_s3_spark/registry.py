@@ -21,6 +21,7 @@ from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
+    supplier_nation_profit,
     brand_band_revenue,
     customer_churn_reconciliation,
     customer_order_distribution,
@@ -206,6 +207,7 @@ from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
+    stream_heavy_hitters,
     stream_minhash_dedup,
     stream_quality_gate,
     stream_funnel_stage,
@@ -311,8 +313,16 @@ QUERIES: dict[str, QueryFn] = {
     "events_ohlc": events_ohlc,
     "events_gapfill_locf": events_gapfill_locf,
     "purchases_pit_stage": purchases_pit_stage,
-    "conversion_latency_stats": conversion_latency_stats,
-    "event_transition_matrix": event_transition_matrix,
+    # Round-9 new op, straight into the window: Q9-shape profit-by-
+    # (nation, year) — date function in the grouping key; swapped against
+    # conversion_latency_stats (hash-green r6+r7+r8, events-matrix
+    # pinned).
+    "supplier_nation_profit": supplier_nation_profit,
+    # Round-9 new op, straight into the window (streaming = the breakage
+    # class, stream_ohlc precedent): bounded-state CMS maintainer over
+    # the documents stream, swapped against event_transition_matrix
+    # (hash-green r6+r7+r8, events matrices).
+    "stream_heavy_hitters": stream_heavy_hitters,
     # Round-9 new op, straight into the window: per-label norm profile
     # (encoder-health monitor), swapped against top_session_paths
     # (hash-green r6+r7+r8; session-path semantics locally pinned in
@@ -558,6 +568,8 @@ QUERIES: dict[str, QueryFn] = {
     "profile_documents": profile_documents,
     "source_overlap": source_overlap,
     "top_session_paths": top_session_paths,
+    "conversion_latency_stats": conversion_latency_stats,
+    "event_transition_matrix": event_transition_matrix,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

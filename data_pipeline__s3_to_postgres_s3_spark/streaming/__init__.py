@@ -1,4 +1,4 @@
-from .docs import stream_minhash_dedup, stream_quality_gate
+from .docs import stream_heavy_hitters, stream_minhash_dedup, stream_quality_gate
 from .events import (
     stream_dedup_events,
     stream_funnel_stage,

@@ -313,3 +313,44 @@ def stream_quality_gate(
 
     docs = read_documents_stream(spark, sf_dir, max_files_per_trigger)
     return run_to_memory(row_gates(docs), "append")
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Count-min sketch maintained over continuously-ingested documents —
+    the streaming twin of operators/textops.heavy_hitters_cms: each
+    arriving file's tokens increment their 4 CMS cells, and the sink
+    holds the live (r, bucket, cell) table a point-frequency consumer
+    probes. This is the sketch's reason to exist at ingest time: the
+    aggregation state is ≤ CMS_ROWS·CMS_WIDTH = 4096 rows BY
+    CONSTRUCTION, no matter how many tokens ever stream past — contrast
+    stream_minhash_dedup, whose index state grows with the corpus and
+    needs a TTL.
+
+    The cell coordinates ARE textops.cms_entries (shared expression —
+    the stream and the batch audit can never disagree on geometry);
+    complete mode ⇒ final sink == the batch cells, so the DuckDB oracle
+    is the batch formulation. Heavy-hitter probing (the top-K report)
+    deliberately stays batch-side: the probe set is a function of the
+    whole corpus (the stream_quality_gate split)."""
+    from ..operators.textops import cms_entries
+
+    docs = read_documents_stream(spark, sf_dir, max_files_per_trigger)
+    cells = (
+        docs.select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .select(F.explode(cms_entries()).alias("e"))
+        .groupBy(F.col("e.r").alias("r"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    # 4096-key aggregation, JVM-native: state partitions sized well under
+    # the key space but over the core count is pointless — 8 keeps the
+    # state-store shuffle tiny (run_to_memory restores the session conf).
+    return run_to_memory(cells, "complete", state_partitions=8)

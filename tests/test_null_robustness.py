@@ -23,6 +23,7 @@ QUERIES_UNDER_TEST = [
     # r9: NULL text = zero tokens via the mirrored coalesce; the CMS
     # census and probe must agree on the empty-token drop.
     "heavy_hitters_cms",
+    "stream_heavy_hitters",
     "corpus_stats",
     "dataset_card",
     "per_source_report",

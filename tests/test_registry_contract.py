@@ -86,6 +86,12 @@ ROTATED_IN = {
     # dedicated local pins).
     "heavy_hitters_cms",
     "embedding_norm_profile",
+    # Round-9 closing pair: Q9-shape profit report and the bounded-state
+    # streaming CMS maintainer, straight into the window against
+    # conversion_latency_stats / event_transition_matrix (each hash-green
+    # r6+r7+r8 with events-matrix pins).
+    "supplier_nation_profit",
+    "stream_heavy_hitters",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must

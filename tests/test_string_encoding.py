@@ -35,6 +35,9 @@ QUERIES_UNDER_TEST = [
     # r9: whitespace token census + md5 hashing read the re-encodable
     # text column directly.
     "heavy_hitters_cms",
+    # r9: streaming CMS twin — the doc file-stream reader must absorb
+    # re-encoded text like stream_minhash_dedup does.
+    "stream_heavy_hitters",
     "gopher_quality",
     "gopher_repetition",
     "corpus_stats",

@@ -24,6 +24,7 @@ from .oracle_harness import compare, duckdb_connection
 QUERIES_UNDER_TEST = [
     "dedup_exact",
     "heavy_hitters_cms",
+    "stream_heavy_hitters",
     "corpus_stats",
     "text_quality",
     "gopher_quality",
