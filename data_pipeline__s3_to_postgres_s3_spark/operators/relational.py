@@ -1169,3 +1169,51 @@ def supplier_nation_profit(
             (F.sum(rev_c) / 10000.0).alias("profit"),
         )
     )
+
+
+def regional_market_share(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7's share of each
+    region's discounted supplier revenue per ship year — the
+    ratio-of-conditional-sums-within-group report, over the full
+    fact → supplier → nation → region dim chain with EXTRACT(year).
+
+    Share = double(nation cents)/double(total cents): both sums are exact
+    integers from ONE map-side-combined aggregate (the conditional sum
+    rides the same groupBy — no second scan, no join of two aggregates),
+    portable-rounded at 1e-6. Groups with zero revenue cannot exist (a
+    group only materializes from revenue rows), so the division is safe
+    under ANSI."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    nat_c = F.when(F.col("n_name") == "NATION_7", rev_c).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.sum(nat_c).alias("nat_c"),
+            F.sum(rev_c).alias("tot_c"),
+        )
+        .select(
+            "r_name",
+            "o_year",
+            (F.col("nat_c") / 10000.0).alias("nation_revenue"),
+            (F.col("tot_c") / 10000.0).alias("total_revenue"),
+            portable_round(
+                F.col("nat_c").cast("double") / F.col("tot_c").cast("double"),
+                6,
+            ).alias("market_share"),
+        )
+    )

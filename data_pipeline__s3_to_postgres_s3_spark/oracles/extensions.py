@@ -189,6 +189,32 @@ JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name, o_year
 """
 
+# regional_market_share (operators/relational.regional_market_share):
+# TPC-H Q8 shape — conditional and total sums from ONE grouped pass in
+# exact integers; share is one IEEE division, portable-rounded 1e-6.
+REGIONAL_MARKET_SHARE = f"""
+WITH g AS (
+    SELECT r_name,
+        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+        SUM(CASE WHEN n_name = 'NATION_7'
+            THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                 AS BIGINT) ELSE 0 END) AS nat_c,
+        SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+            AS BIGINT)) AS tot_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_year
+)
+SELECT r_name, o_year,
+    nat_c / 10000.0 AS nation_revenue,
+    tot_c / 10000.0 AS total_revenue,
+    {portable_round_sql('CAST(nat_c AS DOUBLE) / CAST(tot_c AS DOUBLE)', 6)}
+        AS market_share
+FROM g
+"""
+
 DISTINCT_AGGREGATES = """
 SELECT n_name,
     COUNT(DISTINCT c_mktsegment) AS n_segments,
@@ -784,6 +810,7 @@ EXTENSION_ORACLES = {
     "large_order_customers": LARGE_ORDER_CUSTOMERS,
     "min_cost_supplier": MIN_COST_SUPPLIER,
     "supplier_nation_profit": SUPPLIER_NATION_PROFIT,
+    "regional_market_share": REGIONAL_MARKET_SHARE,
     "distinct_aggregates": DISTINCT_AGGREGATES,
     "events_sessionized": EVENTS_SESSIONIZED,
     "events_running_totals": EVENTS_RUNNING_TOTALS,

@@ -21,6 +21,7 @@ from .operators.shipments import agg_shipments
 from .operators.tripdata import tripdata_monthly_metrics
 from .operators.relational import (
     approx_aggregates,
+    regional_market_share,
     supplier_nation_profit,
     brand_band_revenue,
     customer_churn_reconciliation,
@@ -328,7 +329,12 @@ QUERIES: dict[str, QueryFn] = {
     # (hash-green r6+r7+r8; session-path semantics locally pinned in
     # test_events_analytics.py).
     "embedding_norm_profile": embedding_norm_profile,
-    "item_cooccurrence": item_cooccurrence,
+    # Round-9 new op, straight into the window: Q8-shape market share
+    # (ratio-of-conditional-sums within group over the full dim chain),
+    # swapped against item_cooccurrence (hash-green r6+r7+r8; its frame
+    # machinery stays driver-hashed through item_triangles and
+    # item_pagerank, which compose it).
+    "regional_market_share": regional_market_share,
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
@@ -570,6 +576,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_session_paths": top_session_paths,
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
+    "item_cooccurrence": item_cooccurrence,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

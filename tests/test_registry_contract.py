@@ -92,6 +92,9 @@ ROTATED_IN = {
     # r6+r7+r8 with events-matrix pins).
     "supplier_nation_profit",
     "stream_heavy_hitters",
+    # Q8-shape market share vs item_cooccurrence (hash-green r6+r7+r8;
+    # composed into the in-window item_pagerank / item_triangles).
+    "regional_market_share",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
