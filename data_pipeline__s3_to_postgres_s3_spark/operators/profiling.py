@@ -21,11 +21,14 @@ aggregate subquery) matches bit-for-bit without any rounding.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import portable_round
 
 # Pinned column list (shared with the oracle builder) — profiling output
 # must be stable even if the physical parquet gains columns.
@@ -57,6 +60,100 @@ def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
 
 PROFILE_DOCUMENTS_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 PROFILE_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
+# Foreign-key relationships of the star schema, audited by
+# referential_integrity_report. (label, child, fk, parent, pk) — pinned
+# as a module constant so the report's row set is stable across physical
+# schema drift, like the PROFILE_*_COLS lists above.
+FK_RELATIONSHIPS = (
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: one row per
+    declared relationship with (child_rows, null_fk_rows, orphan_rows,
+    orphan_pct). The referential-integrity gate an ELT pipeline runs
+    before publishing a load (the reference loads each feed
+    independently and never cross-checks keys —
+    extract_load_transform_data_pipeline.py.py:52-63 trusts every FK
+    blind; this is the missing audit).
+
+    Semantics (SQL EXISTS convention, mirrored in the oracle): a NULL FK
+    is reported separately, never as an orphan — NULL equals nothing, so
+    it can neither match nor fail a parent lookup. An orphan is a
+    non-NULL FK with no parent row whose (non-NULL) PK equals it.
+
+    Scale shape: each relationship pre-aggregates the child on its FK
+    (groupBy fk → count, map-side combined — the anti-join then runs on
+    |distinct fk| rows, not |child|), anti-joins the distinct-projected
+    parent keys, and reduces to one row; totals/null counts ride the
+    same grouped frame, so each child is scanned ONCE per relationship
+    with only the FK column read (column-pruned scan). The 7 one-row
+    frames union into one job. At 100 TB the anti-joins on nation/region
+    parents broadcast; orders/part/supplier parents shuffle their key
+    projections only.
+
+    Determinism: pure integer counts; orphan_pct is one IEEE division of
+    exact integers, portable-rounded at 1e-4."""
+    frames = []
+    for label, child, fk, parent, pk in FK_RELATIONSHIPS:
+        grouped = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("fk"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parent_keys = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .where(F.col(pk).isNotNull())
+            .distinct()
+        )
+        totals = grouped.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("child_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("null_fk_rows"),
+        )
+        orphans = (
+            grouped.where(F.col("fk").isNotNull())
+            .join(parent_keys, F.col("fk") == F.col("pk"), "left_anti")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("long")
+                .alias("orphan_rows")
+            )
+        )
+        frames.append(
+            totals.crossJoin(F.broadcast(orphans)).select(
+                F.lit(label).alias("relationship"),
+                "child_rows",
+                "null_fk_rows",
+                "orphan_rows",
+                F.when(F.col("child_rows") == 0, F.lit(0.0))
+                .otherwise(
+                    portable_round(
+                        F.col("orphan_rows").cast("double")
+                        * 100.0
+                        / F.col("child_rows"),
+                        4,
+                    )
+                )
+                .alias("orphan_pct"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
 
 
 def profile_orders(

@@ -1077,3 +1077,59 @@ def embedding_norm_profile(
             ).alias("p50_norm"),
         )
     )
+
+
+def embedding_dim_stats(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-DIMENSION embedding health census: (dim, n_vecs, mean_val,
+    var_val, min_val, max_val, zero_pct) — the dead/collapsed-dimension
+    detector. A dimension whose variance is ~0 (or whose values are
+    mostly grid-zero) carries no information: it signals a truncated
+    projection head, a quantization bug, or a dimension the encoder never
+    trained — the embedding-space twin of profile_table's null census,
+    and the global per-dim complement of embedding_centroid_report's
+    per-LABEL means.
+
+    Determinism: every element is quantized to the integer 1e-4 grid
+    (q = floor(v·1e4 + 0.5)) BEFORE any aggregate, so sum(q) and
+    sum(q·q) are exact integers in any combine order; mean and variance
+    are then FIXED single expressions over those two scalars
+    (var = ss/1e8/n − (s/1e4/n)², token-identical in the oracle), so no
+    distributed float ordering can move them. zero_pct counts exact
+    grid-zeros (|v| < 5e-5). Overflow headroom: q² ≤ 1e8 for unit-scale
+    elements → sum(q²) fits int64 up to ~9e10 vectors per dimension.
+
+    Scale shape: one posexplode scan → one map-side-combined
+    groupBy(dim); |dims| rows out. Vectors go through the _embeddings
+    validity chokepoint (max-dim + no-NULL-element rule), so the fold
+    set is identical cross-engine."""
+    emb = _embeddings(spark, sf_dir).select("embedding")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    q = F.floor(F.col("val").cast("double") * 10000 + F.lit(0.5)).cast(
+        "long"
+    )
+    per = flat.select("dim", q.alias("q")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).alias("z"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    mean_expr = F.col("s").cast("double") / 10000.0 / F.col("n")
+    return per.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n_vecs"),
+        portable_round(mean_expr, 6).alias("mean_val"),
+        portable_round(
+            F.col("ss").cast("double") / 100000000.0 / F.col("n")
+            - mean_expr * mean_expr,
+            8,
+        ).alias("var_val"),
+        (F.col("mn") / 10000.0).alias("min_val"),
+        (F.col("mx") / 10000.0).alias("max_val"),
+        portable_round(
+            F.col("z").cast("double") * 100.0 / F.col("n"), 4
+        ).alias("zero_pct"),
+    )

@@ -24,8 +24,12 @@ unsalted twins in tests/test_skew.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.numeric import cents
 
 DEFAULT_SALT = 8
 
@@ -67,10 +71,65 @@ def two_phase_agg(
     agg_col: Column,
     alias: str,
     salt: int = DEFAULT_SALT,
+    *more: tuple[Column, str],
 ) -> DataFrame:
     """SUM-shaped aggregation in two phases: (key, salt) partials, then the
     final combine on key. agg_col must be an algebraic sum-like expression
-    (SUM of anything, COUNT via SUM(1))."""
+    (SUM of anything, COUNT via SUM(1)). Additional (agg_col, alias)
+    pairs ride the SAME partial pass via ``more`` — one scan however many
+    sums the caller needs."""
+    aggs = [(agg_col, alias), *more]
     salted = df.withColumn("_salt", _round_robin_salt(salt))
-    partial = salted.groupBy(key, "_salt").agg(agg_col.alias("_partial"))
-    return partial.groupBy(key).agg(F.sum("_partial").alias(alias))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[c.alias(f"_partial{i}") for i, (c, _) in enumerate(aggs)]
+    )
+    return partial.groupBy(key).agg(
+        *[F.sum(f"_partial{i}").alias(a) for i, (_, a) in enumerate(aggs)]
+    )
+
+
+def salted_brand_revenue(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-brand lineitem revenue computed through BOTH explicit skew
+    remedies — the registry-exposed (driver-hashable) instance of this
+    module: `salted_join` scatters the lineitem→part equi-join (p_brand
+    has ~25 values over every lineitem row: the classic low-cardinality
+    hot-key join where one brand's rows would otherwise sort in one
+    task), then `two_phase_agg` runs the (brand, salt)-partial /
+    brand-final aggregation for both the count and the revenue sum.
+
+    The oracle is the PLAIN join+group SQL — the driver hash is the
+    cross-engine proof that salting redistributes work without moving a
+    single row or cent (the local equivalence pins in test_skew.py are
+    the synthetic-skew twins of this check).
+
+    Scale shape: the salt multiplies only the SMALL side (part × 8), the
+    big side gets a constant-free round-robin bucket; revenue
+    accumulates in exact integer 1e-4 units (combine-order-free), so the
+    two-phase split cannot change the result. Output is |brands| rows.
+
+    Determinism: integer sums; one final division for display."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        cents(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("rev_c"),
+    )
+    dim = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(li, dim, "partkey", "inner")
+    agged = two_phase_agg(
+        joined,
+        "p_brand",
+        F.count(F.lit(1)),
+        "n_lines",
+        DEFAULT_SALT,
+        (F.sum("rev_c"), "rev_sum"),
+    )
+    return agged.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("rev_sum") / 10000.0).alias("revenue"),
+    )

@@ -1414,3 +1414,57 @@ LIMIT 20
 """
 
 EXTENSION_ORACLES["returned_item_report"] = RETURNED_ITEM_REPORT
+
+
+# referential_integrity_report (operators/profiling.py): FK-orphan audit.
+# NULL FKs are reported separately, never as orphans (SQL EXISTS
+# semantics, mirrored exactly); orphan_pct is one IEEE division of exact
+# integer counts, portable-rounded at 1e-4 in the identical association
+# (CAST(orph AS DOUBLE) * 100.0 / total).
+def _fk_audit_sql(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    pct = portable_round_sql("CAST(orph AS DOUBLE) * 100.0 / total", 4)
+    return f"""
+SELECT '{label}' AS relationship,
+    CAST(total AS BIGINT) AS child_rows,
+    CAST(nulls AS BIGINT) AS null_fk_rows,
+    CAST(orph AS BIGINT) AS orphan_rows,
+    CASE WHEN total = 0 THEN 0.0 ELSE {pct} END AS orphan_pct
+FROM (
+    SELECT
+        (SELECT COUNT(*) FROM {child}) AS total,
+        (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS nulls,
+        (SELECT COUNT(*) FROM {child} c WHERE c.{fk} IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM {parent} p
+                            WHERE p.{pk} = c.{fk})) AS orph
+)
+"""
+
+
+def _referential_integrity_sql() -> str:
+    from ..operators.profiling import FK_RELATIONSHIPS
+
+    return "\nUNION ALL\n".join(
+        _fk_audit_sql(*spec) for spec in FK_RELATIONSHIPS
+    )
+
+
+REFERENTIAL_INTEGRITY_REPORT = _referential_integrity_sql()
+
+EXTENSION_ORACLES["referential_integrity_report"] = (
+    REFERENTIAL_INTEGRITY_REPORT
+)
+
+
+# salted_brand_revenue (operators/skew.py): the oracle is the PLAIN
+# join+group — the driver hash proves the salted/two-phase plan moves
+# work, never rows or cents. Revenue in exact 1e-4 integer units.
+SALTED_BRAND_REVENUE = """
+SELECT p_brand AS brand,
+    CAST(COUNT(*) AS BIGINT) AS n_lines,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+        AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+EXTENSION_ORACLES["salted_brand_revenue"] = SALTED_BRAND_REVENUE

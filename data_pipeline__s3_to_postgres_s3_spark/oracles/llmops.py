@@ -1945,3 +1945,36 @@ GROUP BY r, bucket
 """
 
 LLMOPS_ORACLES["stream_heavy_hitters"] = STREAM_HEAVY_HITTERS
+
+
+# embedding_dim_stats (operators/similarity.embedding_dim_stats): every
+# element quantized to the integer 1e-4 grid BEFORE aggregation; mean and
+# variance are FIXED single expressions over the exact integer sums in
+# the identical association as the Column exprs (ss/1e8/n − (s/1e4/n)²).
+EMBEDDING_DIM_STATS = f"""
+WITH flat AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+             AS BIGINT) AS q
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0) embeddings
+),
+per AS (
+    SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss,
+        SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS z,
+        MIN(q) AS mn, MAX(q) AS mx
+    FROM flat GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+    CAST(n AS BIGINT) AS n_vecs,
+    {portable_round_sql('CAST(s AS DOUBLE) / 10000.0 / n', 6)} AS mean_val,
+    {portable_round_sql(
+        'CAST(ss AS DOUBLE) / 100000000.0 / n'
+        ' - (CAST(s AS DOUBLE) / 10000.0 / n)'
+        ' * (CAST(s AS DOUBLE) / 10000.0 / n)', 8)} AS var_val,
+    mn / 10000.0 AS min_val,
+    mx / 10000.0 AS max_val,
+    {portable_round_sql('CAST(z AS DOUBLE) * 100.0 / n', 4)} AS zero_pct
+FROM per
+"""
+
+LLMOPS_ORACLES["embedding_dim_stats"] = EMBEDDING_DIM_STATS

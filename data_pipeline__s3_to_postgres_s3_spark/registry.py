@@ -107,6 +107,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import (
     embedding_centroid_report,
+    embedding_dim_stats,
     embedding_norm_profile,
     embedding_kmeans,
     hard_negative_mining,
@@ -131,7 +132,9 @@ from .operators.profiling import (
     profile_documents,
     profile_events,
     profile_orders,
+    referential_integrity_report,
 )
+from .operators.skew import salted_brand_revenue
 from .operators.sampling import (
     chunk_documents,
     pack_efficiency_report,
@@ -577,6 +580,13 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
     "item_cooccurrence": item_cooccurrence,
+    # -- round-9 late additions (TAIL_GRACE_NEW_THIS_ROUND while their
+    #    n=3 fresh-process verification lands; oracle-checked locally
+    #    every pytest run): the ELT FK-orphan audit, the skew-remedy
+    #    equivalence query, and the dead-dimension census. -------------
+    "referential_integrity_report": referential_integrity_report,
+    "salted_brand_revenue": salted_brand_revenue,
+    "embedding_dim_stats": embedding_dim_stats,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

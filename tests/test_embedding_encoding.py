@@ -112,6 +112,9 @@ GATE_QUERIES = sorted(
         "similarity_recall_report",
         "embedding_norm_profile",
         "embedding_centroid_report",
+        # r9c: per-dimension census — the 1e-4 grid quantization must be
+        # invariant to the physical element width.
+        "embedding_dim_stats",
     )
     if name in ORACLES and name in QUERIES
 )

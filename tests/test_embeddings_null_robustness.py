@@ -51,6 +51,10 @@ QUERIES_UNDER_TEST = [
     # r9: per-label norm profile — degenerate vectors must never
     # contribute a quantized norm.
     "embedding_norm_profile",
+    # r9c: per-dimension census — NULL/empty/ragged/NULL-element vectors
+    # must never contribute a grid cell (posexplode of a dropped vector
+    # is a dropped row on both engines).
+    "embedding_dim_stats",
 ]
 
 

@@ -65,6 +65,9 @@ QUERIES_UNDER_TEST = [
     "ngram_novelty_timeline",
     "split_leakage_report",
     "compact_manifest",
+    # r9c: the FK-orphan audit is all key comparisons — int32 child keys
+    # must anti-join int32 parent keys identically on both engines.
+    "referential_integrity_report",
 ]
 
 

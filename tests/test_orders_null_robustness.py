@@ -54,6 +54,9 @@ QUERIES_UNDER_TEST = [
     "best_performing_product",
     "cdc_merge_customers",
     "profile_orders",
+    # r9c: NULL o_custkey is this op's core semantics — it must count as
+    # null_fk_rows, never as an orphan, on both engines.
+    "referential_integrity_report",
     # r7: NULL-key rows must land in sentinel file -1 on both engines.
     "zorder_manifest",
 ]

@@ -103,9 +103,14 @@ ROTATED_IN = {
 # Round 8: the 10 headline new oracles went straight into the window;
 # the two late report twins briefly held the grace and were then rotated
 # in the same round (see ROTATED_IN), so the set ends round 8 EMPTY.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
 # Round 9: the seven round-8-continuation grace ops rotated into the
-# window (see ROTATED_IN) — the set is EMPTY again.
+# window (see ROTATED_IN). Late round-9 additions hold the grace while
+# their n=3 fresh-process verification lands (rotate or clear in-round).
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
+    "referential_integrity_report",
+    "salted_brand_revenue",
+    "embedding_dim_stats",
+}
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local

@@ -397,3 +397,50 @@ def test_sq_topk_reconciles_with_bruteforce(spark, sf_dir):
     for r in overlap:
         assert r["sim_exact"] == bf[(r["query_id"], r["vec_id"])]
     assert len(overlap) / len(bf) >= 0.9
+
+
+def test_embedding_dim_stats_planted_dead_dimension(spark, tmp_path):
+    """r9c synthetic pin: a planted corpus with a DEAD dimension (all
+    zeros), a constant dimension, and a dimension of known variance must
+    report hand-computed stats — the sf corpus has no degenerate dims, so
+    this is the only coverage of the detector actually firing."""
+    import math
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    # dim0 dead (all 0), dim1 constant 0.5, dim2 values [-0.2, 0.0, 0.4, 0.6]
+    vals = [
+        [0.0, 0.5, -0.2],
+        [0.0, 0.5, 0.0],
+        [0.0, 0.5, 0.4],
+        [0.0, 0.5, 0.6],
+    ]
+    spark.createDataFrame(
+        [(i, v, "a") for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>, label string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["dim"]: r
+        for r in embedding_dim_stats(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 3
+    d0 = rows[0]
+    assert d0["n_vecs"] == 4
+    assert d0["zero_pct"] == 100.0
+    assert d0["var_val"] == 0.0
+    assert d0["mean_val"] == 0.0
+    d1 = rows[1]
+    assert d1["zero_pct"] == 0.0
+    assert d1["var_val"] == 0.0
+    assert d1["mean_val"] == 0.5
+    assert d1["min_val"] == 0.5 and d1["max_val"] == 0.5
+    d2 = rows[2]
+    # hand-computed: mean 0.2, E[x²] = (0.04+0+0.16+0.36)/4 = 0.14,
+    # var = 0.14 − 0.04 = 0.10; one of four values is grid-zero.
+    assert d2["mean_val"] == pytest.approx(0.2, abs=1e-6)
+    assert d2["var_val"] == pytest.approx(0.10, abs=1e-8)
+    assert d2["zero_pct"] == 25.0
+    assert d2["min_val"] == -0.2 and d2["max_val"] == 0.6
+    assert math.isfinite(d2["var_val"])

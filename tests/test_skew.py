@@ -86,3 +86,50 @@ def test_two_phase_agg_equivalent(spark, skewed):
     plain = big.groupBy("k").agg(F.sum("payload").alias("total"))
     salted = two_phase_agg(big, "k", F.sum("payload"), "total")
     assert _rows(salted) == _rows(plain)
+
+
+def test_two_phase_agg_multi_equivalent(spark, skewed):
+    """r9c: extra (agg_col, alias) pairs ride the SAME partial pass —
+    results must equal the plain single-pass groupBy for every column."""
+    big, _ = skewed
+    plain = big.groupBy("k").agg(
+        F.sum("payload").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    salted = two_phase_agg(
+        big, "k", F.sum("payload"), "total", 8, (F.count(F.lit(1)), "n")
+    )
+    assert _rows(salted.select("k", "total", "n")) == _rows(
+        plain.select("k", "total", "n")
+    )
+
+
+def test_salted_brand_revenue_equals_plain_groupby(spark, sf_small):
+    """The registry query's salted/two-phase plan must reproduce the plain
+    join+group bit-for-bit on real data (the oracle differential proves
+    the same against DuckDB at sf0.01; this is the in-engine twin)."""
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.functions.numeric import cents
+    from data_pipeline__s3_to_postgres_s3_spark.operators.skew import (
+        salted_brand_revenue,
+    )
+
+    li = load_table(spark, sf_small, "lineitem")
+    part = load_table(spark, sf_small, "part")
+    plain = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (
+                F.sum(
+                    cents(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4,
+                    )
+                )
+                / 10000.0
+            ).alias("revenue"),
+        )
+    )
+    assert _rows(salted_brand_revenue(spark, sf_small)) == _rows(plain)
