@@ -315,8 +315,15 @@ QUERIES: dict[str, QueryFn] = {
     # ===== round-6 rotation block: never-driver-hashed until now =========
     # -- temporal / events analytics (heaviest machinery first) -----------
     "events_ohlc": events_ohlc,
-    "events_gapfill_locf": events_gapfill_locf,
-    "purchases_pit_stage": purchases_pit_stage,
+    # Round-9 late rotation (in-round, the r8 report-twin precedent;
+    # each verified n=3 fresh-process + verify_window replay before the
+    # swap): the ELT FK-orphan audit takes events_gapfill_locf's slot
+    # (hash-green r6+r7+r8; LOCF semantics pinned in test_temporal.py
+    # and the ts/NULL-events matrices), the skew-remedy equivalence
+    # query takes purchases_pit_stage's (hash-green r6+r7+r8;
+    # point-in-time join pinned in test_temporal.py).
+    "referential_integrity_report": referential_integrity_report,
+    "salted_brand_revenue": salted_brand_revenue,
     # Round-9 new op, straight into the window: Q9-shape profit-by-
     # (nation, year) — date function in the grouping key; swapped against
     # conversion_latency_stats (hash-green r6+r7+r8, events-matrix
@@ -341,7 +348,10 @@ QUERIES: dict[str, QueryFn] = {
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
-    "customer_rfm_segments": customer_rfm_segments,
+    # Round-9 late rotation: the per-dimension embedding census takes
+    # customer_rfm_segments' slot (hash-green r6+r7+r8; RFM determinism
+    # pinned in test_determinism.py and the orders-NULL matrix).
+    "embedding_dim_stats": embedding_dim_stats,
     # Round-8 late rotation: zorder_skip_estimate (brand-new file-skip
     # estimator composing the in-window zorder_manifest's Morton
     # machinery) takes promo_revenue_share's slot (hash-green r6+r7;
@@ -580,13 +590,11 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
     "item_cooccurrence": item_cooccurrence,
-    # -- round-9 late additions (TAIL_GRACE_NEW_THIS_ROUND while their
-    #    n=3 fresh-process verification lands; oracle-checked locally
-    #    every pytest run): the ELT FK-orphan audit, the skew-remedy
-    #    equivalence query, and the dead-dimension census. -------------
-    "referential_integrity_report": referential_integrity_report,
-    "salted_brand_revenue": salted_brand_revenue,
-    "embedding_dim_stats": embedding_dim_stats,
+    # -- rotated out in the round-9 late rotation (each hash-green
+    #    r6+r7+r8, locally pinned every pytest run) ---------------------
+    "events_gapfill_locf": events_gapfill_locf,
+    "purchases_pit_stage": purchases_pit_stage,
+    "customer_rfm_segments": customer_rfm_segments,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

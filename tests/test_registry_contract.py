@@ -95,6 +95,15 @@ ROTATED_IN = {
     # Q8-shape market share vs item_cooccurrence (hash-green r6+r7+r8;
     # composed into the in-window item_pagerank / item_triangles).
     "regional_market_share",
+    # Round-9 late rotation (in-round, the r8 report-twin precedent):
+    # the FK-orphan audit, the skew-remedy equivalence query, and the
+    # per-dimension embedding census — each verified n=3 fresh-process
+    # + verify_window replay before the swap. Swap-outs:
+    # events_gapfill_locf / purchases_pit_stage / customer_rfm_segments
+    # (each hash-green r6+r7+r8 with dedicated local pins).
+    "referential_integrity_report",
+    "salted_brand_revenue",
+    "embedding_dim_stats",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
@@ -104,13 +113,11 @@ ROTATED_IN = {
 # the two late report twins briefly held the grace and were then rotated
 # in the same round (see ROTATED_IN), so the set ends round 8 EMPTY.
 # Round 9: the seven round-8-continuation grace ops rotated into the
-# window (see ROTATED_IN). Late round-9 additions hold the grace while
-# their n=3 fresh-process verification lands (rotate or clear in-round).
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
-    "referential_integrity_report",
-    "salted_brand_revenue",
-    "embedding_dim_stats",
-}
+# window (see ROTATED_IN); the three late round-9 additions briefly held
+# the grace and were rotated in the same round after n=3 fresh-process
+# verification (the r8 report-twin precedent) — the set ends round 9
+# EMPTY.
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local
