@@ -1217,3 +1217,56 @@ def regional_market_share(
             ).alias("market_share"),
         )
     )
+
+
+def ship_priority_counts(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """TPC-H Q12 shape (shipping-class priority split): for lineitems
+    shipped in 1998, per return-flag class the count of lines whose
+    order is high-priority ('1-URGENT'/'2-HIGH') vs everything else —
+    the dual-conditional-count-across-a-join every logistics dashboard
+    runs. Adapted to the synthetic schema like brand_band_revenue
+    adapted Q19: l_returnflag stands in for the absent l_shipmode, the
+    ship-year window for the commit/receipt-date lateness predicate.
+
+    NULL semantics (mirrored token-for-token in the oracle): a NULL
+    o_orderpriority counts in NEITHER bucket (IN and NOT IN both yield
+    NULL → ELSE 0); NULL l_shipdate rows fail the range filter; NULL
+    l_orderkey drops at the join; a NULL l_returnflag groups as its own
+    class on both engines.
+
+    Scale shape: the date filter pushes to the lineitem scan (only the
+    1998 slice shuffles), two columns read per side, conditional counts
+    ride ONE map-side-combined groupBy — no second pass for the second
+    bucket. Output is |returnflags| rows.
+
+    Determinism: pure integer counts, no floats anywhere."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = ("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority").isin(*high), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(
+                F.when(~F.col("o_orderpriority").isin(*high), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

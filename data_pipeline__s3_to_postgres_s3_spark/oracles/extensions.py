@@ -1468,3 +1468,22 @@ GROUP BY p_brand
 """
 
 EXTENSION_ORACLES["salted_brand_revenue"] = SALTED_BRAND_REVENUE
+
+
+# ship_priority_counts (operators/relational.ship_priority_counts):
+# TPC-H Q12 shape. NULL o_orderpriority lands in NEITHER bucket (IN /
+# NOT IN both yield NULL → ELSE 0), exactly as the Column exprs; counts
+# CAST to BIGINT so DuckDB's HUGEINT SUM cannot widen the dtype.
+SHIP_PRIORITY_COUNTS = """
+SELECT l_returnflag AS returnflag,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1998-01-01'
+  AND l_shipdate < DATE '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+EXTENSION_ORACLES["ship_priority_counts"] = SHIP_PRIORITY_COUNTS

@@ -34,6 +34,7 @@ from .operators.relational import (
     order_status_unpivot,
     parts_supplier_stats,
     promo_revenue_share,
+    ship_priority_counts,
     shipping_priority,
     small_quantity_revenue,
     order_priority_lateness,
@@ -361,7 +362,11 @@ QUERIES: dict[str, QueryFn] = {
     # comparator before the swap.
     "zorder_skip_estimate": zorder_skip_estimate,
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
-    "brand_band_revenue": brand_band_revenue,
+    # Round-9 closing rotation: the Q12-shape dual conditional count
+    # takes brand_band_revenue's slot (hash-green r6+r7+r8; its Q19
+    # branch semantics stay locally oracle-checked every pytest run and
+    # money-matrix-pinned).
+    "ship_priority_counts": ship_priority_counts,
     # -- dedup/source-mixture audits --------------------------------------
     # Round-8 rotation: minhash_param_planner (brand-new zero-scan
     # S-curve tuning table) takes minhash_estimate_audit's slot
@@ -590,11 +595,12 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
     "item_cooccurrence": item_cooccurrence,
-    # -- rotated out in the round-9 late rotation (each hash-green
+    # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,
     "purchases_pit_stage": purchases_pit_stage,
     "customer_rfm_segments": customer_rfm_segments,
+    "brand_band_revenue": brand_band_revenue,
     # -- justified 0-row tail (JUSTIFIED_TAIL_ZERO_ROW): the regenerated
     #    sf0.01 corpus carries ZERO exact-duplicate texts (verified
     #    round 7 — no increment boundary can make the full-text

@@ -29,6 +29,7 @@ DATE_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
 QUERIES_UNDER_TEST = [
     "pricing_summary",         # pushdown filter on l_shipdate
     "shipping_priority",       # date-literal comparisons both tables
+    "ship_priority_counts",    # r9c: Q12 shape, shipdate range filter
     "monthly_revenue_growth",  # date_trunc on o_orderdate
     "order_priority_lateness", # o_orderdate bucketing
     "large_volume_orders",     # DATE-typed o_orderdate in the output

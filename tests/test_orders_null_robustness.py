@@ -46,6 +46,9 @@ QUERIES_UNDER_TEST = [
     # DESC; NULL totalprice must sort identically (both engines default
     # NULLS LAST under DESC) and NULL custkey drops at the join.
     "large_order_customers",
+    # r9c: Q12 shape — NULL o_orderpriority must land in NEITHER bucket
+    # (IN / NOT IN both NULL → ELSE 0) on both engines.
+    "ship_priority_counts",
     "customer_churn_reconciliation",
     "incremental_load_watermark",
     "orders_without_lineitems_anti",

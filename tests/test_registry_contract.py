@@ -104,6 +104,10 @@ ROTATED_IN = {
     "referential_integrity_report",
     "salted_brand_revenue",
     "embedding_dim_stats",
+    # Q12-shape closing addition vs brand_band_revenue (hash-green
+    # r6+r7+r8; Q19 branch semantics stay locally oracle-checked every
+    # pytest run and money-matrix-pinned).
+    "ship_priority_counts",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
