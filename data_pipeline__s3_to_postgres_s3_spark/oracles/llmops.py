@@ -1978,3 +1978,102 @@ FROM per
 """
 
 LLMOPS_ORACLES["embedding_dim_stats"] = EMBEDDING_DIM_STATS
+
+
+# similarity_pq_topk (operators/similarity.similarity_pq_topk): per-
+# subspace codebooks via the unrolled deterministic Lloyd recipe (the
+# embedding_kmeans CTE chain, keyed by subspace m), ADC terms quantized
+# to integer micro-units BEFORE the cross-subspace SUM (exact in any
+# combine order), rank by (adcq ASC, vec_id ASC).
+def _pq_sql() -> str:
+    from ..operators.similarity import PQ_ITERS, PQ_K, PQ_M, PQ_SHORTLIST
+
+    valid = (
+        "SELECT * FROM embeddings WHERE len(embedding) = "
+        "(SELECT MAX(len(embedding)) FROM embeddings) AND "
+        "len(list_filter(embedding, v -> v IS NULL)) = 0"
+    )
+    d2 = _D2_SQL
+    ctes = [
+        f"valid AS ({valid})",
+        f"d AS (SELECT MAX(len(embedding)) // {PQ_M} AS sub FROM valid)",
+        (
+            "subs AS (SELECT vec_id, t.m, "
+            "embedding[(t.m * sub + 1):((t.m + 1) * sub)] AS sv "
+            f"FROM valid, d, unnest(generate_series(0, {PQ_M - 1})) AS t(m))"
+        ),
+        (
+            "c0 AS (SELECT m, vec_id AS cell, "
+            "list_transform(sv, x -> CAST(x AS DOUBLE)) AS centroid "
+            f"FROM subs WHERE vec_id < {PQ_K})"
+        ),
+    ]
+    for i in range(PQ_ITERS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT s.vec_id, s.m, c.cell, "
+            f"FLOOR(({d2.format(a='s.sv', b='c.centroid')}) * 1000000 + 0.5)"
+            f" / 1000000 AS d2 FROM subs s JOIN c{i} c ON s.m = c.m)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, m, cell FROM ("
+            f"SELECT vec_id, m, cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id, m ORDER BY d2 ASC, cell ASC) AS rn "
+            f"FROM s{i}) WHERE rn = 1)"
+        )
+        if i == PQ_ITERS:
+            break
+        ctes.append(
+            f"f{i} AS (SELECT s.m, a.cell, CAST(unnest(s.sv) AS DOUBLE) "
+            f"AS val, generate_subscripts(s.sv, 1) AS dim FROM subs s "
+            f"JOIN a{i} a ON s.vec_id = a.vec_id AND s.m = a.m)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT m, cell, list(c ORDER BY dim) AS centroid "
+            f"FROM (SELECT m, cell, dim, "
+            f"FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS c "
+            f"FROM f{i} GROUP BY m, cell, dim) GROUP BY m, cell)"
+        )
+    ctes += [
+        (
+            "qsubs AS (SELECT vec_id AS query_id, m, sv AS q_sv "
+            f"FROM subs WHERE vec_id < {N_QUERIES})"
+        ),
+        (
+            "dt AS (SELECT q.query_id, q.m, c.cell, "
+            f"CAST(FLOOR(({d2.format(a='q.q_sv', b='c.centroid')})"
+            f" * 1000000 + 0.5) AS BIGINT) AS dtq "
+            f"FROM qsubs q JOIN c{PQ_ITERS} c ON q.m = c.m)"
+        ),
+        (
+            "adc AS (SELECT d.query_id, a.vec_id, SUM(d.dtq) AS adcq "
+            f"FROM a{PQ_ITERS} a JOIN dt d ON a.m = d.m AND a.cell = d.cell "
+            "GROUP BY d.query_id, a.vec_id)"
+        ),
+        (
+            "ranked AS (SELECT query_id, vec_id, adcq, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY adcq ASC, vec_id ASC) AS srank "
+            "FROM adc WHERE vec_id <> query_id)"
+        ),
+        f"short AS (SELECT * FROM ranked WHERE srank <= {PQ_SHORTLIST})",
+        (
+            "sel AS (SELECT s.query_id, s.vec_id, "
+            "s.adcq / 1000000.0 AS d2_adc, "
+            f"FLOOR(({d2.format(a='qe.embedding', b='ce.embedding')})"
+            " * 1000000 + 0.5) / 1000000 AS d2_exact "
+            "FROM short s "
+            "JOIN valid qe ON qe.vec_id = s.query_id "
+            "JOIN valid ce ON ce.vec_id = s.vec_id)"
+        ),
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, vec_id, d2_adc, d2_exact, rank FROM (\n"
+        "    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+        "        ORDER BY d2_exact ASC, vec_id ASC) AS rank FROM sel\n"
+        f") WHERE rank <= {TOP_K}"
+    )
+
+
+SIMILARITY_PQ_TOPK = _pq_sql()
+
+LLMOPS_ORACLES["similarity_pq_topk"] = SIMILARITY_PQ_TOPK

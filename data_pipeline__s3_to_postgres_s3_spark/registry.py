@@ -119,6 +119,7 @@ from .operators.similarity import (
     similarity_bruteforce_topk,
     similarity_ivf_topk,
     similarity_lsh_topk,
+    similarity_pq_topk,
     similarity_recall_report,
     similarity_sq_topk,
 )
@@ -595,6 +596,10 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
     "item_cooccurrence": item_cooccurrence,
+    # -- round-9 final addition (TAIL_GRACE_NEW_THIS_ROUND — rotate in
+    #    round 10): product-quantized ADC top-K, completing the ANN
+    #    ladder (LSH / IVF / SQ / PQ). ----------------------------------
+    "similarity_pq_topk": similarity_pq_topk,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

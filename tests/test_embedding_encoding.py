@@ -115,6 +115,9 @@ GATE_QUERIES = sorted(
         # r9c: per-dimension census — the 1e-4 grid quantization must be
         # invariant to the physical element width.
         "embedding_dim_stats",
+        # r9c: PQ codebooks/codes/ADC must be element-width-invariant
+        # (every fold casts to DOUBLE on both engines).
+        "similarity_pq_topk",
     )
     if name in ORACLES and name in QUERIES
 )

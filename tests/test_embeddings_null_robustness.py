@@ -55,6 +55,9 @@ QUERIES_UNDER_TEST = [
     # must never contribute a grid cell (posexplode of a dropped vector
     # is a dropped row on both engines).
     "embedding_dim_stats",
+    # r9c: PQ — degenerate vectors must never train a codebook, take a
+    # code, or enter the ADC shortlist (the _embeddings chokepoint).
+    "similarity_pq_topk",
 ]
 
 

@@ -121,7 +121,12 @@ ROTATED_IN = {
 # the grace and were rotated in the same round after n=3 fresh-process
 # verification (the r8 report-twin precedent) — the set ends round 9
 # EMPTY.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
+    # Round-9 final addition: PQ completes the ANN ladder; registered
+    # late (window already carries 20 first-timers), so it holds the
+    # one-round grace and MUST rotate into the round-10 window.
+    "similarity_pq_topk",
+}
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local

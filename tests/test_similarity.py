@@ -444,3 +444,41 @@ def test_embedding_dim_stats_planted_dead_dimension(spark, tmp_path):
     assert d2["zero_pct"] == 25.0
     assert d2["min_val"] == -0.2 and d2["max_val"] == 0.6
     assert math.isfinite(d2["var_val"])
+
+
+def test_pq_recall_after_rerank(spark, sf_dir):
+    """PQ two-stage (ADC shortlist → exact re-rank) recall@5 vs the exact
+    L2 baseline. Measured 0.775 at sf0.01 with M=4, K=8, shortlist 50 —
+    the LSH level; the floor leaves the standard headroom. ADC-only
+    ordering measured 0.275 on this corpus (noise-dominated neighbor
+    gaps), which is WHY the op re-ranks — this test pins the pipeline
+    property, not the intermediate."""
+    import numpy as np
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        _embeddings,
+        similarity_pq_topk,
+    )
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in _embeddings(spark, sf_dir).collect()
+    }
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    out = similarity_pq_topk(spark, sf_dir).collect()
+    recalls = []
+    for q in range(8):
+        d2 = ((mat - emb[q]) ** 2).sum(1)
+        exact5 = [ids[j] for j in np.argsort(d2, kind="stable") if ids[j] != q][:5]
+        got = {r["vec_id"] for r in out if r["query_id"] == q}
+        assert len(got) == 5
+        recalls.append(len(got & set(exact5)) / 5)
+        # d2_exact must reconcile with the numpy fold
+        for r in out:
+            if r["query_id"] != q:
+                continue
+            ref = ((emb[q] - emb[r["vec_id"]]) ** 2).sum()
+            assert abs(r["d2_exact"] - ref) < 1e-4
+            assert r["d2_adc"] >= 0.0
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
