@@ -117,10 +117,11 @@ ROTATED_IN = {
 # the two late report twins briefly held the grace and were then rotated
 # in the same round (see ROTATED_IN), so the set ends round 8 EMPTY.
 # Round 9: the seven round-8-continuation grace ops rotated into the
-# window (see ROTATED_IN); the three late round-9 additions briefly held
+# window (see ROTATED_IN); the four late round-9 additions briefly held
 # the grace and were rotated in the same round after n=3 fresh-process
-# verification (the r8 report-twin precedent) — the set ends round 9
-# EMPTY.
+# verification (the r8 report-twin precedent). The set ends round 9
+# with ONE member: similarity_pq_topk (registered last, window already
+# at 20 first-timers) — round 10 MUST rotate it in.
 TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
     # Round-9 final addition: PQ completes the ANN ladder; registered
     # late (window already carries 20 first-timers), so it holds the
