@@ -1099,10 +1099,25 @@ def min_cost_supplier(
     of exact integers (bit-identical cross-engine), portable-rounded at
     1e-4 before ranking; ties break by s_suppkey ASC.
 
+    NULL/zero guard (r9c lineitem-NULL probe — the round's one real
+    divergence): a line with NULL price, NULL/zero quantity, NULL part,
+    or NULL supplier cannot offer a price, so it is filtered BEFORE the
+    MIN on BOTH engines (a no-op on the clean corpus). Without the
+    filter, a NULL unit/suppkey reaches the rank window whose ASC NULL
+    position differs cross-engine (Spark NULLS FIRST vs DuckDB NULLS
+    LAST) — the pinned un-mirrorable class from the events matrix. The
+    quantity predicate also closes the divide-by-zero class (Spark ANSI
+    errors where DuckDB yields inf).
+
     Scale shape: per-(part,supplier) MIN collapses the fact table first
     (map-side combine), the window ranks the collapsed frame (|parts|·
     |offering suppliers| rows, not lineitems), supplier broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0)
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("l_suppkey").isNotNull()
+    )
     unit = portable_round(
         cents(F.col("l_extendedprice")).cast("double") / F.col("l_quantity"),
         4,

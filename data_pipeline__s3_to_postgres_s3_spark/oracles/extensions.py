@@ -157,8 +157,15 @@ _UNIT = portable_round_sql(
 )
 MIN_COST_SUPPLIER = f"""
 WITH per_ps AS (
+    -- r9c NULL/zero guard, mirrored from the operator: a line with NULL
+    -- price / NULL-or-zero quantity / NULL part / NULL supplier cannot
+    -- offer a price (no-op on the clean corpus; keeps NULLs out of the
+    -- rank window whose ASC NULL position differs cross-engine).
     SELECT l_partkey, l_suppkey, MIN({_UNIT}) AS min_unit_cents
-    FROM lineitem GROUP BY l_partkey, l_suppkey
+    FROM lineitem
+    WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+      AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    GROUP BY l_partkey, l_suppkey
 ),
 best AS (
     SELECT l_partkey, l_suppkey, min_unit_cents,
