@@ -71,13 +71,16 @@ def two_phase_agg(
     agg_col: Column,
     alias: str,
     salt: int = DEFAULT_SALT,
-    *more: tuple[Column, str],
+    *,
+    more: tuple[tuple[Column, str], ...] = (),
 ) -> DataFrame:
     """SUM-shaped aggregation in two phases: (key, salt) partials, then the
     final combine on key. agg_col must be an algebraic sum-like expression
     (SUM of anything, COUNT via SUM(1)). Additional (agg_col, alias)
-    pairs ride the SAME partial pass via ``more`` — one scan however many
-    sums the caller needs."""
+    pairs ride the SAME partial pass via the keyword-only ``more`` —
+    one scan however many sums the caller needs (keyword-only so a
+    caller adding extra aggregates never has to re-pass ``salt``
+    positionally just to reach it — ADVICE r9)."""
     aggs = [(agg_col, alias), *more]
     salted = df.withColumn("_salt", _round_robin_salt(salt))
     partial = salted.groupBy(key, "_salt").agg(
@@ -125,8 +128,7 @@ def salted_brand_revenue(
         "p_brand",
         F.count(F.lit(1)),
         "n_lines",
-        DEFAULT_SALT,
-        (F.sum("rev_c"), "rev_sum"),
+        more=((F.sum("rev_c"), "rev_sum"),),
     )
     return agged.select(
         F.col("p_brand").alias("brand"),

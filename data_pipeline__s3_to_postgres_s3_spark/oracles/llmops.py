@@ -1986,8 +1986,20 @@ LLMOPS_ORACLES["embedding_dim_stats"] = EMBEDDING_DIM_STATS
 # to integer micro-units BEFORE the cross-subspace SUM (exact in any
 # combine order), rank by (adcq ASC, vec_id ASC).
 def _pq_sql() -> str:
-    from ..operators.similarity import PQ_ITERS, PQ_K, PQ_M, PQ_SHORTLIST
+    from ..operators.similarity import (
+        IVF_ROUND,
+        PQ_DTQ,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SHORTLIST,
+    )
 
+    # Grids interpolated from the operator constants (ADVICE r9): RG is
+    # the portable_round grid (10**IVF_ROUND), PQ_DTQ the ADC term
+    # quantization grid — changing either in similarity.py re-derives the
+    # oracle instead of silently desynchronizing it.
+    rg = 10**IVF_ROUND
     valid = (
         "SELECT * FROM embeddings WHERE len(embedding) = "
         "(SELECT MAX(len(embedding)) FROM embeddings) AND "
@@ -2011,8 +2023,8 @@ def _pq_sql() -> str:
     for i in range(PQ_ITERS + 1):
         ctes.append(
             f"s{i} AS (SELECT s.vec_id, s.m, c.cell, "
-            f"FLOOR(({d2.format(a='s.sv', b='c.centroid')}) * 1000000 + 0.5)"
-            f" / 1000000 AS d2 FROM subs s JOIN c{i} c ON s.m = c.m)"
+            f"FLOOR(({d2.format(a='s.sv', b='c.centroid')}) * {rg} + 0.5)"
+            f" / {rg} AS d2 FROM subs s JOIN c{i} c ON s.m = c.m)"
         )
         ctes.append(
             f"a{i} AS (SELECT vec_id, m, cell FROM ("
@@ -2030,7 +2042,7 @@ def _pq_sql() -> str:
         ctes.append(
             f"c{i + 1} AS (SELECT m, cell, list(c ORDER BY dim) AS centroid "
             f"FROM (SELECT m, cell, dim, "
-            f"FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS c "
+            f"FLOOR(AVG(val) * {rg} + 0.5) / {rg} AS c "
             f"FROM f{i} GROUP BY m, cell, dim) GROUP BY m, cell)"
         )
     ctes += [
@@ -2041,7 +2053,7 @@ def _pq_sql() -> str:
         (
             "dt AS (SELECT q.query_id, q.m, c.cell, "
             f"CAST(FLOOR(({d2.format(a='q.q_sv', b='c.centroid')})"
-            f" * 1000000 + 0.5) AS BIGINT) AS dtq "
+            f" * {PQ_DTQ} + 0.5) AS BIGINT) AS dtq "
             f"FROM qsubs q JOIN c{PQ_ITERS} c ON q.m = c.m)"
         ),
         (
@@ -2057,9 +2069,9 @@ def _pq_sql() -> str:
         f"short AS (SELECT * FROM ranked WHERE srank <= {PQ_SHORTLIST})",
         (
             "sel AS (SELECT s.query_id, s.vec_id, "
-            "s.adcq / 1000000.0 AS d2_adc, "
+            f"s.adcq / {PQ_DTQ}.0 AS d2_adc, "
             f"FLOOR(({d2.format(a='qe.embedding', b='ce.embedding')})"
-            " * 1000000 + 0.5) / 1000000 AS d2_exact "
+            f" * {rg} + 0.5) / {rg} AS d2_exact "
             "FROM short s "
             "JOIN valid qe ON qe.vec_id = s.query_id "
             "JOIN valid ce ON ce.vec_id = s.vec_id)"

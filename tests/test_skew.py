@@ -97,7 +97,7 @@ def test_two_phase_agg_multi_equivalent(spark, skewed):
         F.count(F.lit(1)).alias("n"),
     )
     salted = two_phase_agg(
-        big, "k", F.sum("payload"), "total", 8, (F.count(F.lit(1)), "n")
+        big, "k", F.sum("payload"), "total", 8, more=((F.count(F.lit(1)), "n"),)
     )
     assert _rows(salted.select("k", "total", "n")) == _rows(
         plain.select("k", "total", "n")
