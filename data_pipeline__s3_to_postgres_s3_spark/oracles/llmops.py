@@ -1985,14 +1985,17 @@ LLMOPS_ORACLES["embedding_dim_stats"] = EMBEDDING_DIM_STATS
 # embedding_kmeans CTE chain, keyed by subspace m), ADC terms quantized
 # to integer micro-units BEFORE the cross-subspace SUM (exact in any
 # combine order), rank by (adcq ASC, vec_id ASC).
-def _pq_sql() -> str:
+def _pq_code_ctes() -> list[str]:
+    """The shared PQ-encoding CTE chain (valid / subspaces / Lloyd rounds
+    c0..cN / assignments a0..aN / query subvectors / integer ADC distance
+    table ``dt``) — composed verbatim by BOTH _pq_sql and _ivf_pq_sql so
+    the codebooks the two oracles replicate can never drift."""
     from ..operators.similarity import (
         IVF_ROUND,
         PQ_DTQ,
         PQ_ITERS,
         PQ_K,
         PQ_M,
-        PQ_SHORTLIST,
     )
 
     # Grids interpolated from the operator constants (ADVICE r9): RG is
@@ -2056,16 +2059,19 @@ def _pq_sql() -> str:
             f" * {PQ_DTQ} + 0.5) AS BIGINT) AS dtq "
             f"FROM qsubs q JOIN c{PQ_ITERS} c ON q.m = c.m)"
         ),
-        (
-            "adc AS (SELECT d.query_id, a.vec_id, SUM(d.dtq) AS adcq "
-            f"FROM a{PQ_ITERS} a JOIN dt d ON a.m = d.m AND a.cell = d.cell "
-            "GROUP BY d.query_id, a.vec_id)"
-        ),
-        (
-            "ranked AS (SELECT query_id, vec_id, adcq, ROW_NUMBER() OVER ("
-            "PARTITION BY query_id ORDER BY adcq ASC, vec_id ASC) AS srank "
-            "FROM adc WHERE vec_id <> query_id)"
-        ),
+    ]
+    return ctes
+
+
+def _pq_tail_ctes() -> list[str]:
+    """Shared ADC-shortlist → exact-re-rank tail over an ``adc``
+    (query_id, vec_id, adcq) CTE — the self-match exclusion happens
+    upstream (_pq_sql filters in ``ranked``; _ivf_pq_sql in ``cand``)."""
+    from ..operators.similarity import IVF_ROUND, PQ_DTQ, PQ_SHORTLIST
+
+    rg = 10**IVF_ROUND
+    d2 = _D2_SQL
+    return [
         f"short AS (SELECT * FROM ranked WHERE srank <= {PQ_SHORTLIST})",
         (
             "sel AS (SELECT s.query_id, s.vec_id, "
@@ -2077,15 +2083,162 @@ def _pq_sql() -> str:
             "JOIN valid ce ON ce.vec_id = s.vec_id)"
         ),
     ]
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
-        "SELECT query_id, vec_id, d2_adc, d2_exact, rank FROM (\n"
-        "    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
-        "        ORDER BY d2_exact ASC, vec_id ASC) AS rank FROM sel\n"
-        f") WHERE rank <= {TOP_K}"
-    )
+
+
+_PQ_FINAL_SELECT = (
+    "SELECT query_id, vec_id, d2_adc, d2_exact, rank FROM (\n"
+    "    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+    "        ORDER BY d2_exact ASC, vec_id ASC) AS rank FROM sel\n"
+    f") WHERE rank <= {TOP_K}"
+)
+
+
+def _pq_sql() -> str:
+    from ..operators.similarity import PQ_ITERS
+
+    ctes = _pq_code_ctes() + [
+        (
+            "adc AS (SELECT d.query_id, a.vec_id, SUM(d.dtq) AS adcq "
+            f"FROM a{PQ_ITERS} a JOIN dt d ON a.m = d.m AND a.cell = d.cell "
+            "GROUP BY d.query_id, a.vec_id)"
+        ),
+        (
+            "ranked AS (SELECT query_id, vec_id, adcq, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY adcq ASC, vec_id ASC) AS srank "
+            "FROM adc WHERE vec_id <> query_id)"
+        ),
+    ] + _pq_tail_ctes()
+    return "WITH " + ",\n".join(ctes) + "\n" + _PQ_FINAL_SELECT
+
+
+# ivf_pq_topk (operators/similarity.ivf_pq_topk): the SAME codebook /
+# distance-table CTEs (composed via _pq_code_ctes so the encodings can't
+# drift), plus the proven IVF coarse-quantizer replica (per-label mean
+# centroids rounded at the IVF grid, nearest-cell assignment, nprobe
+# probing — the SIMILARITY_IVF_TOPK recipe over ``valid``); the ADC sum
+# runs only over (query, vector) pairs routed through a probed cell.
+def _ivf_pq_sql() -> str:
+    from ..operators.similarity import IVF_PQ_NPROBE, IVF_ROUND, PQ_ITERS
+
+    rg = 10**IVF_ROUND
+    d2 = _D2_SQL
+    ctes = _pq_code_ctes() + [
+        (
+            "ivfflat AS (SELECT label, unnest(embedding) AS val, "
+            "generate_subscripts(embedding, 1) AS dim FROM valid "
+            "WHERE label IS NOT NULL)"
+        ),
+        (
+            "ivfcent AS (SELECT label AS cell, dim, "
+            f"FLOOR(AVG(CAST(val AS DOUBLE)) * {rg} + 0.5) / {rg} AS c "
+            "FROM ivfflat GROUP BY label, dim)"
+        ),
+        (
+            "ivfcentroids AS (SELECT cell, list(c ORDER BY dim) AS centroid "
+            "FROM ivfcent GROUP BY cell)"
+        ),
+        (
+            "ivfscored AS (SELECT v.vec_id, c.cell, "
+            f"FLOOR(({d2.format(a='v.embedding', b='c.centroid')})"
+            f" * {rg} + 0.5) / {rg} AS d2 "
+            "FROM valid v, ivfcentroids c)"
+        ),
+        (
+            "ivfassigned AS (SELECT vec_id, cell FROM ("
+            "SELECT vec_id, cell, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn "
+            "FROM ivfscored) WHERE rn = 1)"
+        ),
+        (
+            "ivfprobes AS (SELECT vec_id AS query_id, cell FROM ("
+            "SELECT vec_id, cell, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn "
+            f"FROM ivfscored WHERE vec_id < {N_QUERIES}) "
+            f"WHERE rn <= {IVF_PQ_NPROBE})"
+        ),
+        (
+            "cand AS (SELECT p.query_id, a.vec_id FROM ivfprobes p "
+            "JOIN ivfassigned a ON a.cell = p.cell "
+            "WHERE a.vec_id <> p.query_id)"
+        ),
+        (
+            "adc AS (SELECT n.query_id, n.vec_id, SUM(d.dtq) AS adcq "
+            f"FROM cand n JOIN a{PQ_ITERS} a ON a.vec_id = n.vec_id "
+            "JOIN dt d ON d.query_id = n.query_id "
+            "AND d.m = a.m AND d.cell = a.cell "
+            "GROUP BY n.query_id, n.vec_id)"
+        ),
+        (
+            "ranked AS (SELECT query_id, vec_id, adcq, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY adcq ASC, vec_id ASC) AS srank "
+            "FROM adc)"
+        ),
+    ] + _pq_tail_ctes()
+    return "WITH " + ",\n".join(ctes) + "\n" + _PQ_FINAL_SELECT
 
 
 SIMILARITY_PQ_TOPK = _pq_sql()
+IVF_PQ_TOPK = _ivf_pq_sql()
 
 LLMOPS_ORACLES["similarity_pq_topk"] = SIMILARITY_PQ_TOPK
+LLMOPS_ORACLES["ivf_pq_topk"] = IVF_PQ_TOPK
+
+# pq_recall_report (operators/similarity.pq_recall_report): the two
+# L2-metric ANN oracles nested VERBATIM as CTEs (the recall-report
+# precedent — audited definitions can't drift), intersected per query
+# against the exact squared-L2 top-K baseline (same rounding grid and
+# vec_id tie-break as the operators' re-rank stage).
+def _pq_recall_sql() -> str:
+    from ..operators.similarity import IVF_ROUND
+
+    rg = 10**IVF_ROUND
+    d2 = _D2_SQL
+    return f"""
+WITH validq AS (
+    SELECT * FROM embeddings WHERE len(embedding) =
+        (SELECT MAX(len(embedding)) FROM embeddings) AND
+        len(list_filter(embedding, v -> v IS NULL)) = 0
+),
+bf AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, t.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                FLOOR(({d2.format(a='q.embedding', b='t.embedding')})
+                      * {rg} + 0.5) / {rg} ASC, t.vec_id ASC) AS rank
+        FROM validq q, validq t
+        WHERE q.vec_id < {N_QUERIES} AND t.vec_id <> q.vec_id
+    ) WHERE rank <= {TOP_K}
+),
+pq AS ({SIMILARITY_PQ_TOPK}),
+ivfpq AS ({IVF_PQ_TOPK}),
+truth AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+    FROM bf GROUP BY query_id
+),
+pq_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN pq ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
+    GROUP BY bf.query_id
+),
+ivfpq_hits AS (
+    SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bf JOIN ivfpq
+        ON bf.query_id = ivfpq.query_id AND bf.vec_id = ivfpq.vec_id
+    GROUP BY bf.query_id
+)
+SELECT t.query_id, 'pq' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN pq_hits h USING (query_id)
+UNION ALL
+SELECT t.query_id, 'ivf_pq' AS method,
+    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+        AS recall
+FROM truth t LEFT JOIN ivfpq_hits h USING (query_id)
+"""
+
+
+PQ_RECALL_REPORT = _pq_recall_sql()
+LLMOPS_ORACLES["pq_recall_report"] = PQ_RECALL_REPORT

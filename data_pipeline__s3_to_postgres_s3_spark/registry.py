@@ -112,6 +112,8 @@ from .operators.similarity import (
     embedding_norm_profile,
     embedding_kmeans,
     hard_negative_mining,
+    ivf_pq_topk,
+    pq_recall_report,
     semantic_decontaminate,
     embedding_neardup_pairs,
     embedding_quantize,
@@ -307,12 +309,25 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_repetition": gopher_repetition,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "exact_span_dedup": exact_span_dedup,
-    # Round-8 rotation: embedding_centroid_report (brand-new mixture-
-    # drift monitor) takes hard_negative_mining's slot (hash-green
-    # r6+r7; its exact branch is the bruteforce shape that stays
-    # driver-hashed inside similarity_recall_report's nested oracles,
-    # and the LSH dispatch is pinned in test_scale_dispatch.py).
-    "embedding_centroid_report": embedding_centroid_report,
+    # Round-10 rotation (the round's forced move — r9 VERDICT ask #1):
+    # similarity_pq_topk spends its r9 tail grace and takes
+    # embedding_centroid_report's slot (hash-green r8+r9; the centroid
+    # census machinery stays pinned by test_similarity.py's
+    # hand-computed drift matrix and shares the posexplode-mean recipe
+    # with the in-window embedding_dim_stats).
+    "similarity_pq_topk": similarity_pq_topk,
+    # Round-10 new op, straight into the window (headline-op precedent):
+    # IVF-PQ — IVF routing over PQ codes, the production ANN end state
+    # (r9 VERDICT ask #2) — takes minhash_param_planner's slot
+    # (hash-green r8+r9; its _scurve_sql stays driver-hashed through the
+    # in-window jaccard_threshold_sweep, which composes it).
+    "ivf_pq_topk": ivf_pq_topk,
+    # Round-10 new op, straight into the window: the L2-metric recall@K
+    # audit closing the ANN honesty loop over PQ and IVF-PQ (r9 VERDICT
+    # ask #3) — takes pack_efficiency_report's slot (hash-green r8+r9;
+    # the bin machinery stays pinned by test_packing.py and reconciled
+    # against the in-tail pack_sequences totals).
+    "pq_recall_report": pq_recall_report,
     "customer_nation_value_rank": customer_nation_value_rank,
     # ===== round-6 rotation block: never-driver-hashed until now =========
     # -- temporal / events analytics (heaviest machinery first) -----------
@@ -369,11 +384,6 @@ QUERIES: dict[str, QueryFn] = {
     # money-matrix-pinned).
     "ship_priority_counts": ship_priority_counts,
     # -- dedup/source-mixture audits --------------------------------------
-    # Round-8 rotation: minhash_param_planner (brand-new zero-scan
-    # S-curve tuning table) takes minhash_estimate_audit's slot
-    # (hash-green r6+r7; the est-vs-exact audit machinery shares the
-    # mins/pair frames with the in-window dedup_minhash_lsh).
-    "minhash_param_planner": minhash_param_planner,
     # Round-9 new op, straight into the window: count-min-sketch heavy-
     # hitter audit (the point-frequency sketch class), swapped against
     # source_overlap (hash-green r6+r7+r8; the overlap matrix machinery
@@ -411,13 +421,6 @@ QUERIES: dict[str, QueryFn] = {
     # 0-exchange doc scan locally pinned in test_textops.py).
     "grouping_sets_orders": grouping_sets_orders,
     "large_order_customers": large_order_customers,
-    # Round-8 late rotation: pack_efficiency_report (brand-new packing
-    # audit composing pack_sequences' bin machinery) takes
-    # weighted_sample_tokens' slot (hash-green r6+r7; the sampling
-    # family keeps mixture_sample + sample_k_per_group in-window).
-    # Verified 3× fresh-process with the driver-faithful comparator
-    # before the swap.
-    "pack_efficiency_report": pack_efficiency_report,
     # Round-9 rotation: item_pagerank / top_supplier_by_revenue (grace
     # ops) take the slots of mixture_sample / sample_k_per_group (each
     # hash-green r6+r7+r8; the sampling family's determinism is pinned
@@ -596,10 +599,13 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency_stats": conversion_latency_stats,
     "event_transition_matrix": event_transition_matrix,
     "item_cooccurrence": item_cooccurrence,
-    # -- round-9 final addition (TAIL_GRACE_NEW_THIS_ROUND — rotate in
-    #    round 10): product-quantized ADC top-K, completing the ANN
-    #    ladder (LSH / IVF / SQ / PQ). ----------------------------------
-    "similarity_pq_topk": similarity_pq_topk,
+    # -- rotated out in round 10 to make room for similarity_pq_topk
+    #    (grace spent) + ivf_pq_topk + pq_recall_report — each swap-out
+    #    hash-green r8+r9 with dedicated local pins (centroid drift
+    #    matrix, S-curve planner tests, packing reconciliation) ---------
+    "embedding_centroid_report": embedding_centroid_report,
+    "minhash_param_planner": minhash_param_planner,
+    "pack_efficiency_report": pack_efficiency_report,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

@@ -58,6 +58,12 @@ QUERIES_UNDER_TEST = [
     # r9c: PQ — degenerate vectors must never train a codebook, take a
     # code, or enter the ADC shortlist (the _embeddings chokepoint).
     "similarity_pq_topk",
+    # r10: IVF routing over PQ codes — degenerate vectors must neither
+    # train the coarse quantizer nor file a code in any cell; the L2
+    # recall report nests both definitions plus the exact-L2 baseline
+    # (all three ride the chokepoint + the interior-NULL drop).
+    "ivf_pq_topk",
+    "pq_recall_report",
 ]
 
 

@@ -55,59 +55,22 @@ ROWS_ONLY_ALLOWED = {
 # dedup_containment [green r5+r6] and profile_events [green r6 + heavy
 # local pins]).
 ROTATED_IN = {
-    # Round 9 (VERDICT r8 ask #1 — the round's hard contract): the seven
-    # round-8-continuation grace ops take their first driver hash.
-    # Swap-outs (see the in-window comments in registry.py): the five r7
-    # first-timers now twice-green (rrf_hybrid_topk, zorder_manifest,
-    # curation_funnel, bloom_vocab_novelty, dataset_card) plus
-    # mixture_sample / sample_k_per_group (each hash-green r6+r7+r8,
-    # sampling determinism pinned by test_sampling.py).
-    "ngram_lm_perplexity",
-    "bigram_pmi_topk",
-    "source_unigram_kl",
-    "similarity_sq_topk",
-    "item_pagerank",
-    "top_supplier_by_revenue",
-    "returned_item_report",
-    # Round-9 new op, straight into the window (headline-op precedent):
-    # explicit GROUPING SETS + grouping_id, swapped against
-    # vocab_oov_report (hash-green r6+r7+r8, 0-exchange census locally
-    # pinned).
-    "grouping_sets_orders",
-    # Round-9 TPC-H-shape trio (Q11/Q18/Q2 analogues), straight into the
-    # window against gopher_quality / lang_confusion_matrix /
-    # profile_documents (each hash-green r6+r7+r8 with dedicated local
-    # pins).
-    "part_revenue_concentration",
-    "large_order_customers",
-    "min_cost_supplier",
-    # Round-9 sketch/profile pair, straight into the window against
-    # source_overlap / top_session_paths (each hash-green r6+r7+r8 with
-    # dedicated local pins).
-    "heavy_hitters_cms",
-    "embedding_norm_profile",
-    # Round-9 closing pair: Q9-shape profit report and the bounded-state
-    # streaming CMS maintainer, straight into the window against
-    # conversion_latency_stats / event_transition_matrix (each hash-green
-    # r6+r7+r8 with events-matrix pins).
-    "supplier_nation_profit",
-    "stream_heavy_hitters",
-    # Q8-shape market share vs item_cooccurrence (hash-green r6+r7+r8;
-    # composed into the in-window item_pagerank / item_triangles).
-    "regional_market_share",
-    # Round-9 late rotation (in-round, the r8 report-twin precedent):
-    # the FK-orphan audit, the skew-remedy equivalence query, and the
-    # per-dimension embedding census — each verified n=3 fresh-process
-    # + verify_window replay before the swap. Swap-outs:
-    # events_gapfill_locf / purchases_pit_stage / customer_rfm_segments
-    # (each hash-green r6+r7+r8 with dedicated local pins).
-    "referential_integrity_report",
-    "salted_brand_revenue",
-    "embedding_dim_stats",
-    # Q12-shape closing addition vs brand_band_revenue (hash-green
-    # r6+r7+r8; Q19 branch semantics stay locally oracle-checked every
-    # pytest run and money-matrix-pinned).
-    "ship_priority_counts",
+    # Round 10 (VERDICT r9 ask #1 — the round's forced move): the PQ
+    # top-K spends its round-9 tail grace and takes its first driver
+    # hash, swapped against embedding_centroid_report (hash-green r8+r9;
+    # centroid machinery pinned by test_similarity.py's hand-computed
+    # drift matrix). Prior rounds' rotations are recorded in git history
+    # of this file and the committed CORRECTNESS_r0*.json (round 9
+    # rotated 20 first-timers in — see the r9 version of this set).
+    "similarity_pq_topk",
+    # Round-10 new ops, straight into the window (headline-op
+    # precedent): IVF-PQ composition (r9 ask #2) vs minhash_param_planner
+    # (hash-green r8+r9; _scurve_sql stays driver-hashed through the
+    # in-window jaccard_threshold_sweep), and the L2 recall audit
+    # (r9 ask #3) vs pack_efficiency_report (hash-green r8+r9; bin
+    # machinery pinned by test_packing.py).
+    "ivf_pq_topk",
+    "pq_recall_report",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
@@ -119,15 +82,13 @@ ROTATED_IN = {
 # Round 9: the seven round-8-continuation grace ops rotated into the
 # window (see ROTATED_IN); the four late round-9 additions briefly held
 # the grace and were rotated in the same round after n=3 fresh-process
-# verification (the r8 report-twin precedent). The set ends round 9
+# verification (the r8 report-twin precedent). The set ended round 9
 # with ONE member: similarity_pq_topk (registered last, window already
-# at 20 first-timers) — round 10 MUST rotate it in.
-TAIL_GRACE_NEW_THIS_ROUND: set[str] = {
-    # Round-9 final addition: PQ completes the ANN ladder; registered
-    # late (window already carries 20 first-timers), so it holds the
-    # one-round grace and MUST rotate into the round-10 window.
-    "similarity_pq_topk",
-}
+# at 20 first-timers).
+# Round 10: similarity_pq_topk rotated into the window (ROTATED_IN);
+# the two round-10 additions (ivf_pq_topk, pq_recall_report) went
+# straight into the window — the set is EMPTY.
+TAIL_GRACE_NEW_THIS_ROUND: set[str] = set()
 # Entries allowed to sit never-hashed in the tail INDEFINITELY because
 # their sf0.01 oracle result is provably 0-row — a driver hash of
 # 0-vs-0 rows proves nothing. Each entry needs (a) a dedicated local
