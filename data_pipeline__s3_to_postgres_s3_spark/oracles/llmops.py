@@ -2242,3 +2242,79 @@ FROM truth t LEFT JOIN ivfpq_hits h USING (query_id)
 
 PQ_RECALL_REPORT = _pq_recall_sql()
 LLMOPS_ORACLES["pq_recall_report"] = PQ_RECALL_REPORT
+
+
+# embedding_corr_topk (operators/similarity.embedding_corr_topk): same
+# 1e-4 integer element grid, exact integer pair sums (combine-order-free
+# on both engines), token-identical covariance / correlation expressions,
+# mirrored cannot-correlate filter on the ROUNDED variances, rank on
+# (rounded |corr| DESC, dim_i, dim_j).
+def _corr_topk_sql() -> str:
+    from ..operators.similarity import COV_TOP_PAIRS
+
+    return f"""
+WITH valid AS (
+    SELECT * FROM embeddings WHERE len(embedding) =
+        (SELECT MAX(len(embedding)) FROM embeddings) AND
+        len(list_filter(embedding, v -> v IS NULL)) = 0
+),
+flat AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+             AS BIGINT) AS q
+    FROM valid
+),
+g AS (
+    SELECT a.dim AS di, b.dim AS dj, COUNT(*) AS n,
+        SUM(a.q * b.q) AS sp, SUM(a.q) AS si, SUM(b.q) AS sj,
+        SUM(a.q * a.q) AS ssi, SUM(b.q * b.q) AS ssj
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim < b.dim
+    GROUP BY a.dim, b.dim
+),
+scored AS (
+    SELECT CAST(di AS INT) AS dim_i, CAST(dj AS INT) AS dim_j,
+        CAST(n AS BIGINT) AS n_vecs,
+        FLOOR((CAST(sp AS DOUBLE) / 100000000.0 / n
+               - (CAST(si AS DOUBLE) / 10000.0 / n)
+                 * (CAST(sj AS DOUBLE) / 10000.0 / n))
+              * 100000000 + 0.5) / 100000000 AS cov,
+        FLOOR(((CAST(sp AS DOUBLE) / 100000000.0 / n
+                - (CAST(si AS DOUBLE) / 10000.0 / n)
+                  * (CAST(sj AS DOUBLE) / 10000.0 / n))
+               / SQRT((CAST(ssi AS DOUBLE) / 100000000.0 / n
+                       - (CAST(si AS DOUBLE) / 10000.0 / n)
+                         * (CAST(si AS DOUBLE) / 10000.0 / n))
+                      * (CAST(ssj AS DOUBLE) / 100000000.0 / n
+                         - (CAST(sj AS DOUBLE) / 10000.0 / n)
+                           * (CAST(sj AS DOUBLE) / 10000.0 / n))))
+              * 1000000 + 0.5) / 1000000 AS corr,
+        FLOOR(ABS((CAST(sp AS DOUBLE) / 100000000.0 / n
+                   - (CAST(si AS DOUBLE) / 10000.0 / n)
+                     * (CAST(sj AS DOUBLE) / 10000.0 / n))
+                  / SQRT((CAST(ssi AS DOUBLE) / 100000000.0 / n
+                          - (CAST(si AS DOUBLE) / 10000.0 / n)
+                            * (CAST(si AS DOUBLE) / 10000.0 / n))
+                         * (CAST(ssj AS DOUBLE) / 100000000.0 / n
+                            - (CAST(sj AS DOUBLE) / 10000.0 / n)
+                              * (CAST(sj AS DOUBLE) / 10000.0 / n))))
+              * 1000000 + 0.5) / 1000000 AS abs_corr
+    FROM g
+    WHERE FLOOR((CAST(ssi AS DOUBLE) / 100000000.0 / n
+                 - (CAST(si AS DOUBLE) / 10000.0 / n)
+                   * (CAST(si AS DOUBLE) / 10000.0 / n))
+                * 100000000 + 0.5) / 100000000 > 0
+      AND FLOOR((CAST(ssj AS DOUBLE) / 100000000.0 / n
+                 - (CAST(sj AS DOUBLE) / 10000.0 / n)
+                   * (CAST(sj AS DOUBLE) / 10000.0 / n))
+                * 100000000 + 0.5) / 100000000 > 0
+)
+SELECT dim_i, dim_j, n_vecs, cov, corr, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY abs_corr DESC, dim_i ASC, dim_j ASC) AS rank
+    FROM scored
+) WHERE rank <= {COV_TOP_PAIRS}
+"""
+
+
+EMBEDDING_CORR_TOPK = _corr_topk_sql()
+LLMOPS_ORACLES["embedding_corr_topk"] = EMBEDDING_CORR_TOPK

@@ -164,6 +164,18 @@ STREAMING_ORACLES = {
     "stream_view_purchase_join": STREAM_VIEW_PURCHASE_JOIN,
 }
 
+# stream_distinct_users: the dedup→agg chain's final complete-mode sink
+# == the batch per-hour COUNT(DISTINCT); NULL users dropped on both
+# sides (no-anonymous-identity chokepoint, the NULL-ts pattern).
+STREAM_DISTINCT_USERS = f"""
+SELECT CAST(date_trunc('hour', tsu) AS TIMESTAMP) AS window_start,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM {_EV}
+WHERE user_id IS NOT NULL
+GROUP BY window_start
+"""
+STREAMING_ORACLES["stream_distinct_users"] = STREAM_DISTINCT_USERS
+
 # stream_ohlc: complete-mode windowed min_by/max_by over a finite stream ==
 # the batch candles; independent double-ROW_NUMBER formulation as in
 # oracles/temporal.py, column order matching the streaming select.

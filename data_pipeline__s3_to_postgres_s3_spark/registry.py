@@ -110,6 +110,7 @@ from .operators.similarity import (
     embedding_centroid_report,
     embedding_dim_stats,
     embedding_norm_profile,
+    embedding_corr_topk,
     embedding_kmeans,
     hard_negative_mining,
     ivf_pq_topk,
@@ -215,6 +216,7 @@ from .oracles.multimodal import MULTIMODAL_ORACLES
 from .oracles.streaming import STREAMING_ORACLES
 from .streaming import (
     stream_dedup_events,
+    stream_distinct_users,
     stream_heavy_hitters,
     stream_minhash_dedup,
     stream_quality_gate,
@@ -267,12 +269,13 @@ QUERIES: dict[str, QueryFn] = {
     # -- structured streaming reps (the round-3 breakage class): one
     #    classic watermark agg, one custom-stateful, plus the two round-5
     #    newcomers that have only a single green round behind them --------
-    # Round-8 rotation: stream_quality_gate (brand-new stateless ingest
-    # gate — streaming is the breakage class, straight into the window)
-    # takes stream_funnel_stage's slot (hash-green r5+r6+r7; MIN-state
-    # semantics stay pinned by the no-Spark non-monotonicity test and
-    # the events matrices).
-    "stream_quality_gate": stream_quality_gate,
+    # Round-10 new op, straight into the window (streaming = the
+    # breakage class, stream_ohlc precedent): the multi-stateful
+    # dedup→windowed-count chain — a state-machinery class no other
+    # entry exercises — takes stream_quality_gate's slot (hash-green
+    # r8+r9; the ingest gate's verdict exprs stay pinned by
+    # test_streaming.py and shared with the batch quality_gate family).
+    "stream_distinct_users": stream_distinct_users,
     "stream_ohlc": stream_ohlc,
     # Late round-6: brand-new streaming oracle enters the window
     # immediately (streaming is the breakage class — stream_ohlc
@@ -441,7 +444,12 @@ QUERIES: dict[str, QueryFn] = {
     # gate incl. the canonical window stays driver-hashed nested inside
     # the in-window curation_funnel and compact_manifest oracles).
     "source_quality_matrix": source_quality_matrix,
-    "bpe_merge_census": bpe_merge_census,
+    # Round-10 new op, straight into the window: the cross-dimension
+    # redundancy audit (top-|corr| dimension pairs — exact integer pair
+    # sums, the dim_stats grid) takes bpe_merge_census's slot
+    # (hash-green r8+r9; the merge census is locally pinned in
+    # test_textops.py with a hand-computed merge table).
+    "embedding_corr_topk": embedding_corr_topk,
     # Round-8 rotation: compact_manifest (brand-new OPTIMIZE-planning
     # oracle) takes shard_manifest's slot (hash-green r6+r7; its totals
     # stay driver-hashed THROUGH compact_manifest — the bin sums equal
@@ -600,12 +608,17 @@ QUERIES: dict[str, QueryFn] = {
     "event_transition_matrix": event_transition_matrix,
     "item_cooccurrence": item_cooccurrence,
     # -- rotated out in round 10 to make room for similarity_pq_topk
-    #    (grace spent) + ivf_pq_topk + pq_recall_report — each swap-out
+    #    (grace spent) + ivf_pq_topk + pq_recall_report +
+    #    stream_distinct_users + embedding_corr_topk — each swap-out
     #    hash-green r8+r9 with dedicated local pins (centroid drift
-    #    matrix, S-curve planner tests, packing reconciliation) ---------
+    #    matrix, S-curve planner tests, packing reconciliation, the
+    #    streaming ingest-gate verdicts, the hand-computed BPE merge
+    #    table) -----------------------------------------------------------
     "embedding_centroid_report": embedding_centroid_report,
     "minhash_param_planner": minhash_param_planner,
     "pack_efficiency_report": pack_efficiency_report,
+    "stream_quality_gate": stream_quality_gate,
+    "bpe_merge_census": bpe_merge_census,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

@@ -1,6 +1,7 @@
 from .docs import stream_heavy_hitters, stream_minhash_dedup, stream_quality_gate
 from .events import (
     stream_dedup_events,
+    stream_distinct_users,
     stream_funnel_stage,
     stream_ohlc,
     stream_hourly_rollup,
@@ -14,6 +15,7 @@ from .events import (
 
 __all__ = [
     "stream_dedup_events",
+    "stream_distinct_users",
     "stream_minhash_dedup",
     "stream_quality_gate",
     "stream_funnel_stage",

@@ -167,6 +167,41 @@ def _hourly_rollup_frame(ev: DataFrame) -> DataFrame:
     )
 
 
+def stream_distinct_users(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Exact windowed user cardinality over the ingest stream — the
+    canonical MULTI-STATEFUL-OPERATOR chain (Spark 3.5+): streaming
+    dropDuplicates on (window, user) feeds a windowed count in the SAME
+    query, so state stage 1 holds exactly the distinct (window, user)
+    set (watermark-evictable in production append mode) and stage 2 one
+    counter per window — never a per-window user SET in a single
+    operator's state, which is what a naive size(collect_set()) would
+    hold. The r10 addition that puts chained stateful operators (the
+    class streaming CDC/dedup-then-aggregate pipelines need) under a
+    driver hash.
+
+    NULL users cannot be counted (anonymous rows carry no identity):
+    dropped HERE, mirrored by the oracle's WHERE user_id IS NOT NULL —
+    the read_events_stream NULL-ts chokepoint pattern. Complete mode ⇒
+    final sink == the batch COUNT(DISTINCT) per hour; at 1B users/hour
+    the same two-stage plan swaps the exact dedup for
+    approx_count_distinct (HLL) — documented, not silently done."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    dedup = (
+        ev.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .select(F.window("ts", "1 hour").alias("win"), "user_id")
+        .dropDuplicates(["win", "user_id"])
+    )
+    result = (
+        dedup.groupBy("win")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("win.start").alias("window_start"), "n_users")
+    )
+    return run_to_memory(result, "complete")
+
+
 def stream_hourly_rollup(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

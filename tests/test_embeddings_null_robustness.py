@@ -64,6 +64,10 @@ QUERIES_UNDER_TEST = [
     # (all three ride the chokepoint + the interior-NULL drop).
     "ivf_pq_topk",
     "pq_recall_report",
+    # r10: cross-dimension redundancy audit — degenerate vectors must
+    # never contribute a pair cell (quantization happens after the
+    # chokepoint on both engines).
+    "embedding_corr_topk",
 ]
 
 

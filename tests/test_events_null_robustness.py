@@ -68,6 +68,10 @@ QUERIES_UNDER_TEST = [
     "stream_rolling_zscore",
     "stream_funnel_stage",
     "stream_ohlc",
+    # r10: the multi-stateful dedup→count chain — NULL users must drop
+    # via the mirrored no-anonymous-identity filter, NULL ts via the
+    # reader chokepoint.
+    "stream_distinct_users",
 ]
 
 

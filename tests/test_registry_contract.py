@@ -71,6 +71,13 @@ ROTATED_IN = {
     # machinery pinned by test_packing.py).
     "ivf_pq_topk",
     "pq_recall_report",
+    # Round-10 continuation: the multi-stateful streaming chain vs
+    # stream_quality_gate (hash-green r8+r9; gate verdicts pinned in
+    # test_streaming.py) and the cross-dimension redundancy audit vs
+    # bpe_merge_census (hash-green r8+r9; hand-computed merge-table pin
+    # in test_textops.py).
+    "stream_distinct_users",
+    "embedding_corr_topk",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must

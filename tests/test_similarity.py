@@ -589,3 +589,62 @@ def test_pq_recall_report_reconciles_with_topk_frames(spark, sf_dir):
         assert r["n_hits"] == hits, r
         assert r["recall"] == hits / len(truth)
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_corr_topk_reconciles_with_numpy(spark, sf_dir):
+    """embedding_corr_topk must equal a numpy recomputation on the same
+    1e-4 integer grid: exact integer pair sums → covariance/correlation,
+    cannot-correlate filter on rounded variances, (|corr| DESC, i, j)
+    ranking."""
+    import numpy as np
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        COV_TOP_PAIRS,
+        _embeddings,
+        embedding_corr_topk,
+    )
+
+    rows = _embeddings(spark, sf_dir).collect()
+    mat = np.stack(
+        [np.array(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    q = np.floor(mat * 10000 + 0.5)  # integer grid (exact in float64)
+    n, d = q.shape
+
+    def rnd(x, s):
+        return np.floor(x * 10**s + 0.5) / 10**s
+
+    expected = {}
+    order = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            qi, qj = q[:, i], q[:, j]
+            sp, si, sj = (qi * qj).sum(), qi.sum(), qj.sum()
+            ssi, ssj = (qi * qi).sum(), (qj * qj).sum()
+            mi, mj = si / 1e4 / n, sj / 1e4 / n
+            cov = sp / 1e8 / n - mi * mj
+            vi = ssi / 1e8 / n - mi * mi
+            vj = ssj / 1e8 / n - mj * mj
+            if rnd(vi, 8) <= 0 or rnd(vj, 8) <= 0:
+                continue
+            corr = cov / np.sqrt(vi * vj)
+            expected[(i, j)] = (rnd(cov, 8), rnd(corr, 6))
+            order.append((-rnd(abs(corr), 6), i, j))
+    order.sort()
+    top = [(i, j) for _, i, j in order[:COV_TOP_PAIRS]]
+
+    out = embedding_corr_topk(spark, sf_dir).collect()
+    assert len(out) == min(COV_TOP_PAIRS, len(order))
+    got = {(r["dim_i"], r["dim_j"]): (r["cov"], r["corr"], r["rank"]) for r in out}
+    assert sorted(got) == sorted(top)
+    for rank, (i, j) in enumerate(top, start=1):
+        cov, corr, spark_rank = got[(i, j)]
+        assert spark_rank == rank
+        exp_cov, exp_corr = expected[(i, j)]
+        assert cov == pytest.approx(exp_cov, abs=2e-8), (i, j)
+        assert corr == pytest.approx(exp_corr, abs=2e-6), (i, j)
+        assert r_abs_ok(corr)
+
+
+def r_abs_ok(c):
+    return -1.0000001 <= c <= 1.0000001

@@ -493,3 +493,26 @@ def test_stream_quality_gate_matches_batch_row_gates(spark, sf_small):
         for r in row_gates(load_table(spark, sf_small, "documents")).collect()
     }
     assert got == want and got
+
+
+def test_distinct_users_state_across_batches(spark, sf_small, split_events_dir):
+    """r10: the multi-stateful chain (streaming dropDuplicates →
+    windowed count) must carry the distinct-set state across all 4
+    micro-batches — a (window, user) pair seen again in a LATER file
+    must not double-count. Final complete-mode sink == batch
+    COUNT(DISTINCT) per hour."""
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_distinct_users,
+    )
+
+    streamed = stream_distinct_users(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    expected = (
+        load_events(spark, sf_small)
+        .where(F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    keys = ["window_start", "n_users"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
