@@ -648,3 +648,36 @@ def test_corr_topk_reconciles_with_numpy(spark, sf_dir):
 
 def r_abs_ok(c):
     return -1.0000001 <= c <= 1.0000001
+
+
+def test_embedding_corr_topk_planted_matrix(spark, tmp_path):
+    """r10 synthetic pin: the sf corpus has no zero-variance dimension,
+    so the cannot-correlate gate never fires there — plant one. Corpus:
+    dim0 constant (must appear in NO pair), dim1 = x, dim2 = 2x
+    (corr exactly +1), dim3 = 0.7 − x (corr exactly −1 with both).
+    Ranking ties on |corr| = 1 break by (dim_i, dim_j)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        embedding_corr_topk,
+    )
+
+    x = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
+    vecs = [[0.5, v, 2 * v, round(0.7 - v, 4)] for v in x]
+    spark.createDataFrame(
+        [(i, v, "a") for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = embedding_corr_topk(spark, str(tmp_path)).collect()
+    got = {(r["dim_i"], r["dim_j"]): r for r in rows}
+    # the constant dim is excluded from every pair
+    assert all(0 not in pair for pair in got), got.keys()
+    assert sorted(got) == [(1, 2), (1, 3), (2, 3)]
+    # |corr| = 1 ties break by (dim_i, dim_j)
+    assert [r["rank"] for r in sorted(rows, key=lambda r: (r["dim_i"], r["dim_j"]))] == [1, 2, 3]
+    assert got[(1, 2)]["corr"] == pytest.approx(1.0, abs=2e-6)
+    assert got[(1, 3)]["corr"] == pytest.approx(-1.0, abs=2e-6)
+    assert got[(2, 3)]["corr"] == pytest.approx(-1.0, abs=2e-6)
+    # hand-computed: var(x) = 0.91/6 − 0.35² = 0.0291666…,
+    # cov(x, 2x) = 2·var(x) = 0.0583333…
+    assert got[(1, 2)]["cov"] == pytest.approx(0.05833333, abs=2e-8)
+    assert got[(1, 3)]["cov"] == pytest.approx(-0.02916667, abs=2e-8)
+    assert all(r["n_vecs"] == 6 for r in rows)
