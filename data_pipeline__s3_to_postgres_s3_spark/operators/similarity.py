@@ -1661,6 +1661,96 @@ def pq_recall_report(
 
 
 COV_TOP_PAIRS = 50  # most-correlated dimension pairs reported
+# Above this dimensionality the explode path's N·d²/2 row volume beats
+# the cost of an Arrow round-trip and the gramian path engages (the
+# dedup-family size-dispatch pattern). The sf corpora (d=64) always
+# take the declarative explode path the driver hashes.
+CORR_GRAMIAN_MIN_DIM = 256
+
+_CORR_SUMS_SCHEMA = (
+    "di int, dj int, n long, sp long, si long, sj long, ssi long, ssj long"
+)
+
+
+def _corr_sums_explode(emb: DataFrame) -> DataFrame:
+    """Per-pair integer partials via the row-local ordered-pair explode —
+    one (di, dj, 1, qi·qj, qi, qj, qi², qj²) row per vector per pair;
+    the caller's groupBy-SUM map-side combines them to ≤d²/2 cells per
+    task before the shuffle."""
+    qv = F.expr(
+        "transform(embedding, v -> "
+        "CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+    )
+    return (
+        emb.select(qv.alias("qv"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(qv, (x, i) -> "
+                    "transform(slice(qv, i + 2, size(qv)), (y, k) -> "
+                    "struct(i AS di, i + 1 + k AS dj, x * y AS p, "
+                    "x AS qi, y AS qj))))"
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.di").alias("di"),
+            F.col("s.dj").alias("dj"),
+            F.lit(1).cast("long").alias("n"),
+            F.col("s.p").alias("sp"),
+            F.col("s.qi").alias("si"),
+            F.col("s.qj").alias("sj"),
+            (F.col("s.qi") * F.col("s.qi")).alias("ssi"),
+            (F.col("s.qj") * F.col("s.qj")).alias("ssj"),
+        )
+    )
+
+
+def _corr_sums_gramian(emb: DataFrame, dim: int) -> DataFrame:
+    """The large-d scale path: per-partition gramian accumulation over
+    Arrow batches — a d×d int64 qᵀq matrix, a d-vector Σq, and a row
+    count per partition, emitted as ONE d·(d−1)/2-row partial frame per
+    partition (vs the explode path's N·d²/2 rows per task BEFORE its
+    map-side combine). The partials are the IDENTICAL exact integers
+    (numpy int64 matmul on the same 1e-4 grid), so the caller's
+    groupBy-SUM yields bit-identical results on either path —
+    equality-pinned in test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim, k=1)
+
+    def gram(batches):
+        S = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = np.floor(mat * 10000 + 0.5).astype(np.int64)
+            S += q.T @ q
+            s += q.sum(axis=0)
+            n += q.shape[0]
+        if n == 0:
+            return
+        di, dj = iu
+        yield pd.DataFrame(
+            {
+                "di": di.astype(np.int32),
+                "dj": dj.astype(np.int32),
+                "n": np.full(di.shape, n, dtype=np.int64),
+                "sp": S[di, dj],
+                "si": s[di],
+                "sj": s[dj],
+                "ssi": S[di, di],
+                "ssj": S[dj, dj],
+            }
+        )
+
+    return emb.select("embedding").mapInPandas(gram, _CORR_SUMS_SCHEMA)
 
 
 def embedding_corr_topk(
@@ -1683,10 +1773,15 @@ def embedding_corr_topk(
     sums — combine-order-free; covariance/correlation are FIXED single
     expressions over them (the dim_stats variance recipe), so no
     distributed float order exists anywhere. The final top-K is one
-    unpartitioned window over the d²/2-row grid. At very large d the
-    same sums come from a mapInPandas gramian (d² numpy accumulators
-    per partition) instead of the pair explode; the report shape is
-    unchanged.
+    unpartitioned window over the d²/2-row grid. At very large d
+    (CORR_GRAMIAN_MIN_DIM) the row-explode volume N·d²/2 dominates and
+    the SAME six sums come from the mapInPandas gramian path
+    (_corr_sums_gramian: d×d int64 qᵀq accumulators per Arrow batch,
+    one d²/2-row partial frame per partition) — identical integer
+    partials into the identical final aggregate, so the dispatch can
+    never change a value (equality-pinned in test_similarity.py); the
+    sf corpora (d=64) always take the declarative explode path the
+    driver hashes.
 
     Determinism: zero-variance dimensions cannot be correlated —
     mirrored cannot-correlate filter on the ROUNDED variances (the
@@ -1694,31 +1789,23 @@ def embedding_corr_topk(
     sqrt off negative FP residue); rank on (rounded |corr| DESC, di,
     dj) — exact tie-breaks."""
     emb = _embeddings(spark, sf_dir).select("embedding")
-    qv = F.expr(
-        "transform(embedding, v -> "
-        "CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+    dim = _index_meta(
+        sf_dir,
+        "dim",
+        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
     )
-    pairs = (
-        emb.select(qv.alias("qv"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(qv, (x, i) -> "
-                    "transform(slice(qv, i + 2, size(qv)), (y, k) -> "
-                    "struct(i AS di, i + 1 + k AS dj, x * y AS p, "
-                    "x AS qi, y AS qj))))"
-                )
-            ).alias("s")
-        )
-        .select("s.di", "s.dj", "s.p", "s.qi", "s.qj")
+    sums = (
+        _corr_sums_gramian(emb, int(dim))
+        if dim is not None and dim >= CORR_GRAMIAN_MIN_DIM
+        else _corr_sums_explode(emb)
     )
-    g = pairs.groupBy("di", "dj").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("p").alias("sp"),
-        F.sum("qi").alias("si"),
-        F.sum("qj").alias("sj"),
-        F.sum(F.col("qi") * F.col("qi")).alias("ssi"),
-        F.sum(F.col("qj") * F.col("qj")).alias("ssj"),
+    g = sums.groupBy("di", "dj").agg(
+        F.sum("n").alias("n"),
+        F.sum("sp").alias("sp"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("ssi").alias("ssi"),
+        F.sum("ssj").alias("ssj"),
     )
     mean_i = F.col("si").cast("double") / 10000.0 / F.col("n")
     mean_j = F.col("sj").cast("double") / 10000.0 / F.col("n")

@@ -681,3 +681,47 @@ def test_embedding_corr_topk_planted_matrix(spark, tmp_path):
     assert got[(1, 2)]["cov"] == pytest.approx(0.05833333, abs=2e-8)
     assert got[(1, 3)]["cov"] == pytest.approx(-0.02916667, abs=2e-8)
     assert all(r["n_vecs"] == 6 for r in rows)
+
+
+def test_corr_sums_gramian_equals_explode(spark, tmp_path, monkeypatch):
+    """r10: the mapInPandas gramian path must produce BIT-identical
+    integer partial sums to the declarative explode path (same 1e-4
+    grid, int64 matmul) — and the dispatched operator must return the
+    same rows under either threshold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import data_pipeline__s3_to_postgres_s3_spark.operators.similarity as S
+
+    rng = np.random.default_rng(42)
+    mat = rng.normal(size=(150, 40)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], "a") for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>, label string",
+    )
+
+    def agg(sums):
+        grouped = sums.groupBy("di", "dj").agg(
+            *[F.sum(c).alias(c) for c in ("n", "sp", "si", "sj", "ssi", "ssj")]
+        )
+        return {
+            (r["di"], r["dj"]): (
+                r["n"], r["sp"], r["si"], r["sj"], r["ssi"], r["ssj"]
+            )
+            for r in grouped.collect()
+        }
+    g_explode = agg(S._corr_sums_explode(df))
+    g_gram = agg(S._corr_sums_gramian(df, 40))
+    assert g_explode == g_gram
+    assert len(g_explode) == 40 * 39 // 2
+
+    # dispatched operator: same rows under either path
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows_explode = sorted(
+        map(tuple, S.embedding_corr_topk(spark, str(tmp_path)).collect())
+    )
+    monkeypatch.setattr(S, "CORR_GRAMIAN_MIN_DIM", 8)
+    rows_gram = sorted(
+        map(tuple, S.embedding_corr_topk(spark, str(tmp_path)).collect())
+    )
+    assert rows_explode == rows_gram
