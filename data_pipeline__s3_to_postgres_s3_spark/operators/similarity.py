@@ -101,7 +101,18 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate() null-propagates qnorm/sim to NULL while DuckDB's
     list_sum/list_max skip NULL elements, and NULL sort keys then hit
     unpinned window NULL-ordering). Mirror: every oracle adds
-    ``len(list_filter(embedding, v -> v IS NULL)) = 0``."""
+    ``len(list_filter(embedding, v -> v IS NULL)) = 0``.
+
+    r10: vectors with a NON-FINITE element (NaN/±Inf — a broken encoder
+    emits exactly these) also drop on both engines. The r10 probe
+    showed they are un-mirrorable THREE ways: NaN norms/sims reach rank
+    windows (engine NaN-ordering), overflow ANSI integer grids
+    (corr/norm/dim quantizers: Spark CAST throws where DuckDB errors
+    differently), and divide-by-zero the SQ scale. Mirror: every oracle
+    adds ``len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR
+    isinf(CAST(v AS DOUBLE)))) = 0`` (Spark has no isinf — the
+    abs = 'Infinity' comparison below is its exact equivalent; NaN
+    compares false so the isnan arm catches it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _index_meta(
         sf_dir,
@@ -111,6 +122,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.where(
         (F.size("embedding") == dim)
         & F.expr("NOT exists(embedding, v -> v IS NULL)")
+        & F.expr(
+            "NOT exists(embedding, v -> isnan(CAST(v AS DOUBLE)) "
+            "OR abs(CAST(v AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+        )
     )
 
 
@@ -172,7 +187,14 @@ def hard_negative_mining(
         F.col("norm").alias("q_norm"),
     )
     if _candidate_variant(n_corpus, N_QUERIES, budget) == "lsh":
-        buckets = _lsh_bucket_entries(emb)
+        buckets = _lsh_bucket_entries(
+            emb,
+            _index_meta(
+                sf_dir,
+                "dim",
+                lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
+            ),
+        )
         q_buckets = buckets.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), "tbl", "bucket"
         )
@@ -227,15 +249,38 @@ def _sign_bucket(table: int, bits: int = LSH_BITS) -> F.Column:
     )
 
 
-def _lsh_bucket_entries(emb: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) — every vector's LSH_TABLES sign-bucket
-    entries, exploded map-side (the shared candidate-generation index for
+def _fitting_tables(dim: int, tables: int, bits: int) -> int:
+    """How many sign-hash tables the corpus dimensionality can host:
+    table t reads dims [bits·t+1 .. bits·t+bits], so only tables whose
+    whole dim range exists are built (r10 probe: a 37-dim corpus crashed
+    the 8×8-bit near-dup index — Spark's element_at throws past the end
+    where DuckDB's list index returns NULL, an un-mirrorable crash).
+    The oracle applies the identical bound via each row's dimlen column;
+    at the standard d=64 every table fits and nothing changes."""
+    if not dim:  # empty corpus: no dim, no tables
+        return 0
+    return max(0, min(tables, dim // bits))
+
+
+def _lsh_bucket_entries(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, tbl, bucket) — every vector's sign-bucket entries over
+    the tables that FIT the corpus dimensionality (_fitting_tables),
+    exploded map-side (the shared candidate-generation index for
     similarity_lsh_topk and the dispatched 100 TB branches of
     hard_negative_mining / semantic_decontaminate)."""
+    n_tables = _fitting_tables(dim, LSH_TABLES, LSH_BITS)
+    if n_tables == 0:
+        return (
+            emb.select(
+                "vec_id",
+                F.lit(0).alias("tbl"),
+                F.lit("").alias("bucket"),
+            ).limit(0)
+        )
     entries = F.array(
         *[
             F.struct(F.lit(t).alias("tbl"), _sign_bucket(t).alias("bucket"))
-            for t in range(LSH_TABLES)
+            for t in range(n_tables)
         ]
     )
     return emb.select("vec_id", F.explode(entries).alias("e")).select(
@@ -279,7 +324,14 @@ def similarity_lsh_topk(
     broadcast query buckets, candidates dedup before exact scoring —
     per-query work ≈ L·N/2^bits, no corpus shuffle."""
     emb = _with_norm(_embeddings(spark, sf_dir))
-    buckets = _lsh_bucket_entries(emb)
+    buckets = _lsh_bucket_entries(
+        emb,
+        _index_meta(
+            sf_dir,
+            "dim",
+            lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
+        ),
+    )
     q_buckets = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -450,15 +502,29 @@ def embedding_neardup_pairs(
     sign-LSH — the embedding-space member of the dedup ladder. Candidate
     pairs come from the same bucket-local collect+expand shape as the
     text-dedup operators (one pass, one shuffle on (table, bucket)); exact
-    cosine verifies. Pair space ≈ L·N²/2^bits, tunable by bits/tables."""
+    cosine verifies. Pair space ≈ L·N²/2^bits, tunable by bits/tables;
+    only tables that FIT the corpus dimensionality are built
+    (_fitting_tables — the r10 d=37 probe crash class), so a short-dim
+    corpus degrades to fewer tables (lower recall) instead of erroring;
+    dim < NEARDUP_BITS ⇒ zero tables ⇒ empty result, mirrored."""
     emb = _with_norm(_embeddings(spark, sf_dir))
+    dim = _index_meta(
+        sf_dir,
+        "dim",
+        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
+    )
+    n_tables = _fitting_tables(dim, NEARDUP_TABLES, NEARDUP_BITS)
+    if n_tables == 0:
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, sim double"
+        )
     entries = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
                 _sign_bucket(t, NEARDUP_BITS).alias("bucket"),
             )
-            for t in range(NEARDUP_TABLES)
+            for t in range(n_tables)
         ]
     )
     buckets = emb.select("vec_id", F.explode(entries).alias("e")).select(
@@ -811,7 +877,14 @@ def semantic_decontaminate(
         F.desc("cosine"), F.asc("eval_vec_id")
     )
     if variant == "lsh":
-        buckets = _lsh_bucket_entries(emb)
+        buckets = _lsh_bucket_entries(
+            emb,
+            _index_meta(
+                sf_dir,
+                "dim",
+                lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
+            ),
+        )
         e_buckets = buckets.join(
             emb.where(is_eval).select("vec_id"), "vec_id", "left_semi"
         ).select(F.col("vec_id").alias("eval_vec_id"), "tbl", "bucket")

@@ -15,6 +15,14 @@ Fixes: the `_embeddings` validity chokepoint (keep only vectors whose
 length equals the table's max dimension — a 1-row scalar, so the rule
 survives a driver dimension change; mirrored in every similarity
 oracle) and NULL-label exclusion from IVF centroid training (mirrored).
+
+Round-10 probe additions: NON-FINITE elements (NaN/±Inf — un-mirrorable
+via NaN rank ordering, ANSI integer-grid overflow in the quantizers,
+and SQ divide-by-zero; dropped by the chokepoint's finite filter,
+mirrored) and the SHORT-DIMENSIONALITY axis (a 37-dim corpus crashed
+the fixed-dim-range sign-hash tables — Spark element_at throws past the
+end where DuckDB's list index returns NULL; fixed by _fitting_tables +
+the oracles' dimlen guard).
 """
 
 from __future__ import annotations
@@ -95,6 +103,20 @@ def degenerate_embeddings_dir(sf_small, tmp_path_factory):
             # (Spark aggregate() null-propagates, DuckDB list_* skips).
             emb[i] = list(emb[i])
             emb[i][3] = None
+        elif i % 43 == 17:
+            # r10: non-finite elements (a broken encoder's output) — the
+            # probe showed NaN/Inf are un-mirrorable three ways (NaN rank
+            # ordering, ANSI integer-grid overflow in the quantizers,
+            # SQ divide-by-zero); the chokepoint's finite filter drops
+            # them on both engines.
+            emb[i] = list(emb[i])
+            emb[i][5] = float("nan")
+        elif i % 47 == 19:
+            emb[i] = list(emb[i])
+            emb[i][9] = float("inf")
+        elif i % 53 == 21:
+            emb[i] = list(emb[i])
+            emb[i][2] = float("-inf")
         if i % 23 == 3:
             labels[i] = None
     pq.write_table(
@@ -122,5 +144,77 @@ def test_oracle_gate_green_under_degenerate_vectors(
             ORACLES[name],
         )
         assert report["ok"], f"{name} under degenerate vectors: {report}"
+    finally:
+        con.close()
+
+
+def test_degenerate_fixture_contains_nonfinite_reps(degenerate_embeddings_dir):
+    """Precondition (r10): the mutation moduli must actually plant NaN,
+    +Inf, and -Inf elements — if the corpus shrinks below the residues
+    this fails loudly instead of the matrix silently dropping the axis."""
+    import math
+
+    emb = pq.read_table(
+        f"{degenerate_embeddings_dir}/embeddings.parquet"
+    ).column("embedding").to_pylist()
+    flat = [v for vec in emb if vec is not None for v in vec if v is not None]
+    assert any(math.isnan(v) for v in flat)
+    assert any(v == float("inf") for v in flat)
+    assert any(v == float("-inf") for v in flat)
+
+
+# --- r10 short-dimensionality axis ------------------------------------
+# The sign-hash tables read fixed dim ranges (LSH 8×4 bits → dims 1..32,
+# near-dup 8×8 → dims 1..64); a regenerated corpus with d below those
+# bounds crashed Spark's element_at where DuckDB's list index returns
+# NULL (un-mirrorable). _fitting_tables bounds the tables built by the
+# corpus dim, mirrored in the oracles via each row's dimlen guard.
+SHORTDIM_QUERIES = [
+    "similarity_lsh_topk",
+    "embedding_neardup_pairs",
+    "similarity_recall_report",
+    "hard_negative_mining",
+    "semantic_decontaminate",
+    "similarity_pq_topk",
+    "ivf_pq_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def shortdim_embeddings_dir(sf_small, tmp_path_factory):
+    d = tmp_path_factory.mktemp("shortdim_embeddings")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+    src = pq.read_table(f"{sf_small}/embeddings.parquet")
+    emb = [
+        v[:37] if v is not None else None
+        for v in src.column("embedding").to_pylist()
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": src.column("vec_id"),
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+                "label": src.column("label"),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", SHORTDIM_QUERIES)
+def test_oracle_gate_green_under_short_dim(
+    spark, shortdim_embeddings_dir, name
+):
+    con = duckdb_connection(shortdim_embeddings_dir)
+    try:
+        report = compare(
+            QUERIES[name](spark, shortdim_embeddings_dir),
+            con,
+            ORACLES[name],
+        )
+        assert report["ok"], f"{name} under a 37-dim corpus: {report}"
     finally:
         con.close()
