@@ -49,8 +49,36 @@ def _index_meta(sf_dir: str, kind: str, build):
     except OSError:
         return build()
     if key not in _INDEX_META_CACHE:
+        # r10 ADVICE: evict superseded entries for the same (kind, path)
+        # on insert — a corpus regenerated in-place (or the many tmp
+        # corpora a pytest session creates under a reused path) must not
+        # accumulate dead codebook/centroid rows for the process lifetime.
+        stale = [
+            k
+            for k in _INDEX_META_CACHE
+            if k[0] == key[0] and k[1] == key[1] and k[2] != key[2]
+        ]
+        for k in stale:
+            del _INDEX_META_CACHE[k]
         _INDEX_META_CACHE[key] = build()
     return _INDEX_META_CACHE[key]
+
+
+def _corpus_dim(spark: SparkSession, sf_dir: str):
+    """The corpus dimensionality — max embedding length over the RAW
+    table — memoized per (file, mtime). The ONE definition of the 'dim'
+    memo (r10 ADVICE: call sites used to re-declare the build lambda
+    over their already-filtered frames; they agreed with _embeddings
+    only because the chokepoint populates the shared cache key first,
+    and under the OSError fallback the definitions could fork and the
+    collect re-ran per call)."""
+    return _index_meta(
+        sf_dir,
+        "dim",
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .agg(F.max(F.size("embedding")))
+        .collect()[0][0],
+    )
 
 N_QUERIES = 8  # fixed query set: vec_id < 8
 TOP_K = 5
@@ -114,11 +142,7 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs = 'Infinity' comparison below is its exact equivalent; NaN
     compares false so the isnan arm catches it)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = _index_meta(
-        sf_dir,
-        "dim",
-        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-    )
+    dim = _corpus_dim(spark, sf_dir)
     return emb.where(
         (F.size("embedding") == dim)
         & F.expr("NOT exists(embedding, v -> v IS NULL)")
@@ -189,11 +213,7 @@ def hard_negative_mining(
     if _candidate_variant(n_corpus, N_QUERIES, budget) == "lsh":
         buckets = _lsh_bucket_entries(
             emb,
-            _index_meta(
-                sf_dir,
-                "dim",
-                lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-            ),
+            _corpus_dim(spark, sf_dir),
         )
         q_buckets = buckets.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), "tbl", "bucket"
@@ -326,11 +346,7 @@ def similarity_lsh_topk(
     emb = _with_norm(_embeddings(spark, sf_dir))
     buckets = _lsh_bucket_entries(
         emb,
-        _index_meta(
-            sf_dir,
-            "dim",
-            lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-        ),
+        _corpus_dim(spark, sf_dir),
     )
     q_buckets = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
@@ -508,11 +524,7 @@ def embedding_neardup_pairs(
     corpus degrades to fewer tables (lower recall) instead of erroring;
     dim < NEARDUP_BITS ⇒ zero tables ⇒ empty result, mirrored."""
     emb = _with_norm(_embeddings(spark, sf_dir))
-    dim = _index_meta(
-        sf_dir,
-        "dim",
-        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-    )
+    dim = _corpus_dim(spark, sf_dir)
     n_tables = _fitting_tables(dim, NEARDUP_TABLES, NEARDUP_BITS)
     if n_tables == 0:
         return spark.createDataFrame(
@@ -879,11 +891,7 @@ def semantic_decontaminate(
     if variant == "lsh":
         buckets = _lsh_bucket_entries(
             emb,
-            _index_meta(
-                sf_dir,
-                "dim",
-                lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-            ),
+            _corpus_dim(spark, sf_dir),
         )
         e_buckets = buckets.join(
             emb.where(is_eval).select("vec_id"), "vec_id", "left_semi"
@@ -1410,11 +1418,7 @@ def similarity_pq_topk(
     integer with the vec_id tie-break; the re-rank key is the rounded
     fixed-order exact fold with the same tie-break."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    dim = _index_meta(
-        sf_dir,
-        "dim",
-        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-    )
+    dim = _corpus_dim(spark, sf_dir)
     sub = dim // PQ_M
     subs = _pq_subspaces(emb, sub)
     cents = _pq_codebook(spark, sf_dir, subs)
@@ -1525,11 +1529,7 @@ def ivf_pq_topk(
     exact in any order); shortlist and re-rank keys carry the vec_id
     tie-break."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
-    dim = _index_meta(
-        sf_dir,
-        "dim",
-        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-    )
+    dim = _corpus_dim(spark, sf_dir)
     sub = dim // PQ_M
     # Coarse quantizer: literal-inlined centroid index (one-shot query —
     # the IVF lesson), nearest cell + probe list as row-local array exprs.
@@ -1862,11 +1862,7 @@ def embedding_corr_topk(
     sqrt off negative FP residue); rank on (rounded |corr| DESC, di,
     dj) — exact tie-breaks."""
     emb = _embeddings(spark, sf_dir).select("embedding")
-    dim = _index_meta(
-        sf_dir,
-        "dim",
-        lambda: emb.agg(F.max(F.size("embedding"))).collect()[0][0],
-    )
+    dim = _corpus_dim(spark, sf_dir)
     sums = (
         _corr_sums_gramian(emb, int(dim))
         if dim is not None and dim >= CORR_GRAMIAN_MIN_DIM

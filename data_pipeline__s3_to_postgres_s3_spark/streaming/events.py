@@ -186,7 +186,21 @@ def stream_distinct_users(
     the read_events_stream NULL-ts chokepoint pattern. Complete mode ⇒
     final sink == the batch COUNT(DISTINCT) per hour; at 1B users/hour
     the same two-stage plan swaps the exact dedup for
-    approx_count_distinct (HLL) — documented, not silently done."""
+    approx_count_distinct (HLL) — documented, not silently done.
+
+    Late-data contract (r10 ADVICE): unlike complete-mode AGGREGATION
+    (which keeps every group), streaming dropDuplicates DROPS input rows
+    whose event time sits below the watermark (applied with a one-batch
+    lag — batch N's predicate uses the value committed after batch N-1;
+    probed empirically r11) — rows arriving more than 1 hour out of
+    event-time order are not counted, which the batch COUNT(DISTINCT)
+    oracle does not model. The batch==stream equality therefore holds
+    only when (a) the replay runs one AvailableNow batch (the driver's
+    mode — the watermark is still the initial 1970 epoch when the single
+    batch is deduplicated), or (b) multi-batch input is
+    ≤1-hour-out-of-order (the split_events_dir fixture's shape; same
+    latent class as stream_dedup_events). The drop behavior itself is
+    pinned by test_distinct_users_drops_sub_watermark_late_rows."""
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     dedup = (
         ev.where(F.col("user_id").isNotNull())
@@ -297,7 +311,10 @@ def stream_dedup_events(
     suppressed via keyed state. The watermark bounds state retention (ids
     older than the watermark can never collide again under event-time order,
     so their state is dropped — this is what makes streaming dedup viable
-    over unbounded input)."""
+    over unbounded input). Late-data contract: the same watermark also
+    DROPS input rows >1 hour out of event-time order across micro-batches
+    (see stream_distinct_users' docstring for the full statement of when
+    the batch oracle equality holds)."""
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     result = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"

@@ -115,7 +115,9 @@ JUSTIFIED_TAIL_ZERO_ROW: set[str] = {
 
 def _ever_driver_checked() -> set[str]:
     seen: set[str] = set()
-    for f in sorted(REPO.glob("CORRECTNESS_r0*.json")):
+    # r10 ADVICE (medium): the old "CORRECTNESS_r0*.json" glob stopped
+    # matching at round 10 — widened so r10+ driver history counts.
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         seen |= set(json.loads(f.read_text()).keys())
     return seen
 

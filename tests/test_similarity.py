@@ -725,3 +725,40 @@ def test_corr_sums_gramian_equals_explode(spark, tmp_path, monkeypatch):
         map(tuple, S.embedding_corr_topk(spark, str(tmp_path)).collect())
     )
     assert rows_explode == rows_gram
+
+
+def test_index_meta_cache_evicts_superseded_mtime(tmp_path):
+    """r10 ADVICE: a corpus regenerated in-place (new mtime, same path)
+    must EVICT the superseded cache entry on insert, not accumulate dead
+    codebook/centroid rows for the process lifetime."""
+    import os
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    p = tmp_path / "embeddings.parquet"
+    p.write_bytes(b"x")
+    abspath = os.path.abspath(str(p))
+
+    assert sim._index_meta(str(tmp_path), "probe_kind", lambda: "v1") == "v1"
+    # Cache hit: the build must not run again for the same mtime.
+    sentinel = []
+    assert (
+        sim._index_meta(
+            str(tmp_path), "probe_kind", lambda: sentinel.append(1) or "v2"
+        )
+        == "v1"
+    )
+    assert not sentinel
+
+    # Regenerate in place: new mtime → rebuild AND the old entry evicted.
+    st = os.stat(str(p))
+    os.utime(str(p), (st.st_atime + 10, st.st_mtime + 10))
+    assert sim._index_meta(str(tmp_path), "probe_kind", lambda: "v3") == "v3"
+    live = [
+        k
+        for k in sim._INDEX_META_CACHE
+        if k[0] == "probe_kind" and k[1] == abspath
+    ]
+    assert len(live) == 1

@@ -516,3 +516,73 @@ def test_distinct_users_state_across_batches(spark, sf_small, split_events_dir):
     )
     keys = ["window_start", "n_users"]
     assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_distinct_users_drops_sub_watermark_late_rows(spark, tmp_path):
+    """r10 ADVICE pin: streaming dropDuplicates (unlike complete-mode
+    aggregation) DROPS rows older than the watermark. A (window, user)
+    row arriving >1h out of event-time order in a LATER micro-batch is
+    not counted — the documented divergence from the batch
+    COUNT(DISTINCT) oracle — while the same input replayed as ONE
+    AvailableNow batch (the driver's mode: watermark still at epoch
+    when the batch is deduplicated) matches the batch count exactly."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_distinct_users,
+    )
+
+    base = 1704067200 * 10**9  # 2024-01-01 00:00:00 UTC as int64 nanos
+    hour = 3600 * 10**9
+
+    def _write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows), pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            str(tmp_path / name),
+        )
+
+    # Spark applies the watermark with a ONE-BATCH lag (the predicate for
+    # batch N uses the value committed after batch N-1), so the late rows
+    # must arrive two batches after the watermark-advancing data:
+    # batch 0: user 1@00:10, user 2@03:00 → commits watermark 02:00
+    _write("events-0.parquet", [(1, base + hour // 6, 1), (2, base + 3 * hour, 2)])
+    # batch 1: user 3@03:01 (fresh) — batch 0's 02:00 watermark now active
+    _write("events-1.parquet", [(3, base + 3 * hour + 60 * 10**9, 3)])
+    # batch 2: user 4@00:30 — BELOW the active 02:00 watermark → dropped
+    _write("events-2.parquet", [(4, base + hour // 2, 4)])
+    # The file source orders micro-batches by mtime: force 0 → 1 → 2.
+    now = time.time()
+    for i in range(3):
+        os.utime(
+            str(tmp_path / f"events-{i}.parquet"),
+            (now - 120 + 60 * i, now - 120 + 60 * i),
+        )
+
+    multi = {
+        r["window_start"].hour: r["n_users"]
+        for r in stream_distinct_users(
+            spark, str(tmp_path), max_files_per_trigger=1
+        ).collect()
+    }
+    # user 4's hour-0 row fell below the active watermark: dropped.
+    assert multi == {0: 1, 3: 2}
+
+    single = {
+        r["window_start"].hour: r["n_users"]
+        for r in stream_distinct_users(spark, str(tmp_path)).collect()
+    }
+    # One AvailableNow batch (driver mode): nothing is late; == batch oracle.
+    assert single == {0: 2, 3: 2}
