@@ -1901,11 +1901,16 @@ def embedding_corr_topk(
         portable_round(corr, 6).alias("corr"),
         portable_round(F.abs(corr), 6).alias("abs_corr"),
     )
-    w = Window.orderBy(
-        F.desc("abs_corr"), F.asc("dim_i"), F.asc("dim_j")
-    )
+    # Global top-K as a TakeOrdered cut, NOT an unpartitioned window over
+    # the full d²/2 grid (r10 VERDICT #7: at d=4096 the window funneled
+    # 8.4M rows through one task; orderBy().limit() plans as
+    # TakeOrderedAndProject — per-partition top-K, K-row driver merge).
+    # The rank is then re-derived over the ≤COV_TOP_PAIRS survivors with
+    # the SAME total order (ties broken by the unique (dim_i, dim_j)),
+    # so the output is value-identical to the old full window.
+    order = [F.desc("abs_corr"), F.asc("dim_i"), F.asc("dim_j")]
+    top = scored.orderBy(*order).limit(COV_TOP_PAIRS)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= COV_TOP_PAIRS)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .drop("abs_corr")
     )
