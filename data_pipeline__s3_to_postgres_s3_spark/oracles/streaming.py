@@ -77,7 +77,23 @@ GROUP BY user_id
 
 # Stream-stream interval join: finite-input append-mode inner join equals
 # the batch interval join. Same micros truncation as the stream source.
+# The view side mirrors the admitted-view cap EXACTLY (streaming/events.py
+# _admitted_views: first 8 views per (user, 30-min tumbling bucket) by
+# (view_ts, view_id) — deterministic; NULLS FIRST pins Spark's ASC
+# default for NULL event_ids). A no-op on the sf corpora (max 2
+# views/bucket); binds identically on both engines when a hot key
+# exceeds the cap.
 STREAM_VIEW_PURCHASE_JOIN = f"""
+WITH admitted AS (
+    SELECT * FROM (
+        SELECT user_id, event_id, tsu,
+            ROW_NUMBER() OVER (
+                PARTITION BY user_id, epoch_us(tsu) // 1800000000
+                ORDER BY tsu NULLS FIRST, event_id NULLS FIRST) AS _vrn
+        FROM {_EV}
+        WHERE event_type = 'view'
+    ) WHERE _vrn <= 8
+)
 SELECT p.user_id,
     p.event_id AS purchase_id,
     p.tsu AS purchase_ts,
@@ -85,11 +101,11 @@ SELECT p.user_id,
     v.event_id AS view_id,
     v.tsu AS view_ts
 FROM {_EV} p
-JOIN {_EV} v
+JOIN admitted v
   ON v.user_id = p.user_id
  AND v.tsu >= p.tsu - INTERVAL 30 MINUTE
  AND v.tsu <= p.tsu
-WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+WHERE p.event_type = 'purchase'
 """
 
 # Stream-static join + complete-mode rollup == the batch join + rollup.

@@ -35,7 +35,7 @@ import tempfile
 from collections.abc import Iterator
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
@@ -595,6 +595,52 @@ def stream_rolling_zscore(
     return run_to_memory(scored, "append", state_partitions=8)
 
 
+# Hot-key output-volume cap for the view↔purchase interval join (r10
+# VERDICT #1): at most this many views per (user, 30-minute tumbling
+# bucket) participate in attribution — the first CAP by (view_ts,
+# view_id). The sf corpora max out at 2 views per (user, bucket)
+# (4× margin: the cap is a verified no-op there), so the driver hash
+# still proves the uncapped semantics; on a bot-grade hot key it bounds
+# each purchase's match set at 2·CAP views, making output volume LINEAR
+# in the hot key's event count instead of quadratic.
+VIEW_CAP_PER_BUCKET = 8
+_BUCKET_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def _admitted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admitted-view set: top-VIEW_CAP_PER_BUCKET views per
+    (user_id, 30-min bucket), ranked by (view_ts, view_id) — a
+    deterministic, engine-mirrorable attribution policy (the oracle
+    carries the identical ROW_NUMBER qualification, so the cap binding
+    on a skewed corpus stays hash-green; the dedup-family mirrored-cap
+    pattern). Computed as a STATIC frame over the same files the stream
+    reads (re-evaluated per micro-batch by the stream-static join); a
+    production deployment maintains this as an incrementally-updated
+    admitted table instead of re-ranking history — the watermark-state
+    precedent (reference extract_load_transform_data_pipeline.py.py:95-101:
+    state lives in the destination, not the job)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
+    v = (
+        normalize_event_ts(ev)
+        .where(F.col("ts").isNotNull() & (F.col("event_type") == "view"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr(f"unix_micros(ts) div {_BUCKET_US}").alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= VIEW_CAP_PER_BUCKET)
+        .select(F.col("event_id").alias("view_id"))
+    )
+
+
 def stream_view_purchase_join(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -610,6 +656,15 @@ def stream_view_purchase_join(
     stream-stream join production bug; with it, state is O(events per
     30-minute window), independent of stream length.
 
+    OUTPUT volume is the second hot-key hazard (r10 skew lane: 14.6× at
+    10× data — the hot user's emitted pair count grows ~quadratically in
+    its rate even with bounded state): the view side is therefore gated
+    through the admitted-view cap (_admitted_views — at most
+    VIEW_CAP_PER_BUCKET views per user per 30-min bucket, deterministic
+    first-by-(ts, id) policy, mirrored EXACTLY in the oracle), bounding
+    each purchase's match set at 2·CAP views. A no-op on the sf corpora
+    (max 2 views/bucket); linearizes bot-grade keys.
+
     Append-mode inner interval joins over a finite stream emit exactly the
     batch join result, so the sink is SQL-oracle-checkable.
     """
@@ -621,6 +676,7 @@ def stream_view_purchase_join(
             F.col("event_id").alias("view_id"),
             F.col("ts").alias("view_ts"),
         )
+        .join(_admitted_views(spark, sf_dir), "view_id", "left_semi")
         .withWatermark("view_ts", "1 hour")
     )
     purchases = (

@@ -586,3 +586,68 @@ def test_distinct_users_drops_sub_watermark_late_rows(spark, tmp_path):
     }
     # One AvailableNow batch (driver mode): nothing is late; == batch oracle.
     assert single == {0: 2, 3: 2}
+
+
+def test_view_purchase_join_caps_bot_grade_hot_key(spark, tmp_path):
+    """r10 VERDICT #1: the admitted-view cap bounds a bot-grade hot
+    user's pair volume (40 views in one bucket → only the first 8 by
+    (ts, id) join) and binds IDENTICALLY in the DuckDB oracle mirror, so
+    a skewed corpus stays hash-green; a normal user is untouched."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline__s3_to_postgres_s3_spark.oracles.streaming import (
+        STREAM_VIEW_PURCHASE_JOIN,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.streaming import (
+        stream_view_purchase_join,
+    )
+
+    base = 1704067200 * 10**9  # 2024-01-01 00:00:00 UTC, int64 nanos
+    sec = 10**9
+    rows = []  # (event_id, ts, user_id, event_type)
+    # Bot user 100: 40 views 20 s apart inside bucket 0, purchase at 29 min.
+    for i in range(40):
+        rows.append((i, base + i * 20 * sec, 100, "view"))
+    rows.append((1000, base + 29 * 60 * sec, 100, "purchase"))
+    # Normal user 200: 2 views + 1 purchase, all within 30 minutes.
+    rows.append((2000, base + 60 * sec, 200, "view"))
+    rows.append((2001, base + 120 * sec, 200, "view"))
+    rows.append((2002, base + 600 * sec, 200, "purchase"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    got = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in stream_view_purchase_join(spark, str(tmp_path)).collect()
+    }
+    # Bot: only the first 8 views admitted; normal user: both views join.
+    want = {(100, 1000, i) for i in range(8)} | {
+        (200, 2002, 2000),
+        (200, 2002, 2001),
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * EXCLUDE (ts), "
+        "make_timestamp(ts // 1000) AS ts FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], r[4])
+        for r in con.execute(STREAM_VIEW_PURCHASE_JOIN).fetchall()
+    }
+    assert oracle == want
