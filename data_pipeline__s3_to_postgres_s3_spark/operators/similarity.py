@@ -20,7 +20,10 @@ ordering ties break identically in Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1913,4 +1916,282 @@ def embedding_corr_topk(
     return (
         top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .drop("abs_corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index artifact (r10 VERDICT #2): train once, serve many.
+# ---------------------------------------------------------------------------
+# _index_meta amortizes training within one process; a production
+# 1B-vector deployment goes one step further and PERSISTS the trained
+# index as tables — codebooks, coarse centroids, and the per-vector code
+# table — then serves every query job from the artifact without touching
+# the raw corpus (except the |Q|·PQ_SHORTLIST exact re-rank rows). The
+# reference's own watermark pattern is the precedent: state lives in the
+# destination, not the job (extract_load_transform_data_pipeline.py.py:95-101).
+ANN_ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ann")
+_ANN_COMPONENTS = ("pq_codebook", "ivf_centroids", "codes")
+
+
+def _ann_artifact_dir(sf_dir: str) -> str:
+    """Artifact location, keyed by (corpus path hash, mtime): a corpus
+    regenerated in place gets a NEW directory — staleness is structural,
+    never a runtime check on served results."""
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(p.encode()).hexdigest()[:12]
+    return os.path.join(
+        ANN_ARTIFACT_ROOT, f"{key}_{int(os.path.getmtime(p))}"
+    )
+
+
+def _ann_build_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The three artifact components, built from the SAME helpers
+    ivf_pq_topk composes (cf. operators/similarity.py ivf_pq_topk) so the
+    persisted index can never drift from the in-lineage one:
+    - pq_codebook: (m, cell, centroid) — PQ_M·PQ_K rows
+    - ivf_centroids: (cell, centroid) — nlist rows
+    - codes: (vec_id, ivf_cell, codes array) — ONE row per vector, the
+      1B-vector hot-scan layout (M log2(K)-bit words at scale)."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
+    dim = _corpus_dim(spark, sf_dir)
+    sub = dim // PQ_M
+    cent_rows = _index_meta(
+        sf_dir, "ivf_centroids", lambda: ivf_centroids(emb).collect()
+    )
+    dists = _dist_structs(_inline_centroids(cent_rows, "int"))
+    base = emb.withColumn("dists", dists).select(
+        "vec_id",
+        "embedding",
+        F.array_min("dists")["cell"].alias("ivf_cell"),
+    )
+    subs = _pq_subspaces(base, sub, carry=("ivf_cell",))
+    cents = _pq_codebook(spark, sf_dir, subs)
+    codes = (
+        _pq_assign(subs, cents, carry=("ivf_cell",))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("ivf_cell").alias("ivf_cell"),
+            F.array_sort(F.collect_list(F.struct("m", "cell"))).alias("mc"),
+        )
+        .select(
+            "vec_id",
+            "ivf_cell",
+            F.expr("transform(mc, x -> x.cell)").alias("codes"),
+        )
+    )
+    ivfcent = spark.createDataFrame(
+        [(r["cell"], r["centroid"]) for r in cent_rows],
+        "cell int, centroid array<double>",
+    )
+    return {"pq_codebook": cents, "ivf_centroids": ivfcent, "codes": codes}
+
+
+def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Write (or overwrite) the artifact; evict superseded-mtime siblings
+    of the same corpus (the _index_meta eviction rule, on disk)."""
+    art = _ann_artifact_dir(sf_dir)
+    frames = _ann_build_frames(spark, sf_dir)
+    for name in _ANN_COMPONENTS:
+        w = frames[name].write.mode("overwrite")
+        if name == "codes":
+            # Cluster the code table by coarse cell: at scale the probe
+            # routing join becomes partition pruning (read nprobe/nlist
+            # of the files) instead of a scan.
+            w = w.partitionBy("ivf_cell")
+        w.parquet(os.path.join(art, name))
+    stem = os.path.basename(art).rsplit("_", 1)[0]
+    if os.path.isdir(ANN_ARTIFACT_ROOT):
+        for sib in os.listdir(ANN_ARTIFACT_ROOT):
+            if sib.rsplit("_", 1)[0] == stem and sib != os.path.basename(art):
+                shutil.rmtree(os.path.join(ANN_ARTIFACT_ROOT, sib), True)
+    return art
+
+
+def _ensure_ann_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Read-through: serve from the current-mtime artifact if complete,
+    else build it (so the serve query is self-contained for the driver,
+    which runs registry entries in any order)."""
+    art = _ann_artifact_dir(sf_dir)
+    if all(
+        os.path.exists(os.path.join(art, n, "_SUCCESS"))
+        for n in _ANN_COMPONENTS
+    ):
+        return art
+    return _ann_write_artifact(spark, sf_dir)
+
+
+def ann_index_build(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Train the IVF-PQ index and PERSIST it as parquet tables; return
+    the build manifest — one row per component with its row count and an
+    order-free integer checksum over the trained values, computed by
+    READING THE ARTIFACT BACK (the manifest audits what landed on disk,
+    not the lineage that produced it). The DuckDB oracle retrains the
+    identical index in SQL (_pq_code_ctes / the IVF centroid CTEs — the
+    no-drift composition pq/ivf_pq already hash under) and reproduces
+    every count and checksum, so a driver hash of this query proves the
+    persisted artifact byte-equivalent to an independent retraining.
+
+    Checksums (all exact int64 sums — combine-order-free):
+    - pq_codebook / ivf_centroids: Σ floor(element · 10^IVF_ROUND + 0.5)
+      over all centroid elements (they are grid multiples, so the
+      quantizer is exact on both engines);
+    - codes_pq: Σ cell·(m+1) over all N·M code words (position-weighted
+      so permuted codes cannot cancel);
+    - codes_ivf: Σ coarse cell over the N vectors."""
+    art = _ann_write_artifact(spark, sf_dir)
+    rg = 10**IVF_ROUND
+
+    def qsum(col: str) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(x * rg + F.lit(0.5)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+
+    cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
+    ivfc = spark.read.parquet(os.path.join(art, "ivf_centroids"))
+    codes = spark.read.parquet(os.path.join(art, "codes"))
+    parts = [
+        cb.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(qsum("centroid")).alias("checksum"),
+        ).select(F.lit("pq_codebook").alias("component"), "n_rows", "checksum"),
+        ivfc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(qsum("centroid")).alias("checksum"),
+        ).select(
+            F.lit("ivf_centroids").alias("component"), "n_rows", "checksum"
+        ),
+        codes.agg(
+            F.sum(F.array_size("codes").cast("long")).alias("n_rows"),
+            F.sum(
+                F.aggregate(
+                    F.expr(
+                        "transform(codes, (c, i) -> CAST(c AS BIGINT)"
+                        " * (CAST(i AS BIGINT) + 1))"
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                )
+            ).alias("checksum"),
+        ).select(F.lit("codes_pq").alias("component"), "n_rows", "checksum"),
+        codes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("ivf_cell").cast("long")).alias("checksum"),
+        ).select(F.lit("codes_ivf").alias("component"), "n_rows", "checksum"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_index_topk(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """IVF-PQ top-K served FROM the persisted artifact — the production
+    complement of ivf_pq_topk (which embeds training in its own lineage;
+    cf. that docstring for the physical shape): codebooks, coarse
+    centroids, and the code table are READ, never retrained, so the only
+    corpus touches are the |Q| query vectors and the |Q|·PQ_SHORTLIST
+    exact re-rank rows. Value-identical to ivf_pq_topk by construction
+    (same constants, same deterministic tie-breaks, same integer ADC
+    grid — pinned row-for-row in tests/test_similarity.py), so the
+    oracle IS the ivf_pq oracle: a DuckDB retraining that keeps the
+    served artifact honest every driver run."""
+    art = _ensure_ann_artifact(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(art, "pq_codebook"))
+    ivf_rows = spark.read.parquet(os.path.join(art, "ivf_centroids")).collect()
+    codes = spark.read.parquet(os.path.join(art, "codes"))
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    dim = _corpus_dim(spark, sf_dir)
+    sub = dim // PQ_M
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    dists = _dist_structs(_inline_centroids(ivf_rows, "int"))
+    probes = q.withColumn("dists", dists).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort("dists"), 1, IVF_PQ_NPROBE),
+                lambda s: s["cell"],
+            )
+        ).alias("ivf_cell"),
+    )
+    qsubs = _pq_subspaces(q, sub).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("q_sv")
+    )
+    term = F.aggregate(
+        F.zip_with(
+            "q_sv",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dt = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id",
+        (F.col("m").cast("long") * PQ_K + F.col("cell")).alias("mk"),
+        F.floor(term * PQ_DTQ + F.lit(0.5)).cast("long").alias("dtq"),
+    )
+    qdt = dt.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("mk", "dtq"))).alias(
+            "dtq_map"
+        )
+    )
+    routed = codes.join(F.broadcast(probes), "ivf_cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adcq = F.expr(
+        f"aggregate(transform(codes, (c, i) -> "
+        f"dtq_map[CAST(i AS BIGINT) * {PQ_K} + c]), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    adc = routed.join(F.broadcast(qdt), "query_id").select(
+        "query_id", "vec_id", adcq.alias("adcq")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adcq"), F.asc("vec_id")
+    )
+    shortlist = adc.withColumn("srank", F.row_number().over(w_adc)).where(
+        F.col("srank") <= PQ_SHORTLIST
+    )
+    qe = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    d2_exact = portable_round(
+        F.aggregate(
+            F.zip_with(
+                "q_embedding",
+                "embedding",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        IVF_ROUND,
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_exact"), F.asc("vec_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("adcq") / float(PQ_DTQ)).alias("d2_adc"),
+            d2_exact.alias("d2_exact"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .where(F.col("rank") <= TOP_K)
     )

@@ -2126,12 +2126,16 @@ def _pq_sql() -> str:
 # centroids rounded at the IVF grid, nearest-cell assignment, nprobe
 # probing — the SIMILARITY_IVF_TOPK recipe over ``valid``); the ADC sum
 # runs only over (query, vector) pairs routed through a probed cell.
-def _ivf_pq_sql() -> str:
-    from ..operators.similarity import IVF_PQ_NPROBE, IVF_ROUND, PQ_ITERS
+def _ivf_cent_ctes() -> list[str]:
+    """The IVF coarse-quantizer CTE chain (label-seeded rounded-mean
+    centroids → per-vector nearest-cell assignment) — composed verbatim
+    by _ivf_pq_sql AND _ann_manifest_sql so the coarse index the two
+    oracles replicate can never drift (the _pq_code_ctes precedent)."""
+    from ..operators.similarity import IVF_ROUND
 
     rg = 10**IVF_ROUND
     d2 = _D2_SQL
-    ctes = _pq_code_ctes() + [
+    return [
         (
             "ivfflat AS (SELECT label, unnest(embedding) AS val, "
             "generate_subscripts(embedding, 1) AS dim FROM valid "
@@ -2158,6 +2162,13 @@ def _ivf_pq_sql() -> str:
             "PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn "
             "FROM ivfscored) WHERE rn = 1)"
         ),
+    ]
+
+
+def _ivf_pq_sql() -> str:
+    from ..operators.similarity import IVF_PQ_NPROBE, PQ_ITERS
+
+    ctes = _pq_code_ctes() + _ivf_cent_ctes() + [
         (
             "ivfprobes AS (SELECT vec_id AS query_id, cell FROM ("
             "SELECT vec_id, cell, ROW_NUMBER() OVER ("
@@ -2191,6 +2202,53 @@ IVF_PQ_TOPK = _ivf_pq_sql()
 
 LLMOPS_ORACLES["similarity_pq_topk"] = SIMILARITY_PQ_TOPK
 LLMOPS_ORACLES["ivf_pq_topk"] = IVF_PQ_TOPK
+
+
+# ann_index_build (operators/similarity.ann_index_build): retrain the
+# IDENTICAL index in SQL (_pq_code_ctes + _ivf_cent_ctes — the no-drift
+# composition) and reproduce the persisted artifact's per-component row
+# counts and order-free integer checksums; a hash match proves the
+# artifact on disk byte-equivalent to an independent retraining. Every
+# SUM is CAST(... AS BIGINT) — DuckDB widens bare integer SUMs to
+# HUGEINT → pandas float64, the r4 dtype trap.
+def _ann_manifest_sql() -> str:
+    from ..operators.similarity import IVF_ROUND, PQ_ITERS
+
+    rg = 10**IVF_ROUND
+    ctes = _pq_code_ctes() + _ivf_cent_ctes()
+    qels = (
+        "SELECT CAST(FLOOR(CAST(u AS DOUBLE) * {rg} + 0.5) AS BIGINT) AS q "
+        "FROM (SELECT unnest(centroid) AS u FROM {src})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT 'pq_codebook' AS component,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM c{PQ_ITERS}) AS n_rows,
+    (SELECT CAST(SUM(q) AS BIGINT)
+     FROM ({qels.format(rg=rg, src=f'c{PQ_ITERS}')})) AS checksum
+UNION ALL
+SELECT 'ivf_centroids',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfcentroids),
+    (SELECT CAST(SUM(q) AS BIGINT)
+     FROM ({qels.format(rg=rg, src='ivfcentroids')}))
+UNION ALL
+SELECT 'codes_pq',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a{PQ_ITERS}),
+    (SELECT CAST(SUM(cell * (m + 1)) AS BIGINT) FROM a{PQ_ITERS})
+UNION ALL
+SELECT 'codes_ivf',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned),
+    (SELECT CAST(SUM(cell) AS BIGINT) FROM ivfassigned)
+"""
+    )
+
+
+ANN_INDEX_BUILD = _ann_manifest_sql()
+LLMOPS_ORACLES["ann_index_build"] = ANN_INDEX_BUILD
+# ann_index_topk serves ivf_pq_topk's exact result from the persisted
+# artifact (value-identical by construction — see the operator); the
+# oracle IS the ivf_pq retraining, keeping the served artifact honest.
+LLMOPS_ORACLES["ann_index_topk"] = IVF_PQ_TOPK
 
 # pq_recall_report (operators/similarity.pq_recall_report): the two
 # L2-metric ANN oracles nested VERBATIM as CTEs (the recall-report

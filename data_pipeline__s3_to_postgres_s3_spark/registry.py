@@ -107,6 +107,8 @@ from .operators.dedup import (
     minhash_estimate_audit,
 )
 from .operators.similarity import (
+    ann_index_build,
+    ann_index_topk,
     embedding_centroid_report,
     embedding_dim_stats,
     embedding_norm_profile,
@@ -354,11 +356,14 @@ QUERIES: dict[str, QueryFn] = {
     # the documents stream, swapped against event_transition_matrix
     # (hash-green r6+r7+r8, events matrices).
     "stream_heavy_hitters": stream_heavy_hitters,
-    # Round-9 new op, straight into the window: per-label norm profile
-    # (encoder-health monitor), swapped against top_session_paths
-    # (hash-green r6+r7+r8; session-path semantics locally pinned in
-    # test_events_analytics.py).
-    "embedding_norm_profile": embedding_norm_profile,
+    # Round-11 new op, straight into the window (headline-op precedent;
+    # r10 VERDICT ask #2): the persisted-ANN-index build manifest — the
+    # DuckDB oracle retrains the identical index and reproduces every
+    # artifact row count and checksum. Takes embedding_norm_profile's
+    # slot (hash-green r9+r10; the norm census stays pinned by
+    # test_similarity.py and shares the _embeddings chokepoint with the
+    # in-window similarity family).
+    "ann_index_build": ann_index_build,
     # Round-9 new op, straight into the window: Q8-shape market share
     # (ratio-of-conditional-sums within group over the full dim chain),
     # swapped against item_cooccurrence (hash-green r6+r7+r8; its frame
@@ -368,10 +373,14 @@ QUERIES: dict[str, QueryFn] = {
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
-    # Round-9 late rotation: the per-dimension embedding census takes
-    # customer_rfm_segments' slot (hash-green r6+r7+r8; RFM determinism
-    # pinned in test_determinism.py and the orders-NULL matrix).
-    "embedding_dim_stats": embedding_dim_stats,
+    # Round-11 new op, straight into the window: IVF-PQ top-K served
+    # FROM the persisted artifact (value-identical to the in-window
+    # ivf_pq_topk — pinned row-for-row in test_similarity.py; oracle =
+    # the ivf_pq retraining, keeping the served artifact honest). Takes
+    # embedding_dim_stats' slot (hash-green r9+r10; the per-dimension
+    # census machinery stays driver-hashed through the in-window
+    # embedding_corr_topk, which shares its integer-grid recipe).
+    "ann_index_topk": ann_index_topk,
     # Round-8 late rotation: zorder_skip_estimate (brand-new file-skip
     # estimator composing the in-window zorder_manifest's Morton
     # machinery) takes promo_revenue_share's slot (hash-green r6+r7;
@@ -619,6 +628,11 @@ QUERIES: dict[str, QueryFn] = {
     "pack_efficiency_report": pack_efficiency_report,
     "stream_quality_gate": stream_quality_gate,
     "bpe_merge_census": bpe_merge_census,
+    # -- rotated out in round 11 to make room for ann_index_build +
+    #    ann_index_topk — both swap-outs hash-green r9+r10 with dedicated
+    #    local pins (norm census; dim census via embedding_corr_topk) ----
+    "embedding_norm_profile": embedding_norm_profile,
+    "embedding_dim_stats": embedding_dim_stats,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

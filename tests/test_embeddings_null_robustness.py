@@ -76,6 +76,11 @@ QUERIES_UNDER_TEST = [
     # never contribute a pair cell (quantization happens after the
     # chokepoint on both engines).
     "embedding_corr_topk",
+    # r11: the persisted index — degenerate vectors must never land in
+    # the artifact (build manifest counts/checksums mirror the retrained
+    # oracle) nor be served from it.
+    "ann_index_build",
+    "ann_index_topk",
 ]
 
 
@@ -177,6 +182,10 @@ SHORTDIM_QUERIES = [
     "semantic_decontaminate",
     "similarity_pq_topk",
     "ivf_pq_topk",
+    # r11: artifact build + serve under a 37-dim corpus (sub = 37//4 = 9
+    # leading dims per subspace; the build must fit the short dim).
+    "ann_index_build",
+    "ann_index_topk",
 ]
 
 

@@ -55,29 +55,20 @@ ROWS_ONLY_ALLOWED = {
 # dedup_containment [green r5+r6] and profile_events [green r6 + heavy
 # local pins]).
 ROTATED_IN = {
-    # Round 10 (VERDICT r9 ask #1 — the round's forced move): the PQ
-    # top-K spends its round-9 tail grace and takes its first driver
-    # hash, swapped against embedding_centroid_report (hash-green r8+r9;
-    # centroid machinery pinned by test_similarity.py's hand-computed
-    # drift matrix). Prior rounds' rotations are recorded in git history
-    # of this file and the committed CORRECTNESS_r0*.json (round 9
-    # rotated 20 first-timers in — see the r9 version of this set).
-    "similarity_pq_topk",
-    # Round-10 new ops, straight into the window (headline-op
-    # precedent): IVF-PQ composition (r9 ask #2) vs minhash_param_planner
-    # (hash-green r8+r9; _scurve_sql stays driver-hashed through the
-    # in-window jaccard_threshold_sweep), and the L2 recall audit
-    # (r9 ask #3) vs pack_efficiency_report (hash-green r8+r9; bin
-    # machinery pinned by test_packing.py).
-    "ivf_pq_topk",
-    "pq_recall_report",
-    # Round-10 continuation: the multi-stateful streaming chain vs
-    # stream_quality_gate (hash-green r8+r9; gate verdicts pinned in
-    # test_streaming.py) and the cross-dimension redundancy audit vs
-    # bpe_merge_census (hash-green r8+r9; hand-computed merge-table pin
-    # in test_textops.py).
-    "stream_distinct_users",
-    "embedding_corr_topk",
+    # Round 11 (r10 VERDICT ask #2 — the round's forced move, ≤6-swap
+    # budget honored at 2): the persisted-ANN-index build manifest and
+    # the artifact-served IVF-PQ top-K go straight into the window
+    # (headline-op precedent), swapped against embedding_norm_profile
+    # and embedding_dim_stats — both hash-green r9+r10 with dedicated
+    # local pins (norm census in test_similarity.py; the dim census'
+    # integer-grid machinery stays driver-hashed through the in-window
+    # embedding_corr_topk). Prior rounds' rotations are recorded in git
+    # history of this file and the committed CORRECTNESS_r*.json
+    # (round 10 rotated similarity_pq_topk / ivf_pq_topk /
+    # pq_recall_report / stream_distinct_users / embedding_corr_topk in
+    # — see the r10 version of this set).
+    "ann_index_build",
+    "ann_index_topk",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must

@@ -762,3 +762,79 @@ def test_index_meta_cache_evicts_superseded_mtime(tmp_path):
         if k[0] == "probe_kind" and k[1] == abspath
     ]
     assert len(live) == 1
+
+
+def test_ann_index_topk_serves_ivf_pq_result_exactly(spark, sf_small):
+    """r11 (VERDICT #2): the artifact-served top-K must be row-for-row
+    identical to the in-lineage ivf_pq_topk — same constants, same
+    tie-breaks, same integer ADC grid, so persisting the index can never
+    change a served result."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
+        ann_index_topk,
+        ivf_pq_topk,
+    )
+
+    served = sorted(tuple(r) for r in ann_index_topk(spark, sf_small).collect())
+    inline = sorted(tuple(r) for r in ivf_pq_topk(spark, sf_small).collect())
+    assert served == inline and served
+
+
+def test_ann_index_topk_reads_artifact_without_retraining(spark, sf_small, monkeypatch):
+    """Serving must not retrain: with the artifact present, the training
+    entry points are unreachable (monkeypatched to raise), and the
+    in-process index memo cleared — the served result comes from disk."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    sim._ensure_ann_artifact(spark, sf_small)  # prebuild
+    monkeypatch.setattr(
+        sim,
+        "_pq_train_rows",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("PQ retraining reached during serve")
+        ),
+    )
+    monkeypatch.setattr(
+        sim,
+        "ivf_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("IVF retraining reached during serve")
+        ),
+    )
+    # Drop the in-process memo too: the artifact alone must suffice.
+    saved = dict(sim._INDEX_META_CACHE)
+    sim._INDEX_META_CACHE.clear()
+    try:
+        assert sim.ann_index_topk(spark, sf_small).count() > 0
+    finally:
+        sim._INDEX_META_CACHE.update(saved)
+
+
+def test_ann_artifact_staleness_rebuilds_on_corpus_regeneration(
+    spark, sf_small, tmp_path
+):
+    """A corpus regenerated in place (new mtime) must get a NEW artifact
+    directory on the next serve, with the superseded sibling evicted —
+    staleness is structural (the _index_meta eviction rule, on disk)."""
+    import os
+    import shutil
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    for t in TABLES:
+        shutil.copy(f"{sf_small}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    d = str(tmp_path)
+    art1 = sim._ensure_ann_artifact(spark, d)
+    assert os.path.exists(os.path.join(art1, "codes", "_SUCCESS"))
+
+    p = str(tmp_path / "embeddings.parquet")
+    st = os.stat(p)
+    os.utime(p, (st.st_atime + 5, st.st_mtime + 5))
+    art2 = sim._ensure_ann_artifact(spark, d)
+    assert art2 != art1
+    assert os.path.exists(os.path.join(art2, "codes", "_SUCCESS"))
+    assert not os.path.exists(art1)  # superseded sibling evicted
