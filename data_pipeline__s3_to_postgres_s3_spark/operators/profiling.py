@@ -189,3 +189,94 @@ def profile_events(
 
     ev = load_events(spark, sf_dir).select(*PROFILE_EVENTS_COLS)
     return profile_table(ev, PROFILE_EVENTS_COLS)
+
+
+# Primary-key spec per table: the identity contract every downstream
+# query assumes (TPC-H defines these PKs; events/documents/embeddings
+# carry the obvious surrogate). Shared with the oracle builder.
+KEY_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def key_uniqueness_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Primary-key uniqueness audit across every table — the detection
+    gate for the r11 duplicate-key probe class. A re-ingested or
+    corrupted feed that re-claims a key breaks the identity assumption
+    ~30 downstream rank/dedup/pair queries rely on, in ways that are
+    engine-arbitrary and therefore CANNOT be mirrored per query (each
+    engine picks its own row among conflicting duplicates — the probe
+    measured 28 of 185 queries diverging on a planted-duplicate corpus,
+    0 on a healthy one). The scalable contract is: ENFORCE uniqueness at
+    ingest (quarantine/dedup — the reference's S2 quarantine precedent),
+    and DETECT violations mechanically with this report before trusting
+    query output. The similarity family additionally self-defends at its
+    `_embeddings` chokepoint (ambiguous vec_ids drop, mirrored) because
+    a duplicated query id CRASHED the PQ map path.
+
+    Per table: row count, NULL-key rows, distinct keys, duplicated keys,
+    surplus rows beyond the first per key, and CONFLICT keys (same key,
+    >1 distinct full row — the un-remediable class exact-row dedup
+    cannot fix). All counts exact int64.
+
+    Scale shape: one groupBy per table (map-side combined; the full-row
+    distinct runs as a two-phase count-distinct inside it), 10 rows out;
+    at 100 TB this is the nightly audit a warehouse runs per feed."""
+    from operator import and_
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    parts = []
+    for name, keys in KEY_SPECS:
+        df = load_table(spark, sf_dir, name)
+        notnull = reduce(and_, [F.col(k).isNotNull() for k in keys])
+        allcols = F.struct(*[F.col(c) for c in df.columns])
+        per_key = (
+            df.where(notnull)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(allcols).alias("nd"),
+            )
+        )
+        key_stats = per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_keys"),
+            F.sum(F.col("n") - 1).cast("long").alias("dup_rows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("conflict_keys"),
+        )
+        totals = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(~notnull, 1).otherwise(0))
+            .cast("long")
+            .alias("null_key_rows"),
+        )
+        parts.append(
+            totals.crossJoin(key_stats).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "null_key_rows",
+                "n_keys",
+                "dup_keys",
+                "dup_rows",
+                "conflict_keys",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -146,14 +146,65 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares false so the isnan arm catches it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _corpus_dim(spark, sf_dir)
-    return emb.where(
+    out = emb.where(
         (F.size("embedding") == dim)
         & F.expr("NOT exists(embedding, v -> v IS NULL)")
         & F.expr(
             "NOT exists(embedding, v -> isnan(CAST(v AS DOUBLE)) "
             "OR abs(CAST(v AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
         )
+        & F.col("vec_id").isNotNull()
     )
+    # r11 duplicate-key probe: a vec_id claimed by MORE THAN ONE row (a
+    # re-ingested/corrupted corpus) has ambiguous identity — the class is
+    # un-mirrorable (conflicting payloads give each engine a different
+    # arbitrary rank/dedup/map pick, and a duplicated QUERY id crashes
+    # map_from_entries with DUPLICATED_MAP_KEY). ALL rows of a duplicated
+    # id drop, on both engines (the oracles' NOT IN mirror). Clean-corpus
+    # cost: ZERO — the memoized dup set is empty, so no filter or join is
+    # added to the plan at all.
+    dups = _dup_vec_ids(spark, sf_dir)
+    if dups is None:
+        dup_frame = (
+            emb.where(F.col("vec_id").isNotNull())
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .select("vec_id")
+        )
+        out = out.join(dup_frame, "vec_id", "left_anti")
+    elif dups:
+        out = out.where(~F.col("vec_id").isin(list(dups)))
+    return out
+
+
+# Beyond this many duplicated ids the memo stops collecting and callers
+# anti-join the dup frame instead (a mass re-ingest accident must not
+# materialize an unbounded driver list).
+_DUP_IDS_CAP = 10_000
+
+
+def _dup_vec_ids(spark: SparkSession, sf_dir: str):
+    """The set of vec_ids claimed by >1 raw row, memoized per corpus
+    file — () on a healthy corpus (the common case: zero plan impact),
+    a bounded tuple on a damaged one, None past _DUP_IDS_CAP (callers
+    fall back to the anti-join)."""
+
+    def build():
+        dups = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id").isNotNull())
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .select("vec_id")
+        )
+        rows = dups.limit(_DUP_IDS_CAP + 1).collect()
+        if len(rows) > _DUP_IDS_CAP:
+            return None
+        return tuple(r[0] for r in rows)
+
+    return _index_meta(sf_dir, "dup_vec_ids", build)
 
 
 def similarity_bruteforce_topk(

@@ -1462,6 +1462,41 @@ EXTENSION_ORACLES["referential_integrity_report"] = (
 )
 
 
+# key_uniqueness_report (operators/profiling.py): PK-multiplicity census
+# per table, built from the SAME KEY_SPECS the operator iterates (no
+# drift). Full-row distinctness via the row(...) constructor (arrays
+# compare element-wise on both engines); every count CAST to BIGINT
+# (the HUGEINT dtype trap). The per-table column lists are read from the
+# parquet schema by the operator and pinned here via SELECT-star row().
+def _key_uniqueness_sql() -> str:
+    from ..operators.profiling import KEY_SPECS
+
+    parts = []
+    for name, keys in KEY_SPECS:
+        kl = ", ".join(keys)
+        notnull = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        parts.append(f"""
+SELECT '{name}' AS table_name,
+    CAST((SELECT COUNT(*) FROM {name}) AS BIGINT) AS n_rows,
+    CAST((SELECT COUNT(*) FROM {name} WHERE NOT ({notnull})) AS BIGINT)
+        AS null_key_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_keys,
+    CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+    CAST(SUM(n - 1) AS BIGINT) AS dup_rows,
+    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS conflict_keys
+FROM (
+    SELECT {kl}, COUNT(*) AS n,
+        COUNT(DISTINCT _t) AS nd
+    FROM {name} _t WHERE {notnull} GROUP BY {kl}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+KEY_UNIQUENESS_REPORT = _key_uniqueness_sql()
+EXTENSION_ORACLES["key_uniqueness_report"] = KEY_UNIQUENESS_REPORT
+
+
 # salted_brand_revenue (operators/skew.py): the oracle is the PLAIN
 # join+group — the driver hash proves the salted/two-phase plan moves
 # work, never rows or cents. Revenue in exact 1e-4 integer units.

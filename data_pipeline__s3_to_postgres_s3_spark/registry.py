@@ -136,6 +136,7 @@ from .operators.multimodal import (
 )
 from .operators.pii import pii_scrub, pii_source_report
 from .operators.profiling import (
+    key_uniqueness_report,
     profile_documents,
     profile_events,
     profile_orders,
@@ -396,12 +397,15 @@ QUERIES: dict[str, QueryFn] = {
     # money-matrix-pinned).
     "ship_priority_counts": ship_priority_counts,
     # -- dedup/source-mixture audits --------------------------------------
-    # Round-9 new op, straight into the window: count-min-sketch heavy-
-    # hitter audit (the point-frequency sketch class), swapped against
-    # source_overlap (hash-green r6+r7+r8; the overlap matrix machinery
-    # stays pinned by its synthetic hand-computed matrix test and the
-    # minhash estimator twin).
-    "heavy_hitters_cms": heavy_hitters_cms,
+    # Round-11 new op, straight into the window (the duplicate-key probe
+    # round's detection gate): PK-multiplicity census per table — the
+    # mechanical alarm for the un-mirrorable identity-ambiguity class the
+    # probe measured (28/185 queries diverge on a planted-duplicate
+    # corpus). Takes heavy_hitters_cms's slot (hash-green r9+r10; the CMS
+    # cell machinery stays driver-hashed through the in-window
+    # stream_heavy_hitters, which shares cms_entries, and the Python
+    # replica pin in test_approx.py).
+    "key_uniqueness_report": key_uniqueness_report,
     # Round-8 late rotation: jaccard_threshold_sweep (brand-new measured
     # threshold CDF — the empirical complement of minhash_param_planner's
     # theoretical S-curve, sharing its _scurve_sql string and the jaccard
@@ -629,10 +633,13 @@ QUERIES: dict[str, QueryFn] = {
     "stream_quality_gate": stream_quality_gate,
     "bpe_merge_census": bpe_merge_census,
     # -- rotated out in round 11 to make room for ann_index_build +
-    #    ann_index_topk — both swap-outs hash-green r9+r10 with dedicated
-    #    local pins (norm census; dim census via embedding_corr_topk) ----
+    #    ann_index_topk + key_uniqueness_report — every swap-out
+    #    hash-green r9+r10 with dedicated local pins (norm census; dim
+    #    census via embedding_corr_topk; CMS via stream_heavy_hitters +
+    #    test_approx.py) ------------------------------------------------
     "embedding_norm_profile": embedding_norm_profile,
     "embedding_dim_stats": embedding_dim_stats,
+    "heavy_hitters_cms": heavy_hitters_cms,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

@@ -69,6 +69,12 @@ ROTATED_IN = {
     # — see the r10 version of this set).
     "ann_index_build",
     "ann_index_topk",
+    # Round 11 (VERDICT ask #6 — the duplicate-key probe round): the
+    # PK-multiplicity detection gate, swapped against heavy_hitters_cms
+    # (hash-green r9+r10; the CMS machinery stays driver-hashed through
+    # the in-window stream_heavy_hitters + the Python replica in
+    # test_approx.py).
+    "key_uniqueness_report",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
