@@ -2045,12 +2045,19 @@ def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
     art = _ann_artifact_dir(sf_dir)
     frames = _ann_build_frames(spark, sf_dir)
     for name in _ANN_COMPONENTS:
-        w = frames[name].write.mode("overwrite")
+        df = frames[name]
+        w = df.write.mode("overwrite")
         if name == "codes":
-            # Cluster the code table by coarse cell: at scale the probe
-            # routing join becomes partition pruning (read nprobe/nlist
-            # of the files) instead of a scan.
-            w = w.partitionBy("ivf_cell")
+            # Cluster the code table by coarse cell: the serve-side probe
+            # join then compiles to DYNAMIC PARTITION PRUNING on this
+            # column (plan-pinned in test_similarity.py) — nprobe/nlist of
+            # the files read instead of a scan. Repartition on the
+            # partition column first (the write_training_shards lesson):
+            # without it every writing task opens a file per cell it
+            # touches — tasks×nlist small files at scale.
+            w = df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+                "ivf_cell"
+            )
         w.parquet(os.path.join(art, name))
     stem = os.path.basename(art).rsplit("_", 1)[0]
     if os.path.isdir(ANN_ARTIFACT_ROOT):
