@@ -1486,3 +1486,57 @@ def jaccard_threshold_sweep(
             "p_lsh_capture"
         ),
     )
+
+
+# The documents schema the repair pins (shared with the oracle builder —
+# a driver-added column must be adopted EXPLICITLY on both sides, never
+# silently absorbed into the row-identity definition).
+DOC_REPAIR_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def repair_documents_reingest(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Re-ingest repair for the documents feed — the REMEDIATION half of
+    the r11 duplicate-key contract (key_uniqueness_report is the
+    detection half; the probe measured 28/185 queries diverging
+    engine-arbitrarily once a corpus carries duplicate doc_ids):
+
+    - EXACT duplicate rows (same doc_id, same payload — a feed replayed
+      into the lake) collapse to ONE row, with ``n_copies`` recording
+      the collapsed multiplicity for ingest accounting;
+    - CONFLICTING duplicates (same doc_id, different payload — ambiguous
+      identity no engine-portable rule can pick a winner from) are
+      EXCLUDED from the repaired corpus: they route to quarantine (the
+      reference's S2 malformed-row precedent,
+      extract_load_transform_data_pipeline.py.py:66-75), surfaced by
+      key_uniqueness_report's conflict_keys;
+    - identity-less rows (NULL doc_id) likewise quarantine — repair is
+      defined by key identity.
+
+    Both rules are deterministic set algebra (group-by over the full
+    pinned row, anti-join on the conflict-key set) — mirrored exactly in
+    SQL, so the repair itself is oracle-checkable, and idempotent:
+    repairing a repaired corpus is the identity with all n_copies = 1.
+
+    Scale shape: one groupBy over the pinned columns (map-side combined
+    — exact duplicates collapse inside each mapper) plus one count-
+    distinct aggregate on doc_id for the conflict set; the anti-join's
+    build side holds only CONFLICTING ids (empty on a healthy corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select(*DOC_REPAIR_COLS)
+    keyed = docs.where(F.col("doc_id").isNotNull())
+    conflicts = (
+        keyed.groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.struct(*[F.col(c) for c in DOC_REPAIR_COLS])
+            ).alias("nd")
+        )
+        .where(F.col("nd") > 1)
+        .select("doc_id")
+    )
+    return (
+        keyed.join(conflicts, "doc_id", "left_anti")
+        .groupBy(*DOC_REPAIR_COLS)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    )

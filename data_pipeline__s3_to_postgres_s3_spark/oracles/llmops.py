@@ -2385,3 +2385,30 @@ SELECT dim_i, dim_j, n_vecs, cov, corr, rank FROM (
 
 EMBEDDING_CORR_TOPK = _corr_topk_sql()
 LLMOPS_ORACLES["embedding_corr_topk"] = EMBEDDING_CORR_TOPK
+
+
+# repair_documents_reingest (operators/dedup.py): deterministic set
+# algebra — exact-duplicate full rows collapse (GROUP BY the pinned
+# row), conflicting doc_ids (>1 distinct full row) and NULL-id rows
+# quarantine. COUNT CAST to BIGINT (the HUGEINT dtype trap); the column
+# list comes from the shared DOC_REPAIR_COLS so the row-identity
+# definition cannot drift.
+def _repair_reingest_sql() -> str:
+    from ..operators.dedup import DOC_REPAIR_COLS
+
+    cols = ", ".join(DOC_REPAIR_COLS)
+    return f"""
+SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM (SELECT {cols} FROM documents) _d
+WHERE doc_id IS NOT NULL AND doc_id NOT IN (
+    SELECT doc_id FROM (
+        SELECT doc_id, COUNT(DISTINCT _t) AS nd
+        FROM (SELECT {cols} FROM documents) _t
+        WHERE doc_id IS NOT NULL GROUP BY doc_id
+    ) WHERE nd > 1)
+GROUP BY {cols}
+"""
+
+
+REPAIR_DOCUMENTS_REINGEST = _repair_reingest_sql()
+LLMOPS_ORACLES["repair_documents_reingest"] = REPAIR_DOCUMENTS_REINGEST

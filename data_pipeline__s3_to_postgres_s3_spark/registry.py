@@ -92,6 +92,7 @@ from .operators.graph import (
     item_triangles,
 )
 from .operators.dedup import (
+    repair_documents_reingest,
     bloom_vocab_novelty,
     jaccard_threshold_sweep,
     minhash_param_planner,
@@ -365,12 +366,14 @@ QUERIES: dict[str, QueryFn] = {
     # test_similarity.py and shares the _embeddings chokepoint with the
     # in-window similarity family).
     "ann_index_build": ann_index_build,
-    # Round-9 new op, straight into the window: Q8-shape market share
-    # (ratio-of-conditional-sums within group over the full dim chain),
-    # swapped against item_cooccurrence (hash-green r6+r7+r8; its frame
-    # machinery stays driver-hashed through item_triangles and
-    # item_pagerank, which compose it).
-    "regional_market_share": regional_market_share,
+    # Round-11 new op, straight into the window: the remediation half of
+    # the duplicate-key contract (exact re-ingest rows collapse with a
+    # multiplicity column, conflicting ids quarantine — deterministic set
+    # algebra, oracle-mirrored exactly). Takes regional_market_share's
+    # slot (hash-green r9+r10; the Q8 ratio-of-conditional-sums class
+    # stays pinned by the dim/lineitem NULL matrices and the local
+    # oracle sweep every pytest run).
+    "repair_documents_reingest": repair_documents_reingest,
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
@@ -640,6 +643,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norm_profile": embedding_norm_profile,
     "embedding_dim_stats": embedding_dim_stats,
     "heavy_hitters_cms": heavy_hitters_cms,
+    "regional_market_share": regional_market_share,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

@@ -209,3 +209,39 @@ def test_key_uniqueness_report_clean_corpus_baseline(spark, sf_small):
     for t in ("customer", "orders", "events", "documents", "embeddings"):
         assert rows[t]["dup_keys"] == 0 and rows[t]["null_key_rows"] == 0
     assert rows["lineitem"]["dup_keys"] > 0  # honest census, not a gate
+
+
+def test_repair_documents_reingest_semantics(spark, dupkey_dir, sf_small):
+    """The remediation half: exact dup rows collapse (n_copies records
+    multiplicity), conflicting ids quarantine, and on a healthy corpus
+    the repair is the identity with all n_copies = 1 (idempotence)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        repair_documents_reingest,
+    )
+
+    con = duckdb_connection(dupkey_dir)
+    try:
+        report = compare(
+            QUERIES["repair_documents_reingest"](spark, dupkey_dir),
+            con,
+            ORACLES["repair_documents_reingest"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+
+    rows = repair_documents_reingest(spark, dupkey_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # repaired corpus: unique identity
+    collapsed = [r for r in rows if r["n_copies"] == 2]
+    # doc_ids %17==3 planted exact copies (30 ids), minus id 309 which is
+    # ALSO %19==5 (conflicting redux) and therefore quarantined.
+    assert len(collapsed) == 29
+    assert all(r["doc_id"] % 17 == 3 for r in collapsed)
+    assert 309 not in set(ids)
+    # conflicting ids (%19==5 with text) are gone entirely
+    assert not [i for i in ids if i % 19 == 5 and i % 17 != 3]
+    assert len(rows) == 473  # 500 - 27 conflicting ids
+
+    clean = repair_documents_reingest(spark, sf_small).collect()
+    assert len(clean) == 500 and all(r["n_copies"] == 1 for r in clean)

@@ -20,6 +20,10 @@ from .oracle_harness import compare, duckdb_connection
 
 QUERIES_UNDER_TEST = [
     "dedup_exact",
+    # r11: the re-ingest repair under NULL fields — NULL doc_id rows
+    # quarantine (mirrored), NULL payload fields group as equal rows on
+    # both engines.
+    "repair_documents_reingest",
     # r9: NULL text = zero tokens via the mirrored coalesce; the CMS
     # census and probe must agree on the empty-token drop.
     "heavy_hitters_cms",

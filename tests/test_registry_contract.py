@@ -75,6 +75,11 @@ ROTATED_IN = {
     # the in-window stream_heavy_hitters + the Python replica in
     # test_approx.py).
     "key_uniqueness_report",
+    # Round 11 continuation: the remediation half (exact re-ingest rows
+    # collapse, conflicting ids quarantine), swapped against
+    # regional_market_share (hash-green r9+r10; pinned by the
+    # dim/lineitem NULL matrices + the local oracle sweep).
+    "repair_documents_reingest",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
