@@ -232,7 +232,14 @@ def key_uniqueness_report(
 
     Scale shape: one groupBy per table (map-side combined; the full-row
     distinct runs as a two-phase count-distinct inside it), 10 rows out;
-    at 100 TB this is the nightly audit a warehouse runs per feed."""
+    at 100 TB this is the nightly audit a warehouse runs per feed. The
+    exact full-row distinct shuffles each row's whole payload once; at
+    that scale swap it for a 128-bit content-hash distinct (xxhash64
+    pair over a canonical serialization — collision-safe at any corpus
+    size, 16 bytes/row on the wire). Kept exact here because a hash of
+    a FLOAT serialization re-opens the -0.0 == 0.0 cross-engine
+    equality corner the probes closed — the swap belongs behind a
+    measured size dispatch, not as the default."""
     from operator import and_
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
