@@ -368,16 +368,22 @@ def top_session_paths(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    paths = flagged.groupBy("user_id", "session_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
-                ),
-                lambda s: s["event_type"],
+    # string_agg semantics, mirrored exactly: NULL event_types are skipped
+    # from the rendered path, and a session whose EVERY type is NULL
+    # renders as NULL — not '' (array_join alone returns '' there; the
+    # r12 NULL-event_id probe caught the divergence on an all-NULL-type
+    # singleton session). A no-op wherever any non-NULL type exists.
+    _types = F.filter(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
             ),
-            ">",
-        ).alias("path"),
+            lambda s: s["event_type"],
+        ),
+        lambda t: t.isNotNull(),
+    )
+    paths = flagged.groupBy("user_id", "session_id").agg(
+        F.when(F.size(_types) > 0, F.array_join(_types, ">")).alias("path"),
         F.count(F.lit(1)).alias("n_ev"),
     )
     return (

@@ -243,12 +243,12 @@ WITH flagged AS (
                   OR LAG(tsu) OVER w IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST)
 ),
 sessions AS (
     SELECT user_id, value,
         SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
+            PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST
             ROWS UNBOUNDED PRECEDING
         ) AS session_id
     FROM flagged
@@ -266,7 +266,7 @@ GROUP BY user_id
 EVENTS_RUNNING_TOTALS = f"""
 SELECT user_id, event_id,
     SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
-        PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
+        PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST
         ROWS UNBOUNDED PRECEDING
     ) / 100.0 AS running_value
 FROM {_EV}
@@ -303,7 +303,7 @@ WITH pts AS (
                   OR LAG(event_type) OVER w <> event_type
              THEN 1 ELSE 0 END AS is_change
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST)
 )
 SELECT user_id, event_type,
     CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
@@ -312,7 +312,7 @@ SELECT user_id, event_type,
     LEAD(tsu) OVER w2 IS NULL AS is_current
 FROM pts
 WHERE is_change = 1
-WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST)
 """
 
 
@@ -673,7 +673,7 @@ win AS (
         SUM(c * c) OVER w AS s2
     FROM c
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
+        PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST
         ROWS BETWEEN {ROLLING_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
     )
 )
@@ -1067,7 +1067,7 @@ EXTENSION_ORACLES["user_value_mad"] = USER_VALUE_MAD
 EVENT_TRANSITION_MATRIX = """
 WITH seq AS (
     SELECT LAG(event_type) OVER (
-            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST
         ) AS prev_type,
         event_type AS next_type
     FROM events
@@ -1102,19 +1102,19 @@ WITH flagged AS (
                   OR LAG(tsu) OVER w IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST)
 ),
 sessions AS (
     SELECT user_id, tsu, event_id, event_type,
         SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id
+            PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST
             ROWS UNBOUNDED PRECEDING
         ) AS session_id
     FROM flagged
 ),
 paths AS (
     SELECT user_id, session_id,
-        string_agg(event_type, '>' ORDER BY tsu NULLS FIRST, event_id) AS path,
+        string_agg(event_type, '>' ORDER BY tsu NULLS FIRST, event_id NULLS FIRST) AS path,
         COUNT(*) AS n_ev
     FROM sessions GROUP BY user_id, session_id
 )

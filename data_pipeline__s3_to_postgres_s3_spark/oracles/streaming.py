@@ -77,16 +77,21 @@ GROUP BY user_id
 
 # Stream-stream interval join: finite-input append-mode inner join equals
 # the batch interval join. Same micros truncation as the stream source.
-# The view side mirrors the admitted-view cap EXACTLY (streaming/events.py
-# _admitted_views: first 8 views per (user, 30-min tumbling bucket) by
-# (view_ts, view_id) — deterministic; NULLS FIRST pins Spark's ASC
-# default for NULL event_ids). A no-op on the sf corpora (max 2
-# views/bucket); binds identically on both engines when a hot key
-# exceeds the cap.
+# The view side mirrors the admitted-view cap EXACTLY, including its JOIN
+# SHAPE (streaming/events.py _admitted_views: first 8 views per
+# (user, 30-min tumbling bucket) by (view_ts, view_id) — deterministic;
+# NULLS FIRST pins Spark's ASC default so NULL event_ids occupy the same
+# rank slots). The Spark side applies the cap as a LEFT SEMI equi-join on
+# view_id, which (a) drops NULL-event_id views (NULL never equi-joins)
+# and (b) admits EVERY row sharing an admitted id; the `event_id IN
+# (SELECT ...)` qualification below reproduces both — a plain join
+# against the capped CTE would keep NULL-id rows the semi-join drops
+# (r11 ADVICE). A no-op on the sf corpora (max 2 views/bucket); binds
+# identically on both engines when a hot key exceeds the cap.
 STREAM_VIEW_PURCHASE_JOIN = f"""
 WITH admitted AS (
-    SELECT * FROM (
-        SELECT user_id, event_id, tsu,
+    SELECT event_id FROM (
+        SELECT event_id,
             ROW_NUMBER() OVER (
                 PARTITION BY user_id, epoch_us(tsu) // 1800000000
                 ORDER BY tsu NULLS FIRST, event_id NULLS FIRST) AS _vrn
@@ -101,11 +106,13 @@ SELECT p.user_id,
     v.event_id AS view_id,
     v.tsu AS view_ts
 FROM {_EV} p
-JOIN admitted v
+JOIN {_EV} v
   ON v.user_id = p.user_id
  AND v.tsu >= p.tsu - INTERVAL 30 MINUTE
  AND v.tsu <= p.tsu
 WHERE p.event_type = 'purchase'
+  AND v.event_type = 'view'
+  AND v.event_id IN (SELECT event_id FROM admitted)
 """
 
 # Stream-static join + complete-mode rollup == the batch join + rollup.
@@ -132,14 +139,17 @@ GROUP BY tier, event_type
 # moments) — reuse its oracle verbatim.
 from .extensions import EVENTS_ROLLING_ZSCORE as _BATCH_ROLLING_ZSCORE
 
-# The stream's event-time + value chokepoints (NULL ts can't be
-# watermarked, NULL value can't enter the ring buffer) applied to the
-# batch formulation — the single FROM events is rewritten to the
+# The stream's event-time + value + identity chokepoints (NULL ts can't
+# be watermarked, NULL value can't enter the ring buffer, NULL event_id
+# has no position in the per-key (ts, id) high-watermark total order —
+# r12 NULL-event_id probe: int(NaN) aborted the stateful op) applied to
+# the batch formulation — the single FROM events is rewritten to the
 # filtered row set so stream and oracle agree on inputs.
 _STREAM_ROLLING_ZSCORE = _BATCH_ROLLING_ZSCORE.replace(
     "FROM events",
     "FROM (SELECT * FROM events"
-    " WHERE ts IS NOT NULL AND value IS NOT NULL) events",
+    " WHERE ts IS NOT NULL AND value IS NOT NULL"
+    " AND event_id IS NOT NULL) events",
 )
 assert _STREAM_ROLLING_ZSCORE != _BATCH_ROLLING_ZSCORE
 
@@ -200,7 +210,7 @@ WITH e AS (
     SELECT user_id, date_trunc('hour', tsu) AS bucket_ts, value,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
-            ORDER BY tsu NULLS FIRST, event_id) AS rn_a,
+            ORDER BY tsu NULLS FIRST, event_id NULLS FIRST) AS rn_a,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
             ORDER BY tsu DESC NULLS LAST, event_id DESC) AS rn_d

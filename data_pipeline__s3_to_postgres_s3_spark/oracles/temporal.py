@@ -78,7 +78,7 @@ WITH e AS (
     SELECT user_id, date_trunc('hour', tsu) AS bucket_ts, value,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
-            ORDER BY tsu NULLS FIRST, event_id) AS rn_a,
+            ORDER BY tsu NULLS FIRST, event_id NULLS FIRST) AS rn_a,
         ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', tsu)
             ORDER BY tsu DESC NULLS LAST, event_id DESC) AS rn_d
@@ -106,7 +106,7 @@ WITH pts AS (
                   OR LAG(event_type) OVER w <> event_type
              THEN 1 ELSE 0 END AS is_change
     FROM {_EV}
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST)
 ),
 hist AS (
     SELECT user_id, event_type,
@@ -115,7 +115,7 @@ hist AS (
         LEAD(tsu) OVER w2 AS valid_to
     FROM pts
     WHERE is_change = 1
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id)
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu NULLS FIRST, event_id NULLS FIRST)
 )
 SELECT p.event_id, p.user_id, p.tsu AS ts, p.value,
     h.event_type AS stage_type,

@@ -577,10 +577,12 @@ def stream_rolling_zscore(
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     # NULL-value rows cannot enter the ring buffer (int(NaN) aborts the
     # Python op — r6 null-robustness probe) and carry no score anyway;
-    # the oracle filters identically.
-    keyed = ev.where(F.col("value").isNotNull()).select(
-        "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
-    )
+    # NULL-event_id rows have no position in the per-key (ts, id)
+    # high-watermark total order (and the same int(NaN) abort — r12
+    # NULL-event_id probe); the oracle filters both identically.
+    keyed = ev.where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select("user_id", "event_id", "ts", cents(F.col("value")).alias("c"))
     scored = (
         keyed.withWatermark("ts", "1 hour")
         .groupBy("user_id")

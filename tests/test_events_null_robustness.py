@@ -15,6 +15,26 @@ caught SEVEN real hazards:
   reader now drops them explicitly and every streaming oracle filters
   identically; the z-score stream additionally excludes NULL values
   (int(NaN) aborts the ring buffer).
+
+Round-12 extension (r11 ADVICE): the fixture now ALSO nulls event_id on
+a stride (and grew 40 → 60 rows). That probe caught two more real
+divergences, both fixed and pinned here:
+
+- stream_rolling_zscore aborted on a NULL event_id reaching its per-key
+  (ts, id) high-watermark (int(NaN) again) — the stream now drops
+  NULL-identity rows at the chokepoint, mirrored in the oracle;
+- top_session_paths rendered an all-NULL-event_type session as '' where
+  DuckDB string_agg yields NULL (a latent NULL-TYPE bug the larger
+  fixture surfaced — the Spark path build now mirrors string_agg
+  exactly: skip NULL elements, NULL when all are).
+
+stream_view_purchase_join's admitted-view cap was the motivating
+asymmetry: the Spark side caps via a LEFT SEMI join on view_id (NULL
+ids never equi-join), so the oracle now qualifies the un-capped view
+side with `event_id IN (SELECT ... FROM admitted)` — reproducing both
+the NULL-drop and the id-level admission — instead of joining the
+capped CTE directly. Oracle windows tie-breaking on event_id pin
+NULLS FIRST (Spark's ASC default; DuckDB defaults NULLS LAST).
 """
 
 from __future__ import annotations
@@ -72,6 +92,8 @@ QUERIES_UNDER_TEST = [
     # via the mirrored no-anonymous-identity filter, NULL ts via the
     # reader chokepoint.
     "stream_distinct_users",
+    # r12: CMS heavy hitters under NULL ids/types (sketch path).
+    "stream_heavy_hitters",
 ]
 
 
@@ -83,10 +105,10 @@ def nullish_events_dir(sf_small, tmp_path_factory):
             shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
     base = dt.datetime(2024, 1, 1)
     rows = []
-    for i in range(40):
+    for i in range(60):
         rows.append(
             (
-                i,
+                None if i % 19 == 4 else i,
                 None if i % 13 == 5 else base + dt.timedelta(minutes=7 * i),
                 None if i % 11 == 3 else 100 + i % 4,
                 None
