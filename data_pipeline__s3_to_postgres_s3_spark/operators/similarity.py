@@ -180,8 +180,13 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Beyond this many duplicated ids the memo stops collecting and callers
 # anti-join the dup frame instead (a mass re-ingest accident must not
-# materialize an unbounded driver list).
-_DUP_IDS_CAP = 10_000
+# materialize an unbounded driver list). Kept SMALL (r11 ADVICE): the
+# memoized tuple inlines as an isin() literal into EVERY similarity
+# plan on a damaged corpus, and a thousands-long IN list taxes plan
+# compilation across the whole ~21-query family — the anti-join
+# fallback (identically mirrored by the oracles' NOT IN) is the right
+# shape well before that.
+_DUP_IDS_CAP = 256
 
 
 def _dup_vec_ids(spark: SparkSession, sf_dir: str):
@@ -1983,15 +1988,40 @@ def embedding_corr_topk(
 ANN_ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ann")
 _ANN_COMPONENTS = ("pq_codebook", "ivf_centroids", "codes")
 
+# Bump on any trainer-LOGIC or artifact-LAYOUT edit that doesn't move a
+# training constant (constants fold into the token below automatically).
+_ANN_TRAINER_REV = 1
+
+
+def _ann_version_token() -> str:
+    """Trainer/format version, folded into the artifact directory name
+    (r11 VERDICT #1): a same-corpus trainer edit structurally invalidates
+    every persisted index — no manual `rm -rf` discipline, and staleness
+    can never surface as a confusing driver hash-red. The token hashes
+    the full training-constant signature plus _ANN_TRAINER_REV."""
+    sig = (
+        _ANN_TRAINER_REV,
+        PQ_M,
+        PQ_K,
+        PQ_SHORTLIST,
+        IVF_PQ_NPROBE,
+        IVF_NPROBE,
+        IVF_ROUND,
+        TOP_K,
+    )
+    return hashlib.md5(repr(sig).encode()).hexdigest()[:8]
+
 
 def _ann_artifact_dir(sf_dir: str) -> str:
-    """Artifact location, keyed by (corpus path hash, mtime): a corpus
-    regenerated in place gets a NEW directory — staleness is structural,
-    never a runtime check on served results."""
+    """Artifact location, keyed by (corpus path hash, mtime, trainer
+    version): a corpus regenerated in place — or a trainer edit — gets a
+    NEW directory. Staleness is structural, never a runtime check on
+    served results."""
     p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
     key = hashlib.md5(p.encode()).hexdigest()[:12]
     return os.path.join(
-        ANN_ARTIFACT_ROOT, f"{key}_{int(os.path.getmtime(p))}"
+        ANN_ARTIFACT_ROOT,
+        f"{key}_{int(os.path.getmtime(p))}_{_ann_version_token()}",
     )
 
 
@@ -2040,9 +2070,16 @@ def _ann_build_frames(
 
 
 def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
-    """Write (or overwrite) the artifact; evict superseded-mtime siblings
-    of the same corpus (the _index_meta eviction rule, on disk)."""
+    """Write (or overwrite) the artifact ATOMICALLY: components land in a
+    pid-suffixed temp directory, which is renamed into place in one
+    filesystem op — a concurrent reader (pytest beside the driver) sees
+    either the previous complete artifact or the new one, never a
+    half-written directory (r11 ADVICE). Superseded siblings of the same
+    corpus (older mtime or other trainer version — the _index_meta
+    eviction rule, on disk) are evicted only AFTER the rename."""
     art = _ann_artifact_dir(sf_dir)
+    tmp = f"{art}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, True)
     frames = _ann_build_frames(spark, sf_dir)
     for name in _ANN_COMPONENTS:
         df = frames[name]
@@ -2058,12 +2095,17 @@ def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
             w = df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
                 "ivf_cell"
             )
-        w.parquet(os.path.join(art, name))
-    stem = os.path.basename(art).rsplit("_", 1)[0]
-    if os.path.isdir(ANN_ARTIFACT_ROOT):
-        for sib in os.listdir(ANN_ARTIFACT_ROOT):
-            if sib.rsplit("_", 1)[0] == stem and sib != os.path.basename(art):
-                shutil.rmtree(os.path.join(ANN_ARTIFACT_ROOT, sib), True)
+        w.parquet(os.path.join(tmp, name))
+    shutil.rmtree(art, True)
+    os.rename(tmp, art)
+    key = os.path.basename(art).split("_", 1)[0]
+    for sib in os.listdir(ANN_ARTIFACT_ROOT):
+        if (
+            sib.split("_", 1)[0] == key
+            and sib != os.path.basename(art)
+            and ".tmp-" not in sib  # never touch another process's write
+        ):
+            shutil.rmtree(os.path.join(ANN_ARTIFACT_ROOT, sib), True)
     return art
 
 

@@ -840,6 +840,38 @@ def test_ann_artifact_staleness_rebuilds_on_corpus_regeneration(
     assert not os.path.exists(art1)  # superseded sibling evicted
 
 
+def test_ann_artifact_ignored_and_rebuilt_on_trainer_version_bump(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """r11 VERDICT #1: a trainer edit (modeled by bumping
+    _ANN_TRAINER_REV — training-constant changes fold into the same
+    token automatically) must structurally invalidate a same-corpus
+    artifact: the next serve ignores the old directory, rebuilds under
+    the new version token, and evicts the superseded sibling. No manual
+    rm -rf discipline."""
+    import os
+    import shutil
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    for t in TABLES:
+        shutil.copy(f"{sf_small}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    d = str(tmp_path)
+    art1 = sim._ensure_ann_artifact(spark, d)
+    assert os.path.exists(os.path.join(art1, "codes", "_SUCCESS"))
+
+    monkeypatch.setattr(sim, "_ANN_TRAINER_REV", sim._ANN_TRAINER_REV + 1)
+    art2 = sim._ensure_ann_artifact(spark, d)
+    assert art2 != art1  # new version token, new directory
+    assert os.path.exists(os.path.join(art2, "codes", "_SUCCESS"))
+    assert not os.path.exists(art1)  # old-version sibling evicted
+    # Same corpus + same trainer version: served from the artifact as-is.
+    assert sim._ensure_ann_artifact(spark, d) == art2
+
+
 def test_ann_serve_scan_is_dynamic_partition_pruned(spark, sf_small):
     """The 1B-vector claim, pinned on the plan: the artifact code table
     is partitioned by ivf_cell and the serve-side probe join compiles to
