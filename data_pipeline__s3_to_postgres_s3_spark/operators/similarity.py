@@ -1433,14 +1433,15 @@ def _pq_train_rows(spark: SparkSession, subs: DataFrame) -> list[tuple]:
 
 
 def _pq_codebook(
-    spark: SparkSession, sf_dir: str, subs: DataFrame
+    spark: SparkSession, sf_dir: str, subs: DataFrame, kind: str = "pq_codebook"
 ) -> DataFrame:
     """The trained codebook as a broadcastable frame, memoized per corpus
     file (_index_meta) — training is deterministic from the data, so the
-    memo is time-only and the retraining DuckDB oracles stay exact."""
-    rows = _index_meta(
-        sf_dir, "pq_codebook", lambda: _pq_train_rows(spark, subs)
-    )
+    memo is time-only and the retraining DuckDB oracles stay exact.
+    ``kind`` scopes the memo row (ann_index_append trains a base-rows
+    codebook under "pq_codebook_base" — it must never share a cache row
+    with the full-corpus one)."""
+    rows = _index_meta(sf_dir, kind, lambda: _pq_train_rows(spark, subs))
     return spark.createDataFrame(rows, _PQ_CENTS_SCHEMA)
 
 
@@ -2012,13 +2013,16 @@ def _ann_version_token() -> str:
     return hashlib.md5(repr(sig).encode()).hexdigest()[:8]
 
 
-def _ann_artifact_dir(sf_dir: str) -> str:
-    """Artifact location, keyed by (corpus path hash, mtime, trainer
-    version): a corpus regenerated in place — or a trainer edit — gets a
-    NEW directory. Staleness is structural, never a runtime check on
-    served results."""
+def _ann_artifact_dir(sf_dir: str, scope: str = "full") -> str:
+    """Artifact location, keyed by (corpus path hash + scope, mtime,
+    trainer version): a corpus regenerated in place — or a trainer edit —
+    gets a NEW directory. Staleness is structural, never a runtime check
+    on served results. ``scope`` names the training row set ("full" =
+    the whole corpus; "base" = rows at or below the append watermark —
+    ann_index_append's yesterday-corpus index) and is folded into the
+    directory KEY so the two artifacts are never eviction siblings."""
     p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    key = hashlib.md5(p.encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{scope}|{p}".encode()).hexdigest()[:12]
     return os.path.join(
         ANN_ARTIFACT_ROOT,
         f"{key}_{int(os.path.getmtime(p))}_{_ann_version_token()}",
@@ -2026,7 +2030,7 @@ def _ann_artifact_dir(sf_dir: str) -> str:
 
 
 def _ann_build_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, scope: str = "full"
 ) -> dict[str, DataFrame]:
     """The three artifact components, built from the SAME helpers
     ivf_pq_topk composes (cf. operators/similarity.py ivf_pq_topk) so the
@@ -2034,22 +2038,48 @@ def _ann_build_frames(
     - pq_codebook: (m, cell, centroid) — PQ_M·PQ_K rows
     - ivf_centroids: (cell, centroid) — nlist rows
     - codes: (vec_id, ivf_cell, codes array) — ONE row per vector, the
-      1B-vector hot-scan layout (M log2(K)-bit words at scale)."""
+      1B-vector hot-scan layout (M log2(K)-bit words at scale).
+    scope="base" trains AND encodes only the rows at or below the append
+    watermark (ann_index_append's day-zero index); memo kinds are
+    scope-suffixed so base and full trainings never share a cache row."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
+    if scope == "base":
+        emb = emb.where(F.col("vec_id") <= _ann_append_watermark(spark, sf_dir))
+    suffix = "" if scope == "full" else f"_{scope}"
     dim = _corpus_dim(spark, sf_dir)
     sub = dim // PQ_M
     cent_rows = _index_meta(
-        sf_dir, "ivf_centroids", lambda: ivf_centroids(emb).collect()
+        sf_dir, f"ivf_centroids{suffix}", lambda: ivf_centroids(emb).collect()
     )
+    subs = _ann_cell_subspaces(emb, cent_rows, sub)
+    cents = _pq_codebook(spark, sf_dir, subs, kind=f"pq_codebook{suffix}")
+    codes = _ann_encode_codes(subs, cents)
+    ivfcent = spark.createDataFrame(
+        [(r["cell"], r["centroid"]) for r in cent_rows],
+        "cell int, centroid array<double>",
+    )
+    return {"pq_codebook": cents, "ivf_centroids": ivfcent, "codes": codes}
+
+
+def _ann_cell_subspaces(emb: DataFrame, cent_rows: list, sub: int) -> DataFrame:
+    """Coarse-cell assignment + PQ subspace split for a row set — the
+    encode front half, shared verbatim by the build (full/base scopes)
+    and the append delta so the two encodings can never drift."""
     dists = _dist_structs(_inline_centroids(cent_rows, "int"))
-    base = emb.withColumn("dists", dists).select(
+    based = emb.withColumn("dists", dists).select(
         "vec_id",
         "embedding",
         F.array_min("dists")["cell"].alias("ivf_cell"),
     )
-    subs = _pq_subspaces(base, sub, carry=("ivf_cell",))
-    cents = _pq_codebook(spark, sf_dir, subs)
-    codes = (
+    return _pq_subspaces(based, sub, carry=("ivf_cell",))
+
+
+def _ann_encode_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, ivf_cell, codes): the persisted code-table layout from a
+    subspace frame and a TRAINED codebook — the encode back half, shared
+    by build and append (append passes the codebook READ FROM the
+    artifact: encoding new vectors never retrains)."""
+    return (
         _pq_assign(subs, cents, carry=("ivf_cell",))
         .groupBy("vec_id")
         .agg(
@@ -2062,14 +2092,11 @@ def _ann_build_frames(
             F.expr("transform(mc, x -> x.cell)").alias("codes"),
         )
     )
-    ivfcent = spark.createDataFrame(
-        [(r["cell"], r["centroid"]) for r in cent_rows],
-        "cell int, centroid array<double>",
-    )
-    return {"pq_codebook": cents, "ivf_centroids": ivfcent, "codes": codes}
 
 
-def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
+def _ann_write_artifact(
+    spark: SparkSession, sf_dir: str, scope: str = "full"
+) -> str:
     """Write (or overwrite) the artifact ATOMICALLY: components land in a
     pid-suffixed temp directory, which is renamed into place in one
     filesystem op — a concurrent reader (pytest beside the driver) sees
@@ -2077,10 +2104,10 @@ def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
     half-written directory (r11 ADVICE). Superseded siblings of the same
     corpus (older mtime or other trainer version — the _index_meta
     eviction rule, on disk) are evicted only AFTER the rename."""
-    art = _ann_artifact_dir(sf_dir)
+    art = _ann_artifact_dir(sf_dir, scope)
     tmp = f"{art}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, True)
-    frames = _ann_build_frames(spark, sf_dir)
+    frames = _ann_build_frames(spark, sf_dir, scope)
     for name in _ANN_COMPONENTS:
         df = frames[name]
         w = df.write.mode("overwrite")
@@ -2109,17 +2136,192 @@ def _ann_write_artifact(spark: SparkSession, sf_dir: str) -> str:
     return art
 
 
-def _ensure_ann_artifact(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_ann_artifact(
+    spark: SparkSession, sf_dir: str, scope: str = "full"
+) -> str:
     """Read-through: serve from the current-mtime artifact if complete,
     else build it (so the serve query is self-contained for the driver,
     which runs registry entries in any order)."""
-    art = _ann_artifact_dir(sf_dir)
+    art = _ann_artifact_dir(sf_dir, scope)
     if all(
         os.path.exists(os.path.join(art, n, "_SUCCESS"))
         for n in _ANN_COMPONENTS
     ):
         return art
-    return _ann_write_artifact(spark, sf_dir)
+    return _ann_write_artifact(spark, sf_dir, scope)
+
+
+def _ann_qsum(col: str) -> F.Column:
+    """Order-free integer checksum over a centroid array column:
+    Σ floor(element · 10^IVF_ROUND + 0.5) — the elements are grid
+    multiples, so the quantizer is exact on both engines."""
+    rg = 10**IVF_ROUND
+    return F.aggregate(
+        F.transform(
+            F.col(col),
+            lambda x: F.floor(x * rg + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+
+
+# ann_index_append's base/delta split: vectors with vec_id above
+# floor(APPEND_WM_FRAC · max(vec_id)) are "today's arrivals" — new ids
+# past a persisted max-PK watermark, the reference's own incremental
+# pattern (extract_load_transform_data_pipeline.py.py:95-101: destination
+# state decides what is new) applied to the index artifact.
+APPEND_WM_FRAC = 0.9
+_ANN_CODES_SCHEMA = "vec_id bigint, codes array<bigint>, ivf_cell int"
+
+
+def _ann_append_watermark(spark: SparkSession, sf_dir: str):
+    """floor(0.9 · max(vec_id)) over the VALID corpus, memoized per
+    (file, mtime); None when the corpus has no valid rows. The double
+    multiply-then-floor matches the oracle's
+    FLOOR(0.9 * CAST(MAX(vec_id) AS DOUBLE)) bit-for-bit."""
+    import math
+
+    def build():
+        mx = (
+            _embeddings(spark, sf_dir).agg(F.max("vec_id")).collect()[0][0]
+        )
+        if mx is None:
+            return None
+        return int(math.floor(APPEND_WM_FRAC * float(mx)))
+
+    return _index_meta(sf_dir, "append_wm", build)
+
+
+def ann_index_append(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Incremental index ingest (r11 VERDICT #6): encode NEW vectors
+    (vec_id above the append watermark — arrivals after the base index
+    was trained) against the EXISTING persisted codebooks/centroids and
+    publish them as a delta code segment beside the base code table. No
+    training runs anywhere on the append path (pinned: the trainers are
+    unreachable once the base artifact exists) — the production ingest
+    shape, where a nightly build trains and the intraday appends only
+    encode. The post-append index = base segment + delta segment, the
+    LSM-style layout real ANN services ship (segments accumulate,
+    background rebuilds merge); a vector's code is IDENTICAL either way
+    because encoding is a pure function of the trained tables.
+
+    Returns the post-append manifest, read back from the artifact:
+    - pq_codebook / ivf_centroids: the base-trained tables' row counts
+      and value checksums (training saw ONLY base rows);
+    - codes_pq / codes_ivf: counts/checksums over base+delta — every
+      valid vector encoded against the base-trained tables;
+    - appended_pq / appended_ivf: the delta segment alone (0 rows when
+      nothing is new — COALESCE'd checksums keep that exact on both
+      engines).
+    The DuckDB oracle reproduces all six rows by retraining the base
+    index in SQL (the shared _pq_code_ctes/_ivf_cent_ctes chains with a
+    watermark training filter) and encoding ALL rows against it — a
+    driver hash proves the on-disk base+delta artifact equivalent to an
+    independent base-trained/union-encoded computation.
+
+    Idempotent: the delta segment publishes atomically once per
+    (corpus, trainer version); re-runs serve the manifest from disk.
+    Scale: the only corpus-sized touch is the one delta-row encode pass
+    (|delta| rows against broadcast M·K + nlist·d tables, zero shuffle
+    until the code-layout groupBy); the base segment is never rewritten."""
+    art = _ensure_ann_artifact(spark, sf_dir, scope="base")
+    delta_dir = os.path.join(art, "codes_delta")
+    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+        wm = _ann_append_watermark(spark, sf_dir)
+        emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+        emb = (
+            emb.where(F.col("vec_id") > wm)
+            if wm is not None
+            else emb.where(F.lit(False))
+        )
+        dim = _corpus_dim(spark, sf_dir) or 0
+        sub = dim // PQ_M
+        cent_rows = spark.read.parquet(
+            os.path.join(art, "ivf_centroids")
+        ).collect()
+        if cent_rows and sub > 0:
+            cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
+            delta = _ann_encode_codes(
+                _ann_cell_subspaces(emb, cent_rows, sub), cb
+            )
+        else:  # degenerate base (no trained cells): nothing can encode
+            delta = spark.createDataFrame([], _ANN_CODES_SCHEMA)
+        tmp = f"{delta_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, True)
+        (
+            delta.repartition("ivf_cell")
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(tmp)
+        )
+        shutil.rmtree(delta_dir, True)
+        os.rename(tmp, delta_dir)
+
+    qsum = _ann_qsum
+    cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
+    ivfc = spark.read.parquet(os.path.join(art, "ivf_centroids"))
+    base_codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
+        os.path.join(art, "codes")
+    )
+    delta_codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(delta_dir)
+    union = base_codes.unionByName(delta_codes)
+
+    def code_stats(codes: DataFrame, pq_name: str, ivf_name: str):
+        pq_checksum = F.coalesce(
+            F.sum(
+                F.aggregate(
+                    F.expr(
+                        "transform(codes, (c, i) -> CAST(c AS BIGINT)"
+                        " * (CAST(i AS BIGINT) + 1))"
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                )
+            ),
+            F.lit(0).cast("long"),
+        )
+        return [
+            codes.agg(
+                F.coalesce(
+                    F.sum(F.array_size("codes").cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("n_rows"),
+                pq_checksum.alias("checksum"),
+            ).select(F.lit(pq_name).alias("component"), "n_rows", "checksum"),
+            codes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("ivf_cell").cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("checksum"),
+            ).select(F.lit(ivf_name).alias("component"), "n_rows", "checksum"),
+        ]
+
+    parts = [
+        cb.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(qsum("centroid")), F.lit(0).cast("long")
+            ).alias("checksum"),
+        ).select(F.lit("pq_codebook").alias("component"), "n_rows", "checksum"),
+        ivfc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(qsum("centroid")), F.lit(0).cast("long")
+            ).alias("checksum"),
+        ).select(
+            F.lit("ivf_centroids").alias("component"), "n_rows", "checksum"
+        ),
+        *code_stats(union, "codes_pq", "codes_ivf"),
+        *code_stats(delta_codes, "appended_pq", "appended_ivf"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ann_index_build(
@@ -2143,17 +2345,7 @@ def ann_index_build(
       so permuted codes cannot cancel);
     - codes_ivf: Σ coarse cell over the N vectors."""
     art = _ann_write_artifact(spark, sf_dir)
-    rg = 10**IVF_ROUND
-
-    def qsum(col: str) -> F.Column:
-        return F.aggregate(
-            F.transform(
-                F.col(col),
-                lambda x: F.floor(x * rg + F.lit(0.5)).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
-        )
+    qsum = _ann_qsum
 
     cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
     ivfc = spark.read.parquet(os.path.join(art, "ivf_centroids"))

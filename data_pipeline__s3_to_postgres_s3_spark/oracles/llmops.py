@@ -1994,11 +1994,18 @@ LLMOPS_ORACLES["embedding_dim_stats"] = EMBEDDING_DIM_STATS
 # embedding_kmeans CTE chain, keyed by subspace m), ADC terms quantized
 # to integer micro-units BEFORE the cross-subspace SUM (exact in any
 # combine order), rank by (adcq ASC, vec_id ASC).
-def _pq_code_ctes() -> list[str]:
+def _pq_code_ctes(train_filter: str = "") -> list[str]:
     """The shared PQ-encoding CTE chain (valid / subspaces / Lloyd rounds
     c0..cN / assignments a0..aN / query subvectors / integer ADC distance
     table ``dt``) — composed verbatim by BOTH _pq_sql and _ivf_pq_sql so
-    the codebooks the two oracles replicate can never drift."""
+    the codebooks the two oracles replicate can never drift.
+
+    ``train_filter`` is a ``{v}``-parameterized predicate appended to the
+    TRAINING row set only (the c0 seeds and every f{i} centroid update);
+    assignments a0..aN always run over ALL valid rows. The default ""
+    keeps the emitted SQL byte-identical to the pre-append oracles;
+    _ann_append_sql passes the watermark filter so the codebook trains on
+    base rows while the final encode covers base+delta."""
     from ..operators.similarity import (
         IVF_ROUND,
         PQ_DTQ,
@@ -2029,7 +2036,8 @@ def _pq_code_ctes() -> list[str]:
         (
             "c0 AS (SELECT m, vec_id AS cell, "
             "list_transform(sv, x -> CAST(x AS DOUBLE)) AS centroid "
-            f"FROM subs WHERE vec_id < {PQ_K})"
+            f"FROM subs WHERE vec_id < {PQ_K}"
+            f"{train_filter.format(v='vec_id')})"
         ),
     ]
     for i in range(PQ_ITERS + 1):
@@ -2049,7 +2057,10 @@ def _pq_code_ctes() -> list[str]:
         ctes.append(
             f"f{i} AS (SELECT s.m, a.cell, CAST(unnest(s.sv) AS DOUBLE) "
             f"AS val, generate_subscripts(s.sv, 1) AS dim FROM subs s "
-            f"JOIN a{i} a ON s.vec_id = a.vec_id AND s.m = a.m)"
+            f"JOIN a{i} a ON s.vec_id = a.vec_id AND s.m = a.m"
+            + (" WHERE TRUE" + train_filter.format(v="s.vec_id")
+               if train_filter else "")
+            + ")"
         )
         ctes.append(
             f"c{i + 1} AS (SELECT m, cell, list(c ORDER BY dim) AS centroid "
@@ -2126,11 +2137,13 @@ def _pq_sql() -> str:
 # centroids rounded at the IVF grid, nearest-cell assignment, nprobe
 # probing — the SIMILARITY_IVF_TOPK recipe over ``valid``); the ADC sum
 # runs only over (query, vector) pairs routed through a probed cell.
-def _ivf_cent_ctes() -> list[str]:
+def _ivf_cent_ctes(train_filter: str = "") -> list[str]:
     """The IVF coarse-quantizer CTE chain (label-seeded rounded-mean
     centroids → per-vector nearest-cell assignment) — composed verbatim
     by _ivf_pq_sql AND _ann_manifest_sql so the coarse index the two
-    oracles replicate can never drift (the _pq_code_ctes precedent)."""
+    oracles replicate can never drift (the _pq_code_ctes precedent).
+    ``train_filter`` restricts CENTROID TRAINING rows only (the
+    _pq_code_ctes contract); ivfassigned always covers all valid rows."""
     from ..operators.similarity import IVF_ROUND
 
     rg = 10**IVF_ROUND
@@ -2139,7 +2152,8 @@ def _ivf_cent_ctes() -> list[str]:
         (
             "ivfflat AS (SELECT label, unnest(embedding) AS val, "
             "generate_subscripts(embedding, 1) AS dim FROM valid "
-            "WHERE label IS NOT NULL)"
+            "WHERE label IS NOT NULL"
+            + train_filter.format(v="vec_id") + ")"
         ),
         (
             "ivfcent AS (SELECT label AS cell, dim, "
@@ -2249,6 +2263,69 @@ LLMOPS_ORACLES["ann_index_build"] = ANN_INDEX_BUILD
 # artifact (value-identical by construction — see the operator); the
 # oracle IS the ivf_pq retraining, keeping the served artifact honest.
 LLMOPS_ORACLES["ann_index_topk"] = IVF_PQ_TOPK
+
+
+# ann_index_append (operators/similarity.ann_index_append): retrain the
+# BASE index in SQL — the shared CTE chains with the watermark training
+# filter (codebook/centroids see only vec_id <= floor(0.9·max)), then
+# encode ALL valid rows against those base-trained tables. The six
+# manifest rows reproduce the post-append artifact: base-trained table
+# stats, base+delta code stats, and the delta segment alone. A driver
+# hash proves the persisted base segment PLUS the retrain-free appended
+# delta equivalent to an independent base-trained/union-encoded
+# computation. Checksums COALESCE to 0 so an empty delta stays exact.
+def _ann_append_sql() -> str:
+    from ..operators.similarity import APPEND_WM_FRAC, IVF_ROUND, PQ_ITERS
+
+    rg = 10**IVF_ROUND
+    wm_cte = (
+        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    tf = " AND {v} <= (SELECT w FROM wm)"
+    pq = _pq_code_ctes(train_filter=tf)
+    ctes = pq[:1] + [wm_cte] + pq[1:] + _ivf_cent_ctes(train_filter=tf)
+    qels = (
+        "SELECT CAST(FLOOR(CAST(u AS DOUBLE) * {rg} + 0.5) AS BIGINT) AS q "
+        "FROM (SELECT unnest(centroid) AS u FROM {src})"
+    )
+    delta = "vec_id > (SELECT w FROM wm)"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT 'pq_codebook' AS component,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM c{PQ_ITERS}) AS n_rows,
+    (SELECT CAST(COALESCE(SUM(q), 0) AS BIGINT)
+     FROM ({qels.format(rg=rg, src=f'c{PQ_ITERS}')})) AS checksum
+UNION ALL
+SELECT 'ivf_centroids',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfcentroids),
+    (SELECT CAST(COALESCE(SUM(q), 0) AS BIGINT)
+     FROM ({qels.format(rg=rg, src='ivfcentroids')}))
+UNION ALL
+SELECT 'codes_pq',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a{PQ_ITERS}),
+    (SELECT CAST(COALESCE(SUM(cell * (m + 1)), 0) AS BIGINT)
+     FROM a{PQ_ITERS})
+UNION ALL
+SELECT 'codes_ivf',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned),
+    (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM ivfassigned)
+UNION ALL
+SELECT 'appended_pq',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a{PQ_ITERS} WHERE {delta}),
+    (SELECT CAST(COALESCE(SUM(cell * (m + 1)), 0) AS BIGINT)
+     FROM a{PQ_ITERS} WHERE {delta})
+UNION ALL
+SELECT 'appended_ivf',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned WHERE {delta}),
+    (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT)
+     FROM ivfassigned WHERE {delta})
+"""
+    )
+
+
+ANN_INDEX_APPEND = _ann_append_sql()
+LLMOPS_ORACLES["ann_index_append"] = ANN_INDEX_APPEND
 
 # pq_recall_report (operators/similarity.pq_recall_report): the two
 # L2-metric ANN oracles nested VERBATIM as CTEs (the recall-report

@@ -108,6 +108,7 @@ from .operators.dedup import (
     minhash_estimate_audit,
 )
 from .operators.similarity import (
+    ann_index_append,
     ann_index_build,
     ann_index_topk,
     embedding_centroid_report,
@@ -300,11 +301,13 @@ QUERIES: dict[str, QueryFn] = {
     # -- dedup reps (LSH = most machinery; the three round-5 newcomers
     #    keep their second consecutive driver hash) -----------------------
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    # Round-9 rotation: similarity_sq_topk (scalar-quantized ADC top-K,
-    # grace op) takes bloom_vocab_novelty's slot (hash-green r7+r8; the
-    # Bloom build/probe/verify machinery stays pinned by
-    # test_bloom_dedup.py and the 0-row justification test).
-    "similarity_sq_topk": similarity_sq_topk,
+    # Round-12 rotation: ann_index_append (incremental index ingest —
+    # encode new-id vectors against the persisted base codebooks and
+    # publish a delta code segment, r11 VERDICT #6) takes
+    # similarity_sq_topk's slot (hash-green r9+r10+r11; the SQ
+    # quantizer machinery stays pinned by test_similarity.py's SQ grid
+    # tests and the local oracle sweep every pytest run).
+    "ann_index_append": ann_index_append,
     # -- late round-6 additions, swapped straight into the window so the
     #    driver hashes them THIS round (their sf0.01 results are
     #    meaningful-row; incremental_dedup_bloom stays in tail grace —
@@ -644,6 +647,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dim_stats": embedding_dim_stats,
     "heavy_hitters_cms": heavy_hitters_cms,
     "regional_market_share": regional_market_share,
+    # -- rotated out in round 12 to make room for ann_index_append
+    #    (hash-green r9+r10+r11; the scalar-quantizer grid + ADC
+    #    machinery stays pinned by test_similarity.py and the local
+    #    oracle sweep every pytest run) ---------------------------------
+    "similarity_sq_topk": similarity_sq_topk,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

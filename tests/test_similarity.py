@@ -872,6 +872,153 @@ def test_ann_artifact_ignored_and_rebuilt_on_trainer_version_bump(
     assert sim._ensure_ann_artifact(spark, d) == art2
 
 
+def test_ann_index_append_delta_fires_and_is_idempotent(spark, sf_small):
+    """The sf corpora put ~10% of vec_ids above the append watermark, so
+    the delta segment actually fires; a second run publishes nothing new
+    (the max-PK idempotence of the reference's incremental pattern) and
+    serves the identical manifest from disk."""
+    import os
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    first = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_index_append(spark, sf_small).collect()
+    }
+    assert set(first) == {
+        "pq_codebook",
+        "ivf_centroids",
+        "codes_pq",
+        "codes_ivf",
+        "appended_pq",
+        "appended_ivf",
+    }
+    assert first["appended_ivf"][0] > 0  # the delta actually fired
+    # base + delta partition the corpus: union counts add up
+    assert (
+        first["codes_ivf"][0]
+        == first["appended_ivf"][0]
+        + spark.read.parquet(
+            os.path.join(sim._ensure_ann_artifact(spark, sf_small, "base"), "codes")
+        ).count()
+    )
+
+    delta_dir = os.path.join(
+        sim._ensure_ann_artifact(spark, sf_small, "base"), "codes_delta"
+    )
+    stamp = {
+        f: os.path.getmtime(os.path.join(delta_dir, f))
+        for f in os.listdir(delta_dir)
+    }
+    second = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_index_append(spark, sf_small).collect()
+    }
+    assert second == first
+    assert stamp == {
+        f: os.path.getmtime(os.path.join(delta_dir, f))
+        for f in os.listdir(delta_dir)
+    }  # nothing rewritten
+
+
+def test_ann_index_append_encodes_without_retraining(
+    spark, sf_small, monkeypatch
+):
+    """The append path's contract: once the base artifact exists, NO
+    training is reachable — the delta encode reads codebooks/centroids
+    from the artifact (deleting the delta segment forces a re-encode,
+    with both trainers monkeypatched to raise)."""
+    import os
+    import shutil
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    art = sim._ensure_ann_artifact(spark, sf_small, scope="base")
+    shutil.rmtree(os.path.join(art, "codes_delta"), True)
+    monkeypatch.setattr(
+        sim,
+        "_pq_train_rows",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("PQ retraining reached during append")
+        ),
+    )
+    monkeypatch.setattr(
+        sim,
+        "ivf_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("IVF retraining reached during append")
+        ),
+    )
+    saved = dict(sim._INDEX_META_CACHE)
+    sim._INDEX_META_CACHE.clear()
+    try:
+        rows = {
+            r["component"]: r["n_rows"]
+            for r in sim.ann_index_append(spark, sf_small).collect()
+        }
+        assert rows["appended_ivf"] > 0
+    finally:
+        sim._INDEX_META_CACHE.update(saved)
+
+
+def test_ann_index_append_empty_delta_is_exact(spark, sf_small, tmp_path):
+    """A corpus whose every vec_id sits at/below the watermark (single
+    vector, id 0 → wm = 0, no id > 0) appends NOTHING: the delta segment
+    is empty, appended_* rows are (0, 0) via the mirrored COALESCE, and
+    the differential gate stays green."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")
+    del duckdb
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    from .oracle_harness import compare, duckdb_connection
+
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{sf_small}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array(
+                    [[0.5] * 16], pa.list_(pa.float32())
+                ),
+                "label": pa.array([1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    d = str(tmp_path)
+    rows = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_index_append(spark, d).collect()
+    }
+    assert rows["appended_ivf"] == (0, 0)
+    assert rows["appended_pq"] == (0, 0)
+    con = duckdb_connection(d)
+    try:
+        report = compare(
+            sim.ann_index_append(spark, d), con, ORACLES["ann_index_append"]
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+
+
 def test_ann_serve_scan_is_dynamic_partition_pruned(spark, sf_small):
     """The 1B-vector claim, pinned on the plan: the artifact code table
     is partitioned by ivf_cell and the serve-side probe join compiles to
