@@ -194,6 +194,57 @@ def profile_events(
 # Primary-key spec per table: the identity contract every downstream
 # query assumes (TPC-H defines these PKs; events/documents/embeddings
 # carry the obvious surrogate). Shared with the oracle builder.
+# key_uniqueness_report's full-row-distinct dispatch threshold: at or
+# below this many rows the exact struct count-distinct ships whole
+# payloads through one shuffle (fine — and the branch the driver hashes
+# at sf); above it the 128-bit content-fingerprint distinct takes over.
+KEY_CENSUS_EXACT_MAX_ROWS = 2_000_000
+
+
+def _content_fingerprint(df: DataFrame) -> list[F.Column]:
+    """A 128-bit per-row content fingerprint (two independent xxhash64
+    folds) whose equality classes match Spark's own row-distinct
+    EXACTLY, so the dispatched branch is bit-identical to the exact one:
+
+    - floats/doubles (incl. float-array elements) are canonicalized the
+      way NormalizeFloatingNumbers does before grouping: -0.0 → 0.0 and
+      every NaN → one canonical NaN (xxhash64 hashes BIT patterns, so
+      un-canonicalized ±0.0 would split a class the struct distinct
+      merges);
+    - every column contributes an isNull flag ahead of its value:
+      xxhash64 skips NULL inputs entirely, so without the flags
+      ('x', NULL) and (NULL, 'x') would fold to the same sequence."""
+
+    def canon(c: F.Column, dt) -> F.Column:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            d = c.cast("double")
+            return (
+                F.when(F.isnan(d), F.lit(float("nan")))
+                .when(d == 0.0, F.lit(0.0))
+                .otherwise(d)
+            )
+        if isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, (T.DoubleType, T.FloatType)
+        ):
+            return F.transform(
+                c,
+                lambda x: F.when(
+                    F.isnan(x.cast("double")), F.lit(float("nan"))
+                )
+                .when(x.cast("double") == 0.0, F.lit(0.0))
+                .otherwise(x.cast("double")),
+            )
+        return c
+
+    fields: list[F.Column] = []
+    for f in df.schema.fields:
+        fields.append(F.col(f.name).isNull())
+        fields.append(canon(F.col(f.name), f.dataType))
+    return [F.xxhash64(*fields), F.xxhash64(F.lit(0x9E3779B9), *fields)]
+
+
 KEY_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("region", ("r_regionkey",)),
     ("nation", ("n_nationkey",)),
@@ -233,13 +284,20 @@ def key_uniqueness_report(
     Scale shape: one groupBy per table (map-side combined; the full-row
     distinct runs as a two-phase count-distinct inside it), 10 rows out;
     at 100 TB this is the nightly audit a warehouse runs per feed. The
-    exact full-row distinct shuffles each row's whole payload once; at
-    that scale swap it for a 128-bit content-hash distinct (xxhash64
-    pair over a canonical serialization — collision-safe at any corpus
-    size, 16 bytes/row on the wire). Kept exact here because a hash of
-    a FLOAT serialization re-opens the -0.0 == 0.0 cross-engine
-    equality corner the probes closed — the swap belongs behind a
-    measured size dispatch, not as the default."""
+    full-row distinct is SIZE-DISPATCHED (the _corr_sums_gramian /
+    dedup_jaccard convention, r11 VERDICT #3): at or below
+    KEY_CENSUS_EXACT_MAX_ROWS the exact struct count-distinct runs —
+    the path the driver hashes on sf corpora; above it the distinct
+    runs over a 128-bit content fingerprint (two independent xxhash64
+    folds — 16 bytes/row through the shuffle instead of the whole
+    payload, collision odds ~n²/2^128). The fingerprint canonicalizes
+    exactly what Spark's own distinct normalizes so the two branches
+    are BIT-IDENTICAL on any input (pinned on a planted corpus):
+    -0.0 → 0.0 and NaN → one canonical NaN per float/double column
+    (and inside float arrays), and a per-column null flag interleaved
+    into the fold so (x, NULL) can never collide with (NULL, x)
+    (xxhash64 skips null inputs, which would otherwise erase the
+    position distinction)."""
     from operator import and_
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -247,13 +305,16 @@ def key_uniqueness_report(
     for name, keys in KEY_SPECS:
         df = load_table(spark, sf_dir, name)
         notnull = reduce(and_, [F.col(k).isNotNull() for k in keys])
-        allcols = F.struct(*[F.col(c) for c in df.columns])
+        if df.count() <= KEY_CENSUS_EXACT_MAX_ROWS:
+            nd_cols = [F.struct(*[F.col(c) for c in df.columns])]
+        else:
+            nd_cols = _content_fingerprint(df)
         per_key = (
             df.where(notnull)
             .groupBy(*keys)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct(allcols).alias("nd"),
+                F.countDistinct(*nd_cols).alias("nd"),
             )
         )
         key_stats = per_key.agg(

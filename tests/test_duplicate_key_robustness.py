@@ -245,3 +245,74 @@ def test_repair_documents_reingest_semantics(spark, dupkey_dir, sf_small):
 
     clean = repair_documents_reingest(spark, sf_small).collect()
     assert len(clean) == 500 and all(r["n_copies"] == 1 for r in clean)
+
+
+@pytest.fixture(scope="module")
+def fingerprint_corner_dir(sf_small, tmp_path_factory):
+    """The corners the content-fingerprint branch must canonicalize to
+    match the exact struct distinct (r11 VERDICT #3): same-key row pairs
+    differing only by -0.0 vs 0.0, only by NaN bit provenance, and a
+    null-position swap ('x', NULL, NULL) vs (NULL, NULL, 'x') that a
+    naive xxhash64 fold (which SKIPS null inputs) would merge."""
+    d = tmp_path_factory.mktemp("fp_corner")
+    for t in TABLES:
+        shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+    tb = pq.read_table(f"{sf_small}/events.parquet")
+    rows = tb.to_pylist()
+    base = dict(rows[0])
+    nan = float("nan")
+    plants = []
+    # NOT conflicts under the exact distinct (one row class each):
+    plants.append({**base, "event_id": 900001, "value": 0.0})
+    plants.append({**base, "event_id": 900001, "value": -0.0})
+    plants.append({**base, "event_id": 900002, "value": nan})
+    plants.append({**base, "event_id": 900002, "value": nan})
+    # IS a conflict: null-position swap across event_type/value/props.
+    plants.append(
+        {**base, "event_id": 900003, "event_type": "x", "value": None,
+         "props": None}
+    )
+    plants.append(
+        {**base, "event_id": 900003, "event_type": None, "value": None,
+         "props": "x"}
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows + plants, schema=tb.schema),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_key_census_fingerprint_branch_bit_identical(
+    spark, fingerprint_corner_dir, dupkey_dir, monkeypatch
+):
+    """The dispatched content-hash branch must return the byte-identical
+    report as the exact branch — on the planted-duplicate corpus AND on
+    the float/null corner corpus (the classes a naive hash splits or
+    merges wrongly)."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators import profiling
+
+    def run(sf_dir):
+        return sorted(
+            map(tuple, QUERIES["key_uniqueness_report"](spark, sf_dir).collect())
+        )
+
+    for d in (fingerprint_corner_dir, dupkey_dir):
+        exact = run(d)
+        monkeypatch.setattr(profiling, "KEY_CENSUS_EXACT_MAX_ROWS", -1)
+        hashed = run(d)
+        monkeypatch.setattr(
+            profiling, "KEY_CENSUS_EXACT_MAX_ROWS", 2_000_000
+        )
+        assert hashed == exact
+
+    # Sanity on the corners themselves (exact branch semantics): the
+    # ±0.0 and NaN pairs are exact duplicates, the null-position swap is
+    # a conflict — on BOTH branches by the equality above.
+    ev = {
+        r["table_name"]: r
+        for r in QUERIES["key_uniqueness_report"](
+            spark, fingerprint_corner_dir
+        ).collect()
+    }["events"]
+    assert ev["dup_keys"] == 3 and ev["conflict_keys"] == 1
