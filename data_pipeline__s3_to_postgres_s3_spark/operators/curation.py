@@ -1173,7 +1173,11 @@ def curation_funnel(
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)
     )
-    tot = buckets.agg(F.sum("n").cast("long").alias("_total"))
+    # COALESCE: on an empty corpus the oracle's window-SUM chain yields
+    # 0-valued n_in/n_out where a bare SUM goes NULL (r12 probe).
+    tot = buckets.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("_total")
+    )
     stages = spark.createDataFrame(
         list(enumerate(FUNNEL_STAGES)), "stage_idx int, stage string"
     )

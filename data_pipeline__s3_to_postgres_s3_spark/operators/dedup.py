@@ -581,7 +581,9 @@ def incremental_dedup_minhash(
     aggregate (cf. the JDBC watermark, sources/jdbc.py)."""
     docs = load_table(spark, sf_dir, "documents")
     m = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
-    thr = (int(m) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
+    # m is None on a 0-row corpus; thr=0 then gates an empty frame —
+    # the oracle's SQL watermark NULLs out identically (r12 probe).
+    thr = (int(m or 0) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
     arrays = _shingle_arrays(docs)
     bands = minhash_band_keys(arrays).withColumn(
         "is_new", F.col("doc_id") >= thr
@@ -1230,7 +1232,9 @@ def incremental_dedup_bloom(
     equality holds because Bloom filters never produce false negatives."""
     docs = load_table(spark, sf_dir, "documents")
     m = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
-    thr = (int(m) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
+    # m is None on a 0-row corpus; thr=0 then gates an empty frame —
+    # the oracle's SQL watermark NULLs out identically (r12 probe).
+    thr = (int(m or 0) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
 
     hashed = docs.select(
         "doc_id",
@@ -1288,7 +1292,9 @@ def bloom_vocab_novelty(
     1-row watermark collect as the dedup siblings."""
     docs = load_table(spark, sf_dir, "documents")
     m = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
-    thr = (int(m) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
+    # m is None on a 0-row corpus; thr=0 then gates an empty frame —
+    # the oracle's SQL watermark NULLs out identically (r12 probe).
+    thr = (int(m or 0) * INCREMENTAL_NEW_FRAC_NUM) // INCREMENTAL_NEW_FRAC_DEN
 
     # NULL text = empty doc (mirrored coalesce, per the null-robustness
     # contract); split keeps empty tokens from repeated spaces — filtered
@@ -1478,9 +1484,12 @@ def jaccard_threshold_sweep(
         "n_pairs",
         "n_docs_in_pairs",
         "n_docs_total",
-        (
+        # NULL, not an ANSI error, on an empty corpus (r12 empty-table
+        # probe): DuckDB's x/0 is NULL.
+        F.when(
+            F.col("n_docs_total") > 0,
             F.col("n_docs_in_pairs").cast("double")
-            / F.col("n_docs_total").cast("double")
+            / F.col("n_docs_total").cast("double"),
         ).alias("dup_doc_rate"),
         F.expr(_scurve_sql().replace("j", "threshold")).alias(
             "p_lsh_capture"

@@ -126,11 +126,15 @@ def _orders_z(orders: DataFrame) -> Column:
         F.min("_dy").alias("dy_min"),
         F.max("_dy").alias("dy_max"),
     ).collect()[0]
-    ck_span = max(int(mm["ck_max"]) - int(mm["ck_min"]), 1)
-    dy_span = max(int(mm["dy_max"]) - int(mm["dy_min"]), 1)
+    # Bounds are None on a 0-row corpus: zeros keep the (necessarily
+    # empty) curve expression well-formed — r12 empty-table probe.
+    ck_min, ck_max = int(mm["ck_min"] or 0), int(mm["ck_max"] or 0)
+    dy_min, dy_max = int(mm["dy_min"] or 0), int(mm["dy_max"] or 0)
+    ck_span = max(ck_max - ck_min, 1)
+    dy_span = max(dy_max - dy_min, 1)
     grid = (1 << Z_BITS) - 1
-    x = f"((_ck - {int(mm['ck_min'])}) * {grid}) div {ck_span}"
-    y = f"((_dy - {int(mm['dy_min'])}) * {grid}) div {dy_span}"
+    x = f"((_ck - {ck_min}) * {grid}) div {ck_span}"
+    y = f"((_dy - {dy_min}) * {grid}) div {dy_span}"
     return F.expr(_morton_sql(f"({x})", f"({y})"))
 
 

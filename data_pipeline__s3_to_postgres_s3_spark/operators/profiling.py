@@ -329,7 +329,10 @@ def key_uniqueness_report(
         )
         totals = df.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(~notnull, 1).otherwise(0))
+            # COUNT (never NULL), not SUM: on a 0-row table the oracle's
+            # COUNT(*) WHERE NOT(...) is 0 while a SUM would go NULL —
+            # r12 empty-table probe.
+            F.count(F.when(~notnull, F.lit(1)))
             .cast("long")
             .alias("null_key_rows"),
         )

@@ -481,10 +481,15 @@ def dataset_card(
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
         n_dups.alias("n_exact_dups"),
-        portable_round(n_dups.cast("double") / n, 6).alias("exact_dup_rate"),
-        portable_round(F.sum("n_tokens").cast("double") / n, 6).alias(
-            "mean_tokens"
-        ),
+        # when-guards: NULL (DuckDB's x/0), not an ANSI error, on an
+        # empty corpus — r12 empty-table probe.
+        F.when(
+            n > 0, portable_round(n_dups.cast("double") / n, 6)
+        ).alias("exact_dup_rate"),
+        F.when(
+            n > 0,
+            portable_round(F.sum("n_tokens").cast("double") / n, 6),
+        ).alias("mean_tokens"),
         portable_round(F.percentile("n_tokens", F.lit(0.5)), 6).alias(
             "p50_tokens"
         ),

@@ -474,6 +474,16 @@ def _inline_centroids(cent_rows: list, cell_type: str) -> F.Column:
     per-vector centroid computation a row-local array expression: no
     crossJoin against a centroid frame, no groupBy to pick a winner, no
     join back to the corpus."""
+    if not cent_rows:
+        # 0-row / all-invalid corpus (r12 empty-table probe): a bare
+        # F.array() literal is VOID-typed and fails ANALYSIS on the
+        # s["cell"] extraction — return a TYPED empty index instead so
+        # the (necessarily empty) plan still compiles; the oracles'
+        # validity CTEs are empty too, so both engines emit 0 rows.
+        return F.expr(
+            f"CAST(array() AS array<struct<cell:{cell_type},"
+            "centroid:array<double>>>)"
+        )
     return F.array(
         *[
             F.struct(
@@ -1478,7 +1488,10 @@ def similarity_pq_topk(
     integer with the vec_id tie-break; the re-rank key is the rounded
     fixed-order exact fold with the same tie-break."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    dim = _corpus_dim(spark, sf_dir)
+    # dim is None on a 0-row/all-invalid corpus (r12 empty-table
+    # probe): any positive placeholder keeps the empty plan
+    # type-stable; the oracle validity CTEs are empty too.
+    dim = _corpus_dim(spark, sf_dir) or PQ_M
     sub = dim // PQ_M
     subs = _pq_subspaces(emb, sub)
     cents = _pq_codebook(spark, sf_dir, subs)
@@ -1589,7 +1602,10 @@ def ivf_pq_topk(
     exact in any order); shortlist and re-rank keys carry the vec_id
     tie-break."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
-    dim = _corpus_dim(spark, sf_dir)
+    # dim is None on a 0-row/all-invalid corpus (r12 empty-table
+    # probe): any positive placeholder keeps the empty plan
+    # type-stable; the oracle validity CTEs are empty too.
+    dim = _corpus_dim(spark, sf_dir) or PQ_M
     sub = dim // PQ_M
     # Coarse quantizer: literal-inlined centroid index (one-shot query —
     # the IVF lesson), nearest cell + probe list as row-local array exprs.
@@ -2046,7 +2062,10 @@ def _ann_build_frames(
     if scope == "base":
         emb = emb.where(F.col("vec_id") <= _ann_append_watermark(spark, sf_dir))
     suffix = "" if scope == "full" else f"_{scope}"
-    dim = _corpus_dim(spark, sf_dir)
+    # dim is None on a 0-row/all-invalid corpus (r12 empty-table
+    # probe): any positive placeholder keeps the empty plan
+    # type-stable; the oracle validity CTEs are empty too.
+    dim = _corpus_dim(spark, sf_dir) or PQ_M
     sub = dim // PQ_M
     cent_rows = _index_meta(
         sf_dir, f"ivf_centroids{suffix}", lambda: ivf_centroids(emb).collect()
@@ -2173,6 +2192,7 @@ def _ann_qsum(col: str) -> F.Column:
 # state decides what is new) applied to the index artifact.
 APPEND_WM_FRAC = 0.9
 _ANN_CODES_SCHEMA = "vec_id bigint, codes array<bigint>, ivf_cell int"
+_ANN_IVFC_SCHEMA = "cell int, centroid array<double>"
 
 
 def _ann_append_watermark(spark: SparkSession, sf_dir: str):
@@ -2237,13 +2257,15 @@ def ann_index_append(
             if wm is not None
             else emb.where(F.lit(False))
         )
-        dim = _corpus_dim(spark, sf_dir) or 0
+        dim = _corpus_dim(spark, sf_dir) or PQ_M
         sub = dim // PQ_M
-        cent_rows = spark.read.parquet(
+        cent_rows = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
             os.path.join(art, "ivf_centroids")
         ).collect()
         if cent_rows and sub > 0:
-            cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
+            cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+                os.path.join(art, "pq_codebook")
+            )
             delta = _ann_encode_codes(
                 _ann_cell_subspaces(emb, cent_rows, sub), cb
             )
@@ -2261,8 +2283,12 @@ def ann_index_append(
         os.rename(tmp, delta_dir)
 
     qsum = _ann_qsum
-    cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
-    ivfc = spark.read.parquet(os.path.join(art, "ivf_centroids"))
+    cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+        os.path.join(art, "pq_codebook")
+    )
+    ivfc = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
+        os.path.join(art, "ivf_centroids")
+    )
     base_codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
         os.path.join(art, "codes")
     )
@@ -2347,9 +2373,17 @@ def ann_index_build(
     art = _ann_write_artifact(spark, sf_dir)
     qsum = _ann_qsum
 
-    cb = spark.read.parquet(os.path.join(art, "pq_codebook"))
-    ivfc = spark.read.parquet(os.path.join(art, "ivf_centroids"))
-    codes = spark.read.parquet(os.path.join(art, "codes"))
+    # Explicit schemas: an empty corpus writes a codes dir holding only
+    # _SUCCESS (no footer to infer from) — r12 empty-table probe.
+    cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+        os.path.join(art, "pq_codebook")
+    )
+    ivfc = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
+        os.path.join(art, "ivf_centroids")
+    )
+    codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
+        os.path.join(art, "codes")
+    )
     parts = [
         cb.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -2362,7 +2396,12 @@ def ann_index_build(
             F.lit("ivf_centroids").alias("component"), "n_rows", "checksum"
         ),
         codes.agg(
-            F.sum(F.array_size("codes").cast("long")).alias("n_rows"),
+            # COALESCE: the oracle's COUNT(*) over the code CTE is 0 on
+            # an empty corpus where a bare SUM goes NULL (r12 probe).
+            F.coalesce(
+                F.sum(F.array_size("codes").cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_rows"),
             F.sum(
                 F.aggregate(
                     F.expr(
@@ -2399,11 +2438,20 @@ def ann_index_topk(
     oracle IS the ivf_pq oracle: a DuckDB retraining that keeps the
     served artifact honest every driver run."""
     art = _ensure_ann_artifact(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(art, "pq_codebook"))
-    ivf_rows = spark.read.parquet(os.path.join(art, "ivf_centroids")).collect()
-    codes = spark.read.parquet(os.path.join(art, "codes"))
+    cents = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+        os.path.join(art, "pq_codebook")
+    )
+    ivf_rows = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
+        os.path.join(art, "ivf_centroids")
+    ).collect()
+    codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
+        os.path.join(art, "codes")
+    )
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    dim = _corpus_dim(spark, sf_dir)
+    # dim is None on a 0-row/all-invalid corpus (r12 empty-table
+    # probe): any positive placeholder keeps the empty plan
+    # type-stable; the oracle validity CTEs are empty too.
+    dim = _corpus_dim(spark, sf_dir) or PQ_M
     sub = dim // PQ_M
     q = emb.where(F.col("vec_id") < N_QUERIES)
     dists = _dist_structs(_inline_centroids(ivf_rows, "int"))

@@ -321,7 +321,10 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.array_size(F.split("text", " "))).alias("avgdl"),
     ).collect()[0]
-    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    # avgdl is None on a 0-row corpus: any positive placeholder keeps
+    # the (necessarily empty) plan well-formed — r12 empty-table probe.
+    n_docs = float(stats["n"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 1.0
 
     all_terms = sorted({t for q in BM25_QUERIES.values() for t in q})
     terms = docs.select(

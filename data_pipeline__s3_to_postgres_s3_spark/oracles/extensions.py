@@ -71,6 +71,12 @@ SELECT DISTINCT custkey FROM (
 )
 """
 
+# HAVING COUNT(*) > 0 on every grouping-set oracle: Spark emits NO rows
+# at all for a ROLLUP/CUBE/GROUPING SETS over EMPTY input, while the SQL
+# standard (and DuckDB) emit the () grand-total row with COUNT 0 — the
+# one un-mirrorable-in-Spark corner of the r12 empty-table probe. A
+# grouped row over non-empty input always has COUNT >= 1, so the clause
+# is a verified no-op whenever any row exists.
 _GROUPED_TOTALS = """
     COUNT(*) AS n_orders,
     SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_revenue
@@ -82,6 +88,7 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        {_GROUPED_TOTALS}
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """
 
 CUBE_ORDERS = f"""
@@ -90,6 +97,7 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        {_GROUPED_TOTALS}
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """
 
 # grouping_sets_orders (operators/relational.grouping_sets_orders):
@@ -104,6 +112,7 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderpriority), ())
+HAVING COUNT(*) > 0
 """
 
 # part_revenue_concentration (operators/relational.part_revenue_concentration):
