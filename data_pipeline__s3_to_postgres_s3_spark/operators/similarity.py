@@ -1317,6 +1317,104 @@ def embedding_dim_stats(
     )
 
 
+# embedding_drift_report: |rounded mean shift| above this flags a dim.
+DRIFT_ABS_THRESHOLD = 0.05
+
+
+def embedding_drift_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-dimension distribution drift between the BASE corpus and the
+    append DELTA (the vec_id > watermark arrivals ann_index_append
+    ingests): the production signal that today's batch no longer looks
+    like the distribution the codebooks/centroids were trained on —
+    i.e. when a retrain-free append stops being safe and the nightly
+    rebuild should run. Completes the index lifecycle story:
+    build (train) → append (encode-only) → THIS (retrain trigger).
+
+    Per dim: base/delta counts, means, variances, the mean shift, and a
+    drifted flag (|shift| > DRIFT_ABS_THRESHOLD). Exactness is the
+    embedding_dim_stats recipe: every element quantized to the integer
+    1e-4 grid BEFORE aggregation, split sums as conditional int64 sums
+    (exact in any combine order), means/variances FIXED expressions over
+    them, the shift computed with token-identical association in the
+    oracle. A side with no vectors yields NULL moments and drifted = 0
+    (no verdict without both sides — the counts carry the evidence;
+    keeping the flag NULL-free also keeps its pandas dtype int64, the
+    nullable-int hash trap). ONE posexplode scan → ONE map-side-combined
+    groupBy(dim); |dims| rows out — the dim_stats scale shape."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    wm = _ann_append_watermark(spark, sf_dir)
+    nu = (
+        F.when(F.col("vec_id") > F.lit(wm).cast("long"), 1)
+        .otherwise(0)
+        .alias("nu")
+    )
+    flat = emb.select(nu, F.posexplode("embedding").alias("dim", "val"))
+    q = F.floor(F.col("val").cast("double") * 10000 + F.lit(0.5)).cast(
+        "long"
+    )
+    zero = F.lit(0).cast("long")
+
+    def side_sums(side: int, pre: str) -> list:
+        cond = F.col("nu") == side
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{pre}"),
+            F.sum(F.when(cond, F.col("q")).otherwise(zero)).alias(
+                f"s_{pre}"
+            ),
+            F.sum(
+                F.when(cond, F.col("q") * F.col("q")).otherwise(zero)
+            ).alias(f"ss_{pre}"),
+        ]
+
+    per = (
+        flat.select("nu", "dim", q.alias("q"))
+        .groupBy("dim")
+        .agg(*side_sums(0, "base"), *side_sums(1, "delta"))
+    )
+
+    def moments(pre: str) -> tuple:
+        n = F.col(f"n_{pre}")
+        mean_raw = F.col(f"s_{pre}").cast("double") / 10000.0 / n
+        var_raw = (
+            F.col(f"ss_{pre}").cast("double") / 100000000.0 / n
+            - mean_raw * mean_raw
+        )
+        return (
+            F.when(n > 0, portable_round(mean_raw, 6)),
+            F.when(n > 0, portable_round(var_raw, 8)),
+            mean_raw,
+        )
+
+    mean_base, var_base, mb_raw = moments("base")
+    mean_delta, var_delta, md_raw = moments("delta")
+    both = (F.col("n_base") > 0) & (F.col("n_delta") > 0)
+    shift = F.when(both, portable_round(md_raw - mb_raw, 6))
+    mid = per.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_base",
+        "n_delta",
+        mean_base.alias("mean_base"),
+        mean_delta.alias("mean_delta"),
+        shift.alias("mean_shift"),
+        var_base.alias("var_base"),
+        var_delta.alias("var_delta"),
+    )
+    return mid.withColumn(
+        "drifted",
+        F.when(
+            F.col("mean_shift").isNotNull()
+            & (F.abs("mean_shift") > DRIFT_ABS_THRESHOLD),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+
+
 # --- product quantization (PQ) ---------------------------------------------
 
 PQ_M = 4        # subspaces (leading PQ_M·(dim//PQ_M) dims; remainder unused)

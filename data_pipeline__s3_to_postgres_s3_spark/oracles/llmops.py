@@ -2327,6 +2327,84 @@ SELECT 'appended_ivf',
 ANN_INDEX_APPEND = _ann_append_sql()
 LLMOPS_ORACLES["ann_index_append"] = ANN_INDEX_APPEND
 
+
+# embedding_drift_report (operators/similarity.embedding_drift_report):
+# the embedding_dim_stats integer-grid recipe split across the append
+# watermark — conditional int64 sums per side, means/variances/shift as
+# FIXED expressions in the identical association, drifted derived from
+# the ROUNDED shift (never NULL: no verdict without both sides). Every
+# SUM CAST to BIGINT (the HUGEINT dtype trap).
+def _embedding_drift_sql() -> str:
+    from ..operators.similarity import (
+        APPEND_WM_FRAC,
+        DRIFT_ABS_THRESHOLD,
+    )
+
+    valid = (
+        "SELECT * FROM embeddings WHERE len(embedding) = "
+        "(SELECT MAX(len(embedding)) FROM embeddings) AND "
+        "len(list_filter(embedding, v -> v IS NULL)) = 0 AND "
+        "len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) "
+        "OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND "
+        "vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS "
+        "NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)"
+    )
+    mb = "CAST(s_base AS DOUBLE) / 10000.0 / n_base"
+    md = "CAST(s_delta AS DOUBLE) / 10000.0 / n_delta"
+    vb = f"CAST(ss_base AS DOUBLE) / 100000000.0 / n_base - ({mb}) * ({mb})"
+    vd = (
+        f"CAST(ss_delta AS DOUBLE) / 100000000.0 / n_delta"
+        f" - ({md}) * ({md})"
+    )
+    return f"""
+WITH valid AS ({valid}),
+wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} *
+    CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid),
+flat AS (
+    SELECT CASE WHEN vec_id > (SELECT w FROM wm) THEN 1 ELSE 0 END AS nu,
+        generate_subscripts(embedding, 1) - 1 AS dim,
+        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+             AS BIGINT) AS q
+    FROM valid
+),
+per AS (
+    SELECT dim,
+        CAST(SUM(CASE WHEN nu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        CAST(SUM(CASE WHEN nu = 0 THEN q ELSE 0 END) AS BIGINT) AS s_base,
+        CAST(SUM(CASE WHEN nu = 0 THEN q * q ELSE 0 END) AS BIGINT)
+            AS ss_base,
+        CAST(SUM(CASE WHEN nu = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        CAST(SUM(CASE WHEN nu = 1 THEN q ELSE 0 END) AS BIGINT) AS s_delta,
+        CAST(SUM(CASE WHEN nu = 1 THEN q * q ELSE 0 END) AS BIGINT)
+            AS ss_delta
+    FROM flat GROUP BY dim
+),
+mid AS (
+    SELECT CAST(dim AS INTEGER) AS dim, n_base, n_delta,
+        CASE WHEN n_base > 0
+             THEN {portable_round_sql(mb, 6)} END AS mean_base,
+        CASE WHEN n_delta > 0
+             THEN {portable_round_sql(md, 6)} END AS mean_delta,
+        CASE WHEN n_base > 0 AND n_delta > 0
+             THEN {portable_round_sql(f'({md}) - ({mb})', 6)}
+        END AS mean_shift,
+        CASE WHEN n_base > 0
+             THEN {portable_round_sql(vb, 8)} END AS var_base,
+        CASE WHEN n_delta > 0
+             THEN {portable_round_sql(vd, 8)} END AS var_delta
+    FROM per
+)
+SELECT *,
+    CAST(CASE WHEN mean_shift IS NOT NULL
+              AND ABS(mean_shift) > {DRIFT_ABS_THRESHOLD}
+         THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM mid
+"""
+
+
+EMBEDDING_DRIFT_REPORT = _embedding_drift_sql()
+LLMOPS_ORACLES["embedding_drift_report"] = EMBEDDING_DRIFT_REPORT
+
 # pq_recall_report (operators/similarity.pq_recall_report): the two
 # L2-metric ANN oracles nested VERBATIM as CTEs (the recall-report
 # precedent — audited definitions can't drift), intersected per query

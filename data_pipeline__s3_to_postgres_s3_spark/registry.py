@@ -113,6 +113,7 @@ from .operators.similarity import (
     ann_index_topk,
     embedding_centroid_report,
     embedding_dim_stats,
+    embedding_drift_report,
     embedding_norm_profile,
     embedding_corr_topk,
     embedding_kmeans,
@@ -443,12 +444,14 @@ QUERIES: dict[str, QueryFn] = {
     # 0-exchange doc scan locally pinned in test_textops.py).
     "grouping_sets_orders": grouping_sets_orders,
     "large_order_customers": large_order_customers,
-    # Round-9 rotation: item_pagerank / top_supplier_by_revenue (grace
-    # ops) take the slots of mixture_sample / sample_k_per_group (each
-    # hash-green r6+r7+r8; the sampling family's determinism is pinned
-    # by test_sampling.py's synthetic-corpus suite and both stay
-    # locally oracle-checked every pytest run).
-    "item_pagerank": item_pagerank,
+    # Round-12 rotation: embedding_drift_report (per-dim base-vs-delta
+    # distribution drift across the append watermark — the retrain
+    # trigger completing the build/append lifecycle) takes
+    # item_pagerank's slot (hash-green r9+r10+r11; the power-iteration
+    # machinery stays pinned by test_events_analytics.py and the events
+    # NULL matrix, and its basket base is in-window via
+    # item_cooccurrence history).
+    "embedding_drift_report": embedding_drift_report,
     "top_supplier_by_revenue": top_supplier_by_revenue,
     # Round-8 rotation: the three brand-new round-8 text/curation oracles
     # enter the window immediately (bloom_vocab_novelty precedent),
@@ -647,11 +650,13 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dim_stats": embedding_dim_stats,
     "heavy_hitters_cms": heavy_hitters_cms,
     "regional_market_share": regional_market_share,
-    # -- rotated out in round 12 to make room for ann_index_append
-    #    (hash-green r9+r10+r11; the scalar-quantizer grid + ADC
-    #    machinery stays pinned by test_similarity.py and the local
-    #    oracle sweep every pytest run) ---------------------------------
+    # -- rotated out in round 12 to make room for ann_index_append +
+    #    embedding_drift_report (each hash-green r9+r10+r11; the SQ
+    #    grid/ADC machinery pinned by test_similarity.py, pagerank by
+    #    test_events_analytics.py + the events NULL matrix; both stay
+    #    locally oracle-checked every pytest run) -----------------------
     "similarity_sq_topk": similarity_sq_topk,
+    "item_pagerank": item_pagerank,
     # -- rotated out in the round-9 late rotations (each hash-green
     #    r6+r7+r8, locally pinned every pytest run) ---------------------
     "events_gapfill_locf": events_gapfill_locf,

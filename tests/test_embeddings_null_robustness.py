@@ -81,6 +81,10 @@ QUERIES_UNDER_TEST = [
     # oracle) nor be served from it.
     "ann_index_build",
     "ann_index_topk",
+    # r12: the append lifecycle — degenerate vectors must neither move
+    # the watermark, take a delta code, nor contribute a drift moment.
+    "ann_index_append",
+    "embedding_drift_report",
 ]
 
 

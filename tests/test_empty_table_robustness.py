@@ -68,6 +68,7 @@ REPS = {
     "embeddings": [
         "ann_index_build",
         "ann_index_append",
+        "embedding_drift_report",
         "ann_index_topk",
         "ivf_pq_topk",
         "similarity_pq_topk",
@@ -79,6 +80,7 @@ REPS = {
     "embeddings_invalid": [
         "ann_index_build",
         "ann_index_append",
+        "embedding_drift_report",
         "ann_index_topk",
         "ivf_pq_topk",
         "pq_recall_report",

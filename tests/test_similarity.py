@@ -1040,3 +1040,66 @@ def test_ann_serve_scan_is_dynamic_partition_pruned(spark, sf_small):
     assert any(
         "dynamicpruning" in f and "ivf_cell" in f for f in filters
     ), filters
+
+
+def test_embedding_drift_report_flags_planted_shift(spark, sf_small, tmp_path):
+    """Plant a +0.2 shift on dim 0 of every DELTA vector (vec_id above
+    the append watermark): dim 0 must flag drifted, the untouched dims
+    must not, and the gate stays green; the single-vector corpus (empty
+    delta) yields NULL delta moments and drifted = 0 everywhere."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    from .oracle_harness import compare, duckdb_connection
+
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{sf_small}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    src = pq_.read_table(f"{sf_small}/embeddings.parquet").to_pylist()
+    wm = int(0.9 * max(r["vec_id"] for r in src))
+    for r in src:
+        if r["vec_id"] > wm and r["embedding"]:
+            v = list(r["embedding"])
+            v[0] = (v[0] or 0.0) + 0.2
+            r["embedding"] = v
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in src], pa.int64()),
+                "embedding": pa.array(
+                    [r["embedding"] for r in src], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r["label"] for r in src], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    d = str(tmp_path)
+    con = duckdb_connection(d)
+    try:
+        report = compare(
+            sim.embedding_drift_report(spark, d),
+            con,
+            ORACLES["embedding_drift_report"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+    rows = {
+        r["dim"]: r for r in sim.embedding_drift_report(spark, d).collect()
+    }
+    assert rows[0]["drifted"] == 1 and rows[0]["mean_shift"] > 0.15
+    # The planted dim dominates: no natural dim (50-vector delta → real
+    # sampling noise can cross the 0.05 flag) comes near the 0.2 plant.
+    assert all(
+        abs(rows[i]["mean_shift"]) < 0.15 for i in rows if i != 0
+    ), "only the planted dim carries a large shift"
+    assert all(r["n_delta"] > 0 for r in rows.values())
