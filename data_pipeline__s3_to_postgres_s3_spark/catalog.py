@@ -109,11 +109,37 @@ def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
     return ev
 
 
+# events.value representability bound: the universal integer-money
+# discipline (cents() = CAST(ROUND(v·100) AS BIGINT)) tops out near
+# int64/100 ≈ 9.2e16 — values beyond 1e12 are feed corruption, not
+# revenue, and overflow the cast on BOTH engines.
+EVENT_VALUE_ABS_MAX = 1000000000000.0
+
+
+def normalize_event_value(ev: DataFrame, col: str = "value") -> DataFrame:
+    """Non-REPRESENTABLE event values go NULL; the ROW survives (r12
+    extreme-value probe — 17/34 events queries red on a NaN/Inf/1e300
+    feed): NaN and ±Inf abort every ANSI cents() cast (and their rank
+    position is engine-arbitrary), and |v| > EVENT_VALUE_ABS_MAX
+    overflows the int64 cents grid on BOTH engines. NULLing instead of
+    dropping keeps the event in sessions/funnels/counts, and the NULL
+    then flows through the r6 NULL-value discipline already mirrored in
+    every oracle. The oracle twin is the registry-level `FROM events`
+    rewrite (registry._EVENTS_VALUE_NORM); a verified no-op on sane
+    corpora."""
+    cd = F.col(col).cast("double")
+    keep = ~F.isnan(cd) & (F.abs(cd) <= EVENT_VALUE_ABS_MAX)
+    return ev.withColumn(col, F.when(keep, F.col(col)))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a proper TIMESTAMP ``ts`` (see ``normalize_event_ts``
-    for the encodings accepted)."""
+    for the encodings accepted) and ``value`` gated to the representable
+    range (``normalize_event_value``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_event_ts(load_table(spark, sf_dir, "events"))
+    return normalize_event_value(
+        normalize_event_ts(load_table(spark, sf_dir, "events"))
+    )
 
 
 # ---------------------------------------------------------------------------

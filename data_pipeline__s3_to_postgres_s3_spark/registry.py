@@ -692,3 +692,22 @@ ORACLES: dict[str, str] = {
     "sql_script_shipments": PARITY_ORACLES["agg_shipments"],
     "sql_script_best_product": PARITY_ORACLES["best_performing_product"],
 }
+
+# events.value representability mirror (catalog.normalize_event_value —
+# r12 extreme-value probe): every oracle reads events through a view
+# that NULLs non-representable values (NaN / ±Inf abort the ANSI cents
+# cast on BOTH engines and rank engine-arbitrarily; |v| > 1e12 overflows
+# the int64 cents grid), applied at THIS single chokepoint so no oracle
+# can drift from the Spark-side gate. The rewrite is a plain-text
+# substitution of the table reference — idempotent where a fragment is
+# already wrapped (normalizing twice is the identity) and a no-op for
+# oracles that never read events.
+_EVENTS_VALUE_NORM = (
+    "(SELECT * REPLACE (CASE WHEN NOT isnan(CAST(value AS DOUBLE)) AND "
+    "abs(CAST(value AS DOUBLE)) <= 1000000000000.0 THEN value END "
+    "AS value) FROM events)"
+)
+ORACLES = {
+    name: sql.replace("FROM events", f"FROM {_EVENTS_VALUE_NORM}")
+    for name, sql in ORACLES.items()
+}

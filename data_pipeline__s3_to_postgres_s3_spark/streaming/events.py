@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..catalog import normalize_event_ts
+from ..catalog import normalize_event_ts, normalize_event_value
 from ..functions.numeric import cents
 
 SESSION_GAP = "30 minutes"
@@ -108,8 +108,12 @@ def read_events_stream(
     # Spark, and a null reaching a Python stateful op aborts the query —
     # r6 null-robustness probe). Drop them explicitly HERE so every
     # streaming query and its oracle (the shared _EV fragment filters
-    # identically) agree on the row set.
-    return normalize_event_ts(ev).where(F.col("ts").isNotNull())
+    # identically) agree on the row set. Values gate to the
+    # representable range exactly like the batch path (r12
+    # extreme-value probe — NaN/Inf/1e300 abort the ANSI cents cast).
+    return normalize_event_value(
+        normalize_event_ts(ev).where(F.col("ts").isNotNull())
+    )
 
 
 def run_to_memory(
