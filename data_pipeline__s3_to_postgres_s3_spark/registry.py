@@ -6,6 +6,7 @@ and the local tests both consume this.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -707,7 +708,37 @@ _EVENTS_VALUE_NORM = (
     "abs(CAST(value AS DOUBLE)) <= 1000000000000.0 THEN value END "
     "AS value) FROM events)"
 )
+# Raw-feed exemptions (r12 ADVICE): key_uniqueness_report is the
+# duplicate/corruption DETECTOR — its Spark side reads events via
+# load_table (raw, profiling.py KEY_SPECS loop), never load_events, so
+# its oracle must see the raw feed too. Rewriting it would split the
+# engines on a corpus whose duplicate event_ids differ only in
+# non-representable values (NaN vs Inf — both NULL after the rewrite,
+# distinct raw). Pinned: tests/test_extreme_value_robustness.py.
+_EVENTS_RAW_ORACLES = frozenset({"key_uniqueness_report"})
 ORACLES = {
-    name: sql.replace("FROM events", f"FROM {_EVENTS_VALUE_NORM}")
+    name: sql
+    if name in _EVENTS_RAW_ORACLES
+    else sql.replace("FROM events", f"FROM {_EVENTS_VALUE_NORM}")
     for name, sql in ORACLES.items()
 }
+
+# Assembly-time guard (r12 ADVICE): the rewrite above is a case- and
+# whitespace-sensitive substring replace — an oracle written as
+# 'from events', 'FROM\n    events', or 'JOIN events' would silently
+# skip value normalization and drift from the Spark-side gate. Fail at
+# import instead: after stripping wrapped fragments, no non-exempt
+# oracle may still reference the events table.
+_EVENTS_REF_RE = re.compile(r"\b(from|join)\s+events\b", re.IGNORECASE)
+for _name, _sql in ORACLES.items():
+    if _name in _EVENTS_RAW_ORACLES:
+        continue
+    _residue = _sql.replace(_EVENTS_VALUE_NORM, "")
+    _m = _EVENTS_REF_RE.search(_residue)
+    assert _m is None, (
+        f"oracle {_name!r} references the events table as {_m.group(0)!r}, "
+        "which the _EVENTS_VALUE_NORM rewrite cannot see — write it as "
+        "'FROM events' (exact case, single space) or add the oracle to "
+        "_EVENTS_RAW_ORACLES if it must read the raw feed"
+    )
+del _name, _sql
