@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 
@@ -2102,10 +2103,37 @@ def embedding_corr_topk(
 # destination, not the job (extract_load_transform_data_pipeline.py.py:95-101).
 ANN_ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ann")
 _ANN_COMPONENTS = ("pq_codebook", "ivf_centroids", "codes")
+# The current artifact directory layout: {key12}_{mtime}_{token8}. Used
+# by the write-side sweep to recognize legacy (pre-r12) directories.
+_ANN_DIR_RE = re.compile(r"^[0-9a-f]{12}_\d+_[0-9a-f]{8}$")
 
 # Bump on any trainer-LOGIC or artifact-LAYOUT edit that doesn't move a
 # training constant (constants fold into the token below automatically).
+# The bump is enforced MECHANICALLY (r12 VERDICT #7):
+# tests/test_similarity.py::test_trainer_source_change_requires_rev_bump
+# hashes the source of every function below and fails with a
+# "bump _ANN_TRAINER_REV" message when any changes at an unchanged rev.
 _ANN_TRAINER_REV = 1
+
+# Every function whose LOGIC determines persisted-artifact CONTENT or
+# layout (training, encoding, the base/delta split, the directory
+# format). Manifest/serve-side readers are deliberately excluded: a
+# stale artifact can only be produced by these.
+_ANN_TRAINER_SURFACE = (
+    "ivf_centroids",
+    "_inline_centroids",
+    "_dist_structs",
+    "_pq_subspaces",
+    "_pq_train_rows",
+    "_pq_codebook",
+    "_pq_assign",
+    "_ann_build_frames",
+    "_ann_cell_subspaces",
+    "_ann_encode_codes",
+    "_ann_write_artifact",
+    "_ann_append_watermark",
+    "ann_index_append",
+)
 
 
 def _ann_version_token() -> str:
@@ -2244,11 +2272,18 @@ def _ann_write_artifact(
     os.rename(tmp, art)
     key = os.path.basename(art).split("_", 1)[0]
     for sib in os.listdir(ANN_ARTIFACT_ROOT):
-        if (
-            sib.split("_", 1)[0] == key
-            and sib != os.path.basename(art)
-            and ".tmp-" not in sib  # never touch another process's write
-        ):
+        if ".tmp-" in sib:  # never touch another process's write
+            continue
+        stale_sibling = sib.split("_", 1)[0] == key and sib != os.path.basename(
+            art
+        )
+        # r12 ADVICE: pre-r12 artifact dirs ({md5_32}_{mtime} — no trainer
+        # token) never match the current {key12}_{mtime}_{token8} layout,
+        # so the same-key rule above can't see them and they'd linger
+        # indefinitely on long-lived hosts. Any non-tmp entry that doesn't
+        # parse as the current format is a legacy leftover by construction.
+        legacy = _ANN_DIR_RE.match(sib) is None
+        if stale_sibling or legacy:
             shutil.rmtree(os.path.join(ANN_ARTIFACT_ROOT, sib), True)
     return art
 

@@ -1103,3 +1103,66 @@ def test_embedding_drift_report_flags_planted_shift(spark, sf_small, tmp_path):
         abs(rows[i]["mean_shift"]) < 0.15 for i in rows if i != 0
     ), "only the planted dim carries a large shift"
     assert all(r["n_delta"] > 0 for r in rows.values())
+
+
+def test_trainer_source_change_requires_rev_bump():
+    """Mechanical _ANN_TRAINER_REV discipline (r12 VERDICT #7): the
+    artifact key folds training CONSTANTS in automatically, but a
+    pure-LOGIC edit to a trainer function needs a manual rev bump or a
+    persisted index trained by the old logic keeps serving. This pin
+    hashes the source of every content-producing function
+    (similarity._ANN_TRAINER_SURFACE) and fails when it moves at an
+    unchanged rev — update BOTH the rev and this table together."""
+    import hashlib
+    import inspect
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    src = "\n".join(
+        inspect.getsource(getattr(sim, n)) for n in sim._ANN_TRAINER_SURFACE
+    )
+    digest = hashlib.md5(src.encode()).hexdigest()
+    PINNED = {
+        1: "8c9620ca39a0f7ba62af3d758df45f87",  # r13 baseline
+    }
+    assert sim._ANN_TRAINER_REV in PINNED and (
+        PINNED[sim._ANN_TRAINER_REV] == digest
+    ), (
+        f"ANN trainer source changed (now {digest}) without a version "
+        "bump: increment similarity._ANN_TRAINER_REV AND add the new "
+        "(rev, hash) row here, so every persisted artifact trained by "
+        "the old logic is structurally invalidated"
+    )
+
+
+def test_legacy_ann_artifact_dirs_are_swept(spark, sf_small, tmp_path):
+    """r12 ADVICE: pre-r12 artifact layouts ({md5_32}_{mtime} — no
+    trainer token) never match the same-key eviction rule and lingered
+    forever. The write-side sweep now removes any non-tmp entry that
+    doesn't parse as the current {key12}_{mtime}_{token8} format."""
+    import os
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    os.makedirs(sim.ANN_ARTIFACT_ROOT, exist_ok=True)
+    legacy = os.path.join(
+        sim.ANN_ARTIFACT_ROOT, "0123456789abcdef0123456789abcdef_1700000000"
+    )
+    os.makedirs(legacy, exist_ok=True)
+    foreign_tmp = os.path.join(
+        sim.ANN_ARTIFACT_ROOT, "aaaaaaaaaaaa_1700000000_bbbbbbbb.tmp-99999"
+    )
+    os.makedirs(foreign_tmp, exist_ok=True)
+    try:
+        sim._ann_write_artifact(spark, sf_small)
+        assert not os.path.exists(legacy), "legacy dir must be swept"
+        assert os.path.exists(foreign_tmp), "in-flight tmp dirs are sacred"
+    finally:
+        import shutil
+
+        shutil.rmtree(foreign_tmp, True)
+        shutil.rmtree(legacy, True)
