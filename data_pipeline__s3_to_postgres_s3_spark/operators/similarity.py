@@ -2113,7 +2113,10 @@ _ANN_DIR_RE = re.compile(r"^[0-9a-f]{12}_\d+_[0-9a-f]{8}$")
 # tests/test_similarity.py::test_trainer_source_change_requires_rev_bump
 # hashes the source of every function below and fails with a
 # "bump _ANN_TRAINER_REV" message when any changes at an unchanged rev.
-_ANN_TRAINER_REV = 1
+# rev 2 (r13): delta-publish factored out of ann_index_append into
+# _ensure_ann_delta so the segment serve shares it — content-identical,
+# bumped anyway per the mechanical discipline.
+_ANN_TRAINER_REV = 2
 
 # Every function whose LOGIC determines persisted-artifact CONTENT or
 # layout (training, encoding, the base/delta split, the directory
@@ -2132,7 +2135,7 @@ _ANN_TRAINER_SURFACE = (
     "_ann_encode_codes",
     "_ann_write_artifact",
     "_ann_append_watermark",
-    "ann_index_append",
+    "_ensure_ann_delta",
 )
 
 
@@ -2346,6 +2349,52 @@ def _ann_append_watermark(spark: SparkSession, sf_dir: str):
     return _index_meta(sf_dir, "append_wm", build)
 
 
+def _ensure_ann_delta(spark: SparkSession, sf_dir: str, art: str) -> str:
+    """Publish (once) the retrain-free delta code segment beside the
+    base-scope artifact ``art`` and return its path: rows with vec_id
+    above the append watermark, encoded against the PERSISTED
+    base-trained codebooks/centroids (read from disk — the trainers are
+    unreachable here), written atomically like every artifact component.
+    Shared by ann_index_append (which manifests it) and
+    ann_index_topk_segments (which serves from it), so the two can never
+    disagree about what the delta segment contains."""
+    delta_dir = os.path.join(art, "codes_delta")
+    if os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+        return delta_dir
+    wm = _ann_append_watermark(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    emb = (
+        emb.where(F.col("vec_id") > wm)
+        if wm is not None
+        else emb.where(F.lit(False))
+    )
+    dim = _corpus_dim(spark, sf_dir) or PQ_M
+    sub = dim // PQ_M
+    cent_rows = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
+        os.path.join(art, "ivf_centroids")
+    ).collect()
+    if cent_rows and sub > 0:
+        cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+            os.path.join(art, "pq_codebook")
+        )
+        delta = _ann_encode_codes(
+            _ann_cell_subspaces(emb, cent_rows, sub), cb
+        )
+    else:  # degenerate base (no trained cells): nothing can encode
+        delta = spark.createDataFrame([], _ANN_CODES_SCHEMA)
+    tmp = f"{delta_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, True)
+    (
+        delta.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(tmp)
+    )
+    shutil.rmtree(delta_dir, True)
+    os.rename(tmp, delta_dir)
+    return delta_dir
+
+
 def ann_index_append(
     spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -2381,39 +2430,7 @@ def ann_index_append(
     (|delta| rows against broadcast M·K + nlist·d tables, zero shuffle
     until the code-layout groupBy); the base segment is never rewritten."""
     art = _ensure_ann_artifact(spark, sf_dir, scope="base")
-    delta_dir = os.path.join(art, "codes_delta")
-    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
-        wm = _ann_append_watermark(spark, sf_dir)
-        emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-        emb = (
-            emb.where(F.col("vec_id") > wm)
-            if wm is not None
-            else emb.where(F.lit(False))
-        )
-        dim = _corpus_dim(spark, sf_dir) or PQ_M
-        sub = dim // PQ_M
-        cent_rows = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
-            os.path.join(art, "ivf_centroids")
-        ).collect()
-        if cent_rows and sub > 0:
-            cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
-                os.path.join(art, "pq_codebook")
-            )
-            delta = _ann_encode_codes(
-                _ann_cell_subspaces(emb, cent_rows, sub), cb
-            )
-        else:  # degenerate base (no trained cells): nothing can encode
-            delta = spark.createDataFrame([], _ANN_CODES_SCHEMA)
-        tmp = f"{delta_dir}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, True)
-        (
-            delta.repartition("ivf_cell")
-            .write.mode("overwrite")
-            .partitionBy("ivf_cell")
-            .parquet(tmp)
-        )
-        shutil.rmtree(delta_dir, True)
-        os.rename(tmp, delta_dir)
+    delta_dir = _ensure_ann_delta(spark, sf_dir, art)
 
     qsum = _ann_qsum
     cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
@@ -2580,6 +2597,23 @@ def ann_index_topk(
     codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
         os.path.join(art, "codes")
     )
+    return _ann_serve_topk(spark, sf_dir, cents, ivf_rows, codes)
+
+
+def _ann_serve_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: DataFrame,
+    ivf_rows: list,
+    codes: DataFrame,
+) -> DataFrame:
+    """The artifact-serving top-K plan shared by ann_index_topk (full
+    artifact) and ann_index_topk_segments (base artifact + delta
+    segment): nprobe coarse routing against the PERSISTED centroids,
+    integer-grid ADC against the PERSISTED codebooks, exact re-rank of
+    the PQ_SHORTLIST survivors. The code table arrives as an argument so
+    the only difference between the two serves is WHICH segments feed
+    it."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     # dim is None on a 0-row/all-invalid corpus (r12 empty-table
     # probe): any positive placeholder keeps the empty plan
@@ -2668,3 +2702,120 @@ def ann_index_topk(
         .withColumn("rank", F.row_number().over(w_exact))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+def ann_index_topk_segments(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """IVF-PQ top-K served from the SEGMENT PAIR — the base-scope
+    artifact plus the retrain-free delta segment ann_index_append
+    publishes (r12 VERDICT #2: the append path produced segments nothing
+    served). This is the intraday query shape of the LSM index story:
+    the nightly build trains the base, appends encode arrivals against
+    it, and EVERY query reads base ∪ delta until the next compaction —
+    no retrain, no base rewrite, results identical to re-encoding the
+    whole corpus against the base-trained tables.
+
+    Equality argument (and what the oracle proves): a vector's code is a
+    pure function of the trained tables, so base-segment codes (encoded
+    at build over rows ≤ watermark) unioned with delta codes (encoded at
+    append over rows > watermark) equal a single encode pass of ALL
+    valid rows against the base-trained codebooks/centroids. The DuckDB
+    oracle runs exactly that independent computation — the shared
+    _pq_code_ctes/_ivf_cent_ctes chains with the watermark TRAINING
+    filter, assignments over all rows, then the ivf_pq probe/ADC/exact
+    re-rank tail — so a driver hash proves the served segment union
+    equivalent to the base-trained/union-encoded index. The exact
+    re-rank makes the final rows independent of ADC tie noise: row
+    identity vs the brute-force L2 top-K on the union corpus is pinned
+    in tests/test_similarity.py.
+
+    Scale shape: identical to ann_index_topk (the serve plan is shared —
+    _ann_serve_topk); the union is a metadata-only concat of two
+    ivf_cell-partitioned parquet reads, both dynamically pruned to the
+    probed cells. Only corpus-sized touches: the |Q| query vectors and
+    the |Q|·PQ_SHORTLIST exact re-rank rows."""
+    art = _ensure_ann_artifact(spark, sf_dir, scope="base")
+    delta_dir = _ensure_ann_delta(spark, sf_dir, art)
+    cents = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+        os.path.join(art, "pq_codebook")
+    )
+    ivf_rows = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
+        os.path.join(art, "ivf_centroids")
+    ).collect()
+    codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
+        os.path.join(art, "codes")
+    ).unionByName(
+        spark.read.schema(_ANN_CODES_SCHEMA).parquet(delta_dir)
+    )
+    return _ann_serve_topk(spark, sf_dir, cents, ivf_rows, codes)
+
+
+def ann_compact_rebuild(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Compaction — the merge half of the LSM index lifecycle (r12
+    VERDICT #3): when embedding_drift_report flags base→delta drift (or
+    on schedule), rebuild the FULL-scope artifact from the current
+    corpus and RETIRE the base+delta segment pair it supersedes. The
+    full-refresh pattern of the reference warehouse (TRUNCATE +
+    INSERT…SELECT — sql/transformation.sql:16-21) applied to the index:
+    state lives in the artifact, rebuilds refresh it.
+
+    Returns a six-row manifest, audited from DISK on both sides of the
+    compaction boundary:
+    - pq_codebook / ivf_centroids / codes_pq / codes_ivf: the POST-merge
+      full-scope artifact, read back after the rebuild — identical rows
+      to ann_index_build's manifest, which is the point: the oracle
+      retrains the full index in SQL, so a driver hash proves the
+      post-compaction index equivalent to a fresh full build;
+    - retired_base_codes / retired_delta_codes: the segment pair's
+      row counts and Σ vec_id content checksums, captured from the
+      segments BEFORE retirement — the oracle reproduces them from the
+      watermark split of the valid corpus, proving the retired pair
+      covered exactly the corpus (no vector lost or duplicated across
+      the segment boundary).
+
+    The base-scope artifact directory is REMOVED after the manifest
+    frames are materialized (eviction pinned in tests/test_similarity.py);
+    a later append/segment-serve rebuilds the pair read-through, so the
+    registry stays order-independent. Deterministic and idempotent: the
+    same corpus always yields the same six rows.
+
+    Scale shape: the rebuild is ann_index_build's (bounded training
+    collects, one corpus encode pass, ivf_cell-clustered write); the
+    retired-segment audit is two metadata-pruned parquet scans reading
+    ONLY vec_id."""
+    base_art = _ensure_ann_artifact(spark, sf_dir, scope="base")
+    delta_dir = _ensure_ann_delta(spark, sf_dir, base_art)
+    vecsum = F.coalesce(
+        F.sum(F.col("vec_id")), F.lit(0).cast("long")
+    ).alias("checksum")
+    retired = [
+        spark.read.schema(_ANN_CODES_SCHEMA)
+        .parquet(os.path.join(base_art, "codes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), vecsum)
+        .select(
+            F.lit("retired_base_codes").alias("component"),
+            "n_rows",
+            "checksum",
+        ),
+        spark.read.schema(_ANN_CODES_SCHEMA)
+        .parquet(delta_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), vecsum)
+        .select(
+            F.lit("retired_delta_codes").alias("component"),
+            "n_rows",
+            "checksum",
+        ),
+    ]
+    # Materialize the retired-segment stats BEFORE the directories go
+    # away — the frames above lazily read the parquet being retired.
+    retired_rows = [df.collect()[0] for df in retired]
+    full = ann_index_build(spark, sf_dir)
+    shutil.rmtree(base_art, True)
+    retired_df = spark.createDataFrame(
+        [tuple(r) for r in retired_rows],
+        "component string, n_rows bigint, checksum bigint",
+    )
+    return full.unionByName(retired_df)

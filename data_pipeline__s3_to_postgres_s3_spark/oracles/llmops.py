@@ -2179,10 +2179,15 @@ def _ivf_cent_ctes(train_filter: str = "") -> list[str]:
     ]
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_probe_ctes() -> list[str]:
+    """The IVF-PQ serve tail (nprobe probing → routed candidates → ADC →
+    shortlist rank) — composed verbatim by _ivf_pq_sql (full-trained
+    tables) and _ann_segments_topk_sql (base-trained tables via the
+    train_filter) so the probe semantics the two oracles replicate can
+    never drift."""
     from ..operators.similarity import IVF_PQ_NPROBE, PQ_ITERS
 
-    ctes = _pq_code_ctes() + _ivf_cent_ctes() + [
+    return [
         (
             "ivfprobes AS (SELECT vec_id AS query_id, cell FROM ("
             "SELECT vec_id, cell, ROW_NUMBER() OVER ("
@@ -2207,7 +2212,14 @@ def _ivf_pq_sql() -> str:
             "PARTITION BY query_id ORDER BY adcq ASC, vec_id ASC) AS srank "
             "FROM adc)"
         ),
-    ] + _pq_tail_ctes()
+    ]
+
+
+def _ivf_pq_sql() -> str:
+    ctes = (
+        _pq_code_ctes() + _ivf_cent_ctes() + _ivf_probe_ctes()
+        + _pq_tail_ctes()
+    )
     return "WITH " + ",\n".join(ctes) + "\n" + _PQ_FINAL_SELECT
 
 
@@ -2326,6 +2338,95 @@ SELECT 'appended_ivf',
 
 ANN_INDEX_APPEND = _ann_append_sql()
 LLMOPS_ORACLES["ann_index_append"] = ANN_INDEX_APPEND
+
+
+# ann_index_topk_segments (operators/similarity.ann_index_topk_segments):
+# serve top-K from the base artifact ∪ delta segment. The oracle is the
+# ivf_pq serve with the append oracle's watermark TRAINING filter:
+# codebooks/centroids train on base rows only, assignments/probes/ADC/
+# exact re-rank cover ALL valid rows — the independent base-trained/
+# union-encoded computation a segment-pair serve must equal (codes are a
+# pure function of the trained tables, so base-encoded ∪ delta-encoded
+# rows ≡ one full encode pass against the base tables).
+def _ann_segments_topk_sql() -> str:
+    from ..operators.similarity import APPEND_WM_FRAC
+
+    wm_cte = (
+        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    tf = " AND {v} <= (SELECT w FROM wm)"
+    pq = _pq_code_ctes(train_filter=tf)
+    ctes = (
+        pq[:1] + [wm_cte] + pq[1:] + _ivf_cent_ctes(train_filter=tf)
+        + _ivf_probe_ctes() + _pq_tail_ctes()
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + _PQ_FINAL_SELECT
+
+
+ANN_INDEX_TOPK_SEGMENTS = _ann_segments_topk_sql()
+LLMOPS_ORACLES["ann_index_topk_segments"] = ANN_INDEX_TOPK_SEGMENTS
+
+
+# ann_compact_rebuild (operators/similarity.ann_compact_rebuild): the
+# post-merge full-scope artifact must equal a fresh full build — so the
+# four component rows ARE the ann_index_build retraining (the full-scope
+# _pq_code_ctes/_ivf_cent_ctes chains, no filter), and the two retired-
+# segment rows are reproduced from the watermark split of the assigned
+# row set (ivfassigned — the same per-vector convention codes_ivf uses),
+# proving the retired base+delta pair covered exactly the corpus: no
+# vector lost or double-counted across the segment boundary. Σ vec_id is
+# the content checksum (exact int64, order-free).
+def _ann_compact_sql() -> str:
+    from ..operators.similarity import APPEND_WM_FRAC, IVF_ROUND, PQ_ITERS
+
+    rg = 10**IVF_ROUND
+    wm_cte = (
+        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    ctes = _pq_code_ctes() + _ivf_cent_ctes() + [wm_cte]
+    qels = (
+        "SELECT CAST(FLOOR(CAST(u AS DOUBLE) * {rg} + 0.5) AS BIGINT) AS q "
+        "FROM (SELECT unnest(centroid) AS u FROM {src})"
+    )
+    base = "vec_id <= (SELECT w FROM wm)"
+    delta = "vec_id > (SELECT w FROM wm)"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT 'pq_codebook' AS component,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM c{PQ_ITERS}) AS n_rows,
+    (SELECT CAST(SUM(q) AS BIGINT)
+     FROM ({qels.format(rg=rg, src=f'c{PQ_ITERS}')})) AS checksum
+UNION ALL
+SELECT 'ivf_centroids',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfcentroids),
+    (SELECT CAST(SUM(q) AS BIGINT)
+     FROM ({qels.format(rg=rg, src='ivfcentroids')}))
+UNION ALL
+SELECT 'codes_pq',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a{PQ_ITERS}),
+    (SELECT CAST(SUM(cell * (m + 1)) AS BIGINT) FROM a{PQ_ITERS})
+UNION ALL
+SELECT 'codes_ivf',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned),
+    (SELECT CAST(SUM(cell) AS BIGINT) FROM ivfassigned)
+UNION ALL
+SELECT 'retired_base_codes',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned WHERE {base}),
+    (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT)
+     FROM ivfassigned WHERE {base})
+UNION ALL
+SELECT 'retired_delta_codes',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned WHERE {delta}),
+    (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT)
+     FROM ivfassigned WHERE {delta})
+"""
+    )
+
+
+ANN_COMPACT_REBUILD = _ann_compact_sql()
+LLMOPS_ORACLES["ann_compact_rebuild"] = ANN_COMPACT_REBUILD
 
 
 # embedding_drift_report (operators/similarity.embedding_drift_report):

@@ -109,9 +109,11 @@ from .operators.dedup import (
     minhash_estimate_audit,
 )
 from .operators.similarity import (
+    ann_compact_rebuild,
     ann_index_append,
     ann_index_build,
     ann_index_topk,
+    ann_index_topk_segments,
     embedding_centroid_report,
     embedding_dim_stats,
     embedding_drift_report,
@@ -328,18 +330,24 @@ QUERIES: dict[str, QueryFn] = {
     # hand-computed drift matrix and shares the posexplode-mean recipe
     # with the in-window embedding_dim_stats).
     "similarity_pq_topk": similarity_pq_topk,
-    # Round-10 new op, straight into the window (headline-op precedent):
-    # IVF-PQ — IVF routing over PQ codes, the production ANN end state
-    # (r9 VERDICT ask #2) — takes minhash_param_planner's slot
-    # (hash-green r8+r9; its _scurve_sql stays driver-hashed through the
-    # in-window jaccard_threshold_sweep, which composes it).
-    "ivf_pq_topk": ivf_pq_topk,
-    # Round-10 new op, straight into the window: the L2-metric recall@K
-    # audit closing the ANN honesty loop over PQ and IVF-PQ (r9 VERDICT
-    # ask #3) — takes pack_efficiency_report's slot (hash-green r8+r9;
-    # the bin machinery stays pinned by test_packing.py and reconciled
-    # against the in-tail pack_sequences totals).
-    "pq_recall_report": pq_recall_report,
+    # Round-13 new op, straight into the window (r12 VERDICT #2): IVF-PQ
+    # top-K served from the SEGMENT PAIR (base artifact + the retrain-
+    # free delta ann_index_append publishes) — the intraday query shape
+    # of the LSM index story. Takes ivf_pq_topk's slot (hash-green
+    # r10+r11+r12; the ivf_pq machinery stays FULLY driver-hashed via
+    # the in-window ann_index_topk, whose oracle is the ivf_pq
+    # retraining verbatim, plus the row-identity pin in
+    # test_similarity.py).
+    "ann_index_topk_segments": ann_index_topk_segments,
+    # Round-13 new op, straight into the window (r12 VERDICT #3): the
+    # drift-triggered compaction — rebuild the full-scope artifact,
+    # retire the base+delta segment pair, manifest proves post-merge
+    # index ≡ fresh full build + the retired pair covered exactly the
+    # corpus. Takes pq_recall_report's slot (hash-green r10+r11+r12; the
+    # recall machinery stays pinned by test_similarity.py's recall
+    # reconciliation tests and shares every CTE with the in-window
+    # ann serves).
+    "ann_compact_rebuild": ann_compact_rebuild,
     "customer_nation_value_rank": customer_nation_value_rank,
     # ===== round-6 rotation block: never-driver-hashed until now =========
     # -- temporal / events analytics (heaviest machinery first) -----------
@@ -513,6 +521,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_rolling_zscore": events_rolling_zscore,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    # Rotated out in round 13 (hash-green r10+r11+r12; see the window
+    # comments on ann_index_topk_segments / ann_compact_rebuild):
+    "ivf_pq_topk": ivf_pq_topk,
+    "pq_recall_report": pq_recall_report,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_kmeans": embedding_kmeans,
     "dedup_exact": dedup_exact,

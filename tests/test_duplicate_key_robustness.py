@@ -56,6 +56,8 @@ SIMILARITY_REPS = [
     "ivf_pq_topk",
     "ann_index_build",
     "ann_index_topk",
+    "ann_index_topk_segments",
+    "ann_compact_rebuild",
     "embedding_neardup_pairs",
     "semantic_dedup",
 ]

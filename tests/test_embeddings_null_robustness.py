@@ -85,6 +85,10 @@ QUERIES_UNDER_TEST = [
     # the watermark, take a delta code, nor contribute a drift moment.
     "ann_index_append",
     "embedding_drift_report",
+    # r13: the segment serve and the compaction — degenerate vectors
+    # appear in no segment, no retired count, no rebuilt artifact.
+    "ann_index_topk_segments",
+    "ann_compact_rebuild",
 ]
 
 
@@ -190,6 +194,9 @@ SHORTDIM_QUERIES = [
     # leading dims per subspace; the build must fit the short dim).
     "ann_index_build",
     "ann_index_topk",
+    # r13: segment pair + compaction under the short dim.
+    "ann_index_topk_segments",
+    "ann_compact_rebuild",
 ]
 
 

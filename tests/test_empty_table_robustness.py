@@ -68,6 +68,8 @@ REPS = {
     "embeddings": [
         "ann_index_build",
         "ann_index_append",
+        "ann_index_topk_segments",
+        "ann_compact_rebuild",
         "embedding_drift_report",
         "ann_index_topk",
         "ivf_pq_topk",
@@ -80,6 +82,8 @@ REPS = {
     "embeddings_invalid": [
         "ann_index_build",
         "ann_index_append",
+        "ann_index_topk_segments",
+        "ann_compact_rebuild",
         "embedding_drift_report",
         "ann_index_topk",
         "ivf_pq_topk",

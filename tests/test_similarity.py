@@ -12,12 +12,16 @@ from __future__ import annotations
 
 import pytest
 
+from data_pipeline__s3_to_postgres_s3_spark.operators import similarity as sim
 from data_pipeline__s3_to_postgres_s3_spark.operators.similarity import (
     similarity_bruteforce_topk,
     similarity_ivf_topk,
     similarity_lsh_topk,
     similarity_sq_topk,
 )
+from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+from .oracle_harness import compare, duckdb_connection
 
 
 @pytest.fixture(scope="module")
@@ -1125,7 +1129,8 @@ def test_trainer_source_change_requires_rev_bump():
     )
     digest = hashlib.md5(src.encode()).hexdigest()
     PINNED = {
-        1: "8c9620ca39a0f7ba62af3d758df45f87",  # r13 baseline
+        # rev 2: _ensure_ann_delta factored out of ann_index_append (r13)
+        2: "7260c5b610916d48b0b39077d2e9c904",
     }
     assert sim._ANN_TRAINER_REV in PINNED and (
         PINNED[sim._ANN_TRAINER_REV] == digest
@@ -1166,3 +1171,141 @@ def test_legacy_ann_artifact_dirs_are_swept(spark, sf_small, tmp_path):
 
         shutil.rmtree(foreign_tmp, True)
         shutil.rmtree(legacy, True)
+
+
+def test_ann_segments_topk_matches_oracle(spark, sf_small):
+    """Driver-faithful check of the segment-pair serve: the DuckDB
+    oracle is the independent base-trained/union-encoded computation
+    (watermark training filter + full-coverage assignments + the ivf_pq
+    probe/ADC/exact-re-rank tail)."""
+    con = duckdb_connection(sf_small)
+    try:
+        report = compare(
+            sim.ann_index_topk_segments(spark, sf_small),
+            con,
+            ORACLES["ann_index_topk_segments"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+
+
+def test_ann_segments_serve_equals_one_pass_base_encode(spark, sf_small):
+    """The LSM equality claim, pinned row-for-row: serving from the
+    base segment ∪ delta segment is IDENTICAL to encoding the whole
+    corpus against the base-trained tables in one pass — a vector's
+    code is a pure function of the trained tables, so the segment
+    boundary is invisible to queries."""
+    import os
+
+    served = sorted(
+        tuple(r)
+        for r in sim.ann_index_topk_segments(spark, sf_small).collect()
+    )
+    art = sim._ensure_ann_artifact(spark, sf_small, scope="base")
+    cb = spark.read.schema(sim._PQ_CENTS_SCHEMA).parquet(
+        os.path.join(art, "pq_codebook")
+    )
+    ivf_rows = spark.read.schema(sim._ANN_IVFC_SCHEMA).parquet(
+        os.path.join(art, "ivf_centroids")
+    ).collect()
+    emb = sim._embeddings(spark, sf_small).select("vec_id", "embedding")
+    dim = sim._corpus_dim(spark, sf_small) or sim.PQ_M
+    one_pass_codes = sim._ann_encode_codes(
+        sim._ann_cell_subspaces(emb, ivf_rows, dim // sim.PQ_M), cb
+    )
+    one_pass = sorted(
+        tuple(r)
+        for r in sim._ann_serve_topk(
+            spark, sf_small, cb, ivf_rows, one_pass_codes
+        ).collect()
+    )
+    assert served == one_pass
+
+
+def test_ann_segments_recall_floor_vs_exact(spark, sf_small):
+    """The segment serve pays the same nprobe routing cost as ivf_pq —
+    NOT row-identical to the exact brute-force top-K (measured ~0.70
+    recall@5 at sf0.001/sf0.01). Pin a floor so a broken shortlist
+    (recall collapse) surfaces while honest routing loss does not."""
+    served = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ann_index_topk_segments(spark, sf_small).collect()
+    }
+    emb = sim._embeddings(spark, sf_small).select("vec_id", "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim._exact_l2_topk(emb).collect()
+    }
+    assert len(served & exact) / len(exact) >= 0.5
+
+
+def test_ann_compact_matches_oracle_and_retires_pair(spark, sf_small):
+    """Compaction contract: manifest hash-matches the full-retrain +
+    watermark-split oracle, the base+delta segment pair is GONE after
+    the run (superseded segments evicted — r12 VERDICT #3), and the
+    full-scope artifact serves."""
+    import os
+
+    out = {r["component"]: r for r in
+           sim.ann_compact_rebuild(spark, sf_small).collect()}
+    assert set(out) == {
+        "pq_codebook", "ivf_centroids", "codes_pq", "codes_ivf",
+        "retired_base_codes", "retired_delta_codes",
+    }
+    base_art = sim._ann_artifact_dir(sf_small, scope="base")
+    assert not os.path.exists(base_art), "segment pair must be retired"
+    full_art = sim._ann_artifact_dir(sf_small)
+    assert all(
+        os.path.exists(os.path.join(full_art, c, "_SUCCESS"))
+        for c in sim._ANN_COMPONENTS
+    )
+    # the retired pair covered exactly the corpus: counts add up to the
+    # full code table, no vector lost or double-counted at the boundary
+    assert (
+        out["retired_base_codes"]["n_rows"]
+        + out["retired_delta_codes"]["n_rows"]
+        == out["codes_ivf"]["n_rows"]
+    )
+    con = duckdb_connection(sf_small)
+    try:
+        report = compare(
+            sim.ann_compact_rebuild(spark, sf_small),
+            con,
+            ORACLES["ann_compact_rebuild"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+
+
+def test_ann_compact_component_rows_equal_fresh_full_build(spark, sf_small):
+    """Post-merge index ≡ fresh full build, reconciled op-to-op: the
+    compaction manifest's four component rows are exactly
+    ann_index_build's manifest."""
+    compact = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_compact_rebuild(spark, sf_small).collect()
+        if not r["component"].startswith("retired_")
+    }
+    build = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_index_build(spark, sf_small).collect()
+    }
+    assert compact == build
+
+
+def test_ann_append_and_segments_serve_after_compaction(spark, sf_small):
+    """Registry order-independence: compaction retires the segment pair,
+    and a later append / segment serve rebuilds it read-through with
+    identical results (trainings are memoized, artifacts re-publish)."""
+    sim.ann_compact_rebuild(spark, sf_small).collect()
+    con = duckdb_connection(sf_small)
+    try:
+        for name in ("ann_index_append", "ann_index_topk_segments"):
+            report = compare(
+                getattr(sim, name)(spark, sf_small), con, ORACLES[name]
+            )
+            assert report["ok"], (name, report)
+    finally:
+        con.close()
