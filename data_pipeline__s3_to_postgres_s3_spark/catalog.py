@@ -83,6 +83,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+# events.ts representability window (r13 extreme-timestamp probe).
+# Half-open [MIN, MAX): pre-epoch values serve no analytics here and
+# far-future ones explode span-derived grids (gapfill) and ANSI month
+# arithmetic; both are corruption in a clickstream feed. Mirrored in
+# every oracle via the registry-level rewrite (_EVENTS_FEED_NORM).
+EVENT_TS_MIN = "1970-01-01 00:00:00"
+EVENT_TS_MAX = "2100-01-01 00:00:00"
+
+
 def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-timestamp column to TIMESTAMP (LTZ) regardless of
     the encoding the producer wrote — external data arrives in whatever
@@ -106,6 +115,24 @@ def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
         ev = ev.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
     elif dt == "timestamp_ntz":
         ev = ev.withColumn(col, F.col(col).cast("timestamp"))
+    # Representability window (r13 extreme-timestamp probe): pre-epoch
+    # and far-future timestamps are feed corruption, not events — a
+    # single year-9999 ts OOM-killed the probe JVM outright (the
+    # min-to-max gapfill grid spans 8000 years of hours) and year-9999
+    # month arithmetic overflows DATE under ANSI. Out-of-window ts goes
+    # NULL and the ROW survives, landing in the ALREADY-PINNED NULL-ts
+    # regime (stream readers drop; batch windows pin NULLS FIRST — the
+    # r6 events NULL matrix). Mirrored once at the registry level
+    # (_EVENTS_FEED_NORM), the normalize_event_value pattern.
+    c = F.col(col)
+    ev = ev.withColumn(
+        col,
+        F.when(
+            (c >= F.lit(EVENT_TS_MIN).cast("timestamp"))
+            & (c < F.lit(EVENT_TS_MAX).cast("timestamp")),
+            c,
+        ),
+    )
     return ev
 
 
@@ -125,7 +152,7 @@ def normalize_event_value(ev: DataFrame, col: str = "value") -> DataFrame:
     dropping keeps the event in sessions/funnels/counts, and the NULL
     then flows through the r6 NULL-value discipline already mirrored in
     every oracle. The oracle twin is the registry-level `FROM events`
-    rewrite (registry._EVENTS_VALUE_NORM); a verified no-op on sane
+    rewrite (registry._EVENTS_FEED_NORM); a verified no-op on sane
     corpora."""
     cd = F.col(col).cast("double")
     keep = ~F.isnan(cd) & (F.abs(cd) <= EVENT_VALUE_ABS_MAX)

@@ -615,6 +615,9 @@ WITH contrib AS (
                - k * INTERVAL 15 MINUTE AS window_start,
            event_type, value
     FROM {_EV}, (SELECT UNNEST([0, 1, 2, 3]) AS k)
+    -- F.window() DROPS NULL-ts rows (unlike a groupBy over date_trunc,
+    -- which keeps a NULL group) — r13 extreme-timestamp probe.
+    WHERE tsu IS NOT NULL
 )
 SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
     COUNT(*) AS n_events,

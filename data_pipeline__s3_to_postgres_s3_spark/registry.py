@@ -706,19 +706,27 @@ ORACLES: dict[str, str] = {
     "sql_script_best_product": PARITY_ORACLES["best_performing_product"],
 }
 
-# events.value representability mirror (catalog.normalize_event_value —
-# r12 extreme-value probe): every oracle reads events through a view
-# that NULLs non-representable values (NaN / ±Inf abort the ANSI cents
-# cast on BOTH engines and rank engine-arbitrarily; |v| > 1e12 overflows
-# the int64 cents grid), applied at THIS single chokepoint so no oracle
-# can drift from the Spark-side gate. The rewrite is a plain-text
-# substitution of the table reference — idempotent where a fragment is
-# already wrapped (normalizing twice is the identity) and a no-op for
-# oracles that never read events.
-_EVENTS_VALUE_NORM = (
+# events feed-representability mirror — every oracle reads events
+# through a view that NULLs non-representable VALUES
+# (catalog.normalize_event_value, r12 extreme-value probe: NaN / ±Inf
+# abort the ANSI cents cast on BOTH engines and rank
+# engine-arbitrarily; |v| > 1e12 overflows the int64 cents grid) and
+# non-representable TIMESTAMPS (catalog.normalize_event_ts, r13
+# extreme-timestamp probe: pre-epoch / post-2100 ts explode
+# span-derived grids and ANSI month arithmetic — out-of-window ts goes
+# NULL, the row survives, and the pinned NULL-ts regime takes over).
+# Applied at THIS single chokepoint so no oracle can drift from the
+# Spark-side gates. The rewrite is a plain-text substitution of the
+# table reference — idempotent where a fragment is already wrapped
+# (normalizing twice is the identity) and a no-op for oracles that
+# never read events.
+_EVENTS_FEED_NORM = (
     "(SELECT * REPLACE (CASE WHEN NOT isnan(CAST(value AS DOUBLE)) AND "
     "abs(CAST(value AS DOUBLE)) <= 1000000000000.0 THEN value END "
-    "AS value) FROM events)"
+    "AS value, "
+    "CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00' "
+    "AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2100-01-01 00:00:00' "
+    "THEN ts END AS ts) FROM events)"
 )
 # Raw-feed exemptions (r12 ADVICE): key_uniqueness_report is the
 # duplicate/corruption DETECTOR — its Spark side reads events via
@@ -731,7 +739,7 @@ _EVENTS_RAW_ORACLES = frozenset({"key_uniqueness_report"})
 ORACLES = {
     name: sql
     if name in _EVENTS_RAW_ORACLES
-    else sql.replace("FROM events", f"FROM {_EVENTS_VALUE_NORM}")
+    else sql.replace("FROM events", f"FROM {_EVENTS_FEED_NORM}")
     for name, sql in ORACLES.items()
 }
 
@@ -745,11 +753,11 @@ _EVENTS_REF_RE = re.compile(r"\b(from|join)\s+events\b", re.IGNORECASE)
 for _name, _sql in ORACLES.items():
     if _name in _EVENTS_RAW_ORACLES:
         continue
-    _residue = _sql.replace(_EVENTS_VALUE_NORM, "")
+    _residue = _sql.replace(_EVENTS_FEED_NORM, "")
     _m = _EVENTS_REF_RE.search(_residue)
     assert _m is None, (
         f"oracle {_name!r} references the events table as {_m.group(0)!r}, "
-        "which the _EVENTS_VALUE_NORM rewrite cannot see — write it as "
+        "which the _EVENTS_FEED_NORM rewrite cannot see — write it as "
         "'FROM events' (exact case, single space) or add the oracle to "
         "_EVENTS_RAW_ORACLES if it must read the raw feed"
     )

@@ -17,7 +17,7 @@ while the ROW survives (a broken value must not delete the event from
 sessions/funnels/counts); the NULL then flows through the r6 NULL-value
 discipline already mirrored in every oracle. The oracle twin is the
 registry-level rewrite of every `FROM events` reference through
-_EVENTS_VALUE_NORM — one chokepoint per side, no per-query drift.
+_EVENTS_FEED_NORM — one chokepoint per side, no per-query drift.
 """
 
 from __future__ import annotations
@@ -202,7 +202,7 @@ def dup_extreme_events_dir(sf_small, tmp_path_factory):
 def test_census_sees_raw_feed_under_dup_extreme_values(
     spark, dup_extreme_events_dir
 ):
-    """key_uniqueness_report is exempt from the _EVENTS_VALUE_NORM
+    """key_uniqueness_report is exempt from the _EVENTS_FEED_NORM
     oracle rewrite (registry._EVENTS_RAW_ORACLES): its Spark side reads
     events RAW via load_table, so a rewritten oracle would under-count
     conflict_keys exactly on the corpus the census exists to detect."""
@@ -230,11 +230,11 @@ def test_census_sees_raw_feed_under_dup_extreme_values(
 def test_census_oracle_is_exempt_from_value_rewrite():
     from data_pipeline__s3_to_postgres_s3_spark.registry import (
         _EVENTS_RAW_ORACLES,
-        _EVENTS_VALUE_NORM,
+        _EVENTS_FEED_NORM,
     )
 
     assert "key_uniqueness_report" in _EVENTS_RAW_ORACLES
-    assert _EVENTS_VALUE_NORM not in ORACLES["key_uniqueness_report"]
+    assert _EVENTS_FEED_NORM not in ORACLES["key_uniqueness_report"]
 
 
 def test_events_reference_guard_catches_unwrapped_forms():
@@ -242,7 +242,7 @@ def test_events_reference_guard_catches_unwrapped_forms():
     the plain-text rewrite cannot see (r12 ADVICE low)."""
     from data_pipeline__s3_to_postgres_s3_spark.registry import (
         _EVENTS_REF_RE,
-        _EVENTS_VALUE_NORM,
+        _EVENTS_FEED_NORM,
     )
 
     bad = [
@@ -252,15 +252,15 @@ def test_events_reference_guard_catches_unwrapped_forms():
         "SELECT * From Events WHERE 1=1",
     ]
     for sql in bad:
-        assert _EVENTS_REF_RE.search(sql.replace(_EVENTS_VALUE_NORM, "")), sql
+        assert _EVENTS_REF_RE.search(sql.replace(_EVENTS_FEED_NORM, "")), sql
     ok = [
         "SELECT * FROM events_per_user",
         "SELECT * FROM my_events",
-        f"SELECT * FROM {_EVENTS_VALUE_NORM}",
+        f"SELECT * FROM {_EVENTS_FEED_NORM}",
     ]
     for sql in ok:
         assert not _EVENTS_REF_RE.search(
-            sql.replace(_EVENTS_VALUE_NORM, "")
+            sql.replace(_EVENTS_FEED_NORM, "")
         ), sql
 
 
