@@ -56,17 +56,27 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage blobs + sidecar metadata.
     """
     docs = load_table(spark, sf_dir, "documents")
-    mt = F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int"))
+    # pmod, not %: a negative doc_id (r13 negative-id probe) drove
+    # element_at to index <= 0 (Spark abort) and duration_ms negative
+    # (backwards frame sequence); pmod == % for non-negative ids, so
+    # clean-corpus results are bit-unchanged. Oracle twin:
+    # ((doc_id % k) + k) % k in oracles/multimodal._MEDIA.
+    def pm(k: int) -> F.Column:
+        return F.pmod(F.col("doc_id"), F.lit(k))
+
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (pm(3) + 1).cast("int")
+    )
     return docs.select(
         "doc_id",
         mt.alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
             F.lit("synthetic/v1").alias("format"),
-            (F.col("doc_id") % 640 + 16).alias("width"),
-            (F.col("doc_id") % 480 + 16).alias("height"),
+            (pm(640) + 16).alias("width"),
+            (pm(480) + 16).alias("height"),
             F.lit(16000).cast("long").alias("sample_rate"),
-            ((F.col("doc_id") % 30 + 1) * 1000).alias("duration_ms"),
+            ((pm(30) + 1) * 1000).alias("duration_ms"),
         ).alias("meta"),
     )
 

@@ -53,9 +53,15 @@ def split_hash(col: F.Column, salt: int = 0) -> F.Column:
     below 2^49, and the result is ALGEBRAICALLY IDENTICAL to the naive
     (col·m) % 2^32 for every id, so committed driver hashes and all
     sf results are unchanged. Mirrored token-for-token by
-    ``split_hash_sql``."""
-    a = (col + F.lit(salt)) % HASH_MOD
-    hi = F.shiftright(a.cast("long"), 16)  # ids are non-negative
+    ``split_hash_sql``.
+
+    The salted residue is pmod, not %, so NEGATIVE ids hash identically
+    on both engines (r13 negative-id probe: Spark's two's-complement
+    bitwiseAND of a negative residue disagreed with DuckDB's signed %;
+    pmod == % for every non-negative id, so clean-corpus hashes are
+    bit-unchanged)."""
+    a = F.pmod(col + F.lit(salt), F.lit(HASH_MOD))
+    hi = F.shiftright(a.cast("long"), 16)
     lo = a.cast("long").bitwiseAND(F.lit(65535))
     return (
         ((hi * HASH_MULT) % 65536) * 65536 + lo * HASH_MULT
@@ -64,8 +70,8 @@ def split_hash(col: F.Column, salt: int = 0) -> F.Column:
 
 def split_hash_sql(expr: str = "doc_id", salt: int = 0) -> str:
     """DuckDB twin of ``split_hash`` (// and % mirror shiftright/mask
-    for non-negative ids)."""
-    a = f"(({expr}) + {salt}) % {HASH_MOD}"
+    once the salted residue is forced non-negative — the pmod twin)."""
+    a = f"(((({expr}) + {salt}) % {HASH_MOD} + {HASH_MOD}) % {HASH_MOD})"
     hi = f"(({a}) // 65536)"
     lo = f"(({a}) % 65536)"
     return (

@@ -144,7 +144,19 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds ``len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR
     isinf(CAST(v AS DOUBLE)))) = 0`` (Spark has no isinf — the
     abs = 'Infinity' comparison below is its exact equivalent; NaN
-    compares false so the isnan arm catches it)."""
+    compares false so the isnan arm catches it).
+
+    r13 (negative-id probe): NEGATIVE vec_ids also drop on both engines.
+    The family's seed/query selection is id-anchored by design
+    (seeds: vec_id < PQ_K; queries: vec_id < N_QUERIES — the fixed,
+    scale-invariant workload every oracle replicates), so a feed of
+    signed-hash ids would enroll EVERY negative id as a seed and a
+    query: the PQ codebook explodes past K cells per subspace
+    (DUPLICATED_MAP_KEY abort in the ADC map), and |Q| grows unbounded
+    — a correctness crash and a DoS in one. Ids are non-negative by
+    corpus contract; the census ops report violations, this chokepoint
+    self-defends. Mirror: ``vec_id >= 0`` in every oracle validity
+    site. Clean-corpus cost: a codegen comparison, no plan change."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _corpus_dim(spark, sf_dir)
     out = emb.where(
@@ -155,6 +167,7 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "OR abs(CAST(v AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
         )
         & F.col("vec_id").isNotNull()
+        & (F.col("vec_id") >= 0)
     )
     # r11 duplicate-key probe: a vec_id claimed by MORE THAN ONE row (a
     # re-ingested/corrupted corpus) has ambiguous identity — the class is
@@ -2116,13 +2129,17 @@ _ANN_DIR_RE = re.compile(r"^[0-9a-f]{12}_\d+_[0-9a-f]{8}$")
 # rev 2 (r13): delta-publish factored out of ann_index_append into
 # _ensure_ann_delta so the segment serve shares it — content-identical,
 # bumped anyway per the mechanical discipline.
-_ANN_TRAINER_REV = 2
+# rev 3 (r13): _embeddings joins the surface (the valid-set definition
+# IS artifact content — the negative-id drop changes what trains) and
+# gains the vec_id >= 0 gate.
+_ANN_TRAINER_REV = 3
 
 # Every function whose LOGIC determines persisted-artifact CONTENT or
 # layout (training, encoding, the base/delta split, the directory
 # format). Manifest/serve-side readers are deliberately excluded: a
 # stale artifact can only be produced by these.
 _ANN_TRAINER_SURFACE = (
+    "_embeddings",
     "ivf_centroids",
     "_inline_centroids",
     "_dist_structs",

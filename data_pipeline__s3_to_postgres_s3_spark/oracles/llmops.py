@@ -438,7 +438,7 @@ _EMB_NORM = f"""
 e AS (
     SELECT vec_id, embedding, len(embedding) AS dimlen,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 )
 """
 
@@ -536,7 +536,7 @@ WITH scaled AS (
     SELECT vec_id, embedding,
         list_max(list_transform(embedding,
                  v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 ),
 coded AS (
     SELECT vec_id, embedding, scale,
@@ -562,7 +562,7 @@ SEMANTIC_DEDUP = f"""
 WITH e AS (
     SELECT vec_id, CAST(label AS BIGINT) AS cluster, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 ),
 losers AS (
     SELECT DISTINCT b.vec_id
@@ -593,7 +593,7 @@ flat AS (
     -- NULL-label rows train no centroid (mirrors ivf_centroids).
     SELECT label, unnest(embedding) AS val,
         generate_subscripts(embedding, 1) AS dim
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
     WHERE label IS NOT NULL
 ),
 cent AS (
@@ -746,10 +746,10 @@ WINDOW w AS (
 def _kmeans_oracle() -> str:
     ctes = [
         "flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,"
-        " generate_subscripts(embedding, 1) AS dim FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings)",
+        " generate_subscripts(embedding, 1) AS dim FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings)",
         f"c0 AS (SELECT vec_id AS cell,"
         f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid"
-        f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings WHERE vec_id < {KMEANS_K})",
+        f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings WHERE vec_id < {KMEANS_K})",
     ]
     d2 = (
         "FLOOR((" + _D2_SQL.format(a="e.embedding", b="c.centroid")
@@ -758,7 +758,7 @@ def _kmeans_oracle() -> str:
     for i in range(KMEANS_ITERS + 1):
         ctes.append(
             f"s{i} AS (SELECT e.vec_id, c.cell, {d2} AS d2"
-            f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) e, c{i} c)"
+            f" FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) e, c{i} c)"
         )
         ctes.append(
             f"a{i} AS (SELECT vec_id, cell, d2 FROM ("
@@ -1265,7 +1265,7 @@ HARD_NEGATIVE_MINING = f"""
 WITH el AS (
     SELECT vec_id, label, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 ),
 q AS (SELECT * FROM el WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -1303,7 +1303,7 @@ WITH e AS (
     SELECT vec_id, embedding,
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
         {_sd_hash_sql('vec_id')} % {_SD_BUCKETS} AS bucket
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 ),
 train AS (SELECT * FROM e WHERE bucket < {_SD_TRAIN}),
 ev AS (SELECT * FROM e WHERE bucket >= {_SD_VAL}),
@@ -1436,7 +1436,7 @@ def _centroid_report_sql() -> str:
     return f"""
 WITH valid AS (
     SELECT label, embedding FROM embeddings
-    WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)
+    WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)
 ),
 flat AS (
     SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
@@ -1759,7 +1759,7 @@ base AS (
         sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
         list_max(list_transform(embedding,
                  v -> abs(CAST(v AS DOUBLE)))) / 127 AS scale
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 ),
 coded AS (
     SELECT vec_id, embedding, norm,
@@ -1921,7 +1921,7 @@ WITH v AS (
     SELECT label,
         CAST(FLOOR(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
              * 1000000 + 0.5) AS BIGINT) AS nq
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 )
 SELECT label,
     CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1965,7 +1965,7 @@ WITH flat AS (
     SELECT generate_subscripts(embedding, 1) - 1 AS dim,
         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
              AS BIGINT) AS q
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings) AND len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)) embeddings
 ),
 per AS (
     SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss,
@@ -2022,7 +2022,7 @@ def _pq_code_ctes(train_filter: str = "") -> list[str]:
     valid = (
         "SELECT * FROM embeddings WHERE len(embedding) = "
         "(SELECT MAX(len(embedding)) FROM embeddings) AND "
-        "len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)"
+        "len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)"
     )
     d2 = _D2_SQL
     ctes = [
@@ -2447,6 +2447,7 @@ def _embedding_drift_sql() -> str:
         "len(list_filter(embedding, v -> v IS NULL)) = 0 AND "
         "len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) "
         "OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND "
+        "vec_id >= 0 AND "
         "vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS "
         "NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)"
     )
@@ -2520,7 +2521,7 @@ def _pq_recall_sql() -> str:
 WITH validq AS (
     SELECT * FROM embeddings WHERE len(embedding) =
         (SELECT MAX(len(embedding)) FROM embeddings) AND
-        len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)
+        len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)
 ),
 bf AS (
     SELECT query_id, vec_id FROM (
@@ -2579,7 +2580,7 @@ def _corr_topk_sql() -> str:
 WITH valid AS (
     SELECT * FROM embeddings WHERE len(embedding) =
         (SELECT MAX(len(embedding)) FROM embeddings) AND
-        len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)
+        len(list_filter(embedding, v -> v IS NULL)) = 0 AND len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND vec_id >= 0 AND vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)
 ),
 flat AS (
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

@@ -16,12 +16,13 @@ rows-only check plus value-level unit tests in tests/test_multimodal.py.
 
 _MEDIA = """(
     SELECT doc_id,
-        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        ['image','audio','video'][CAST((doc_id % 3 + 3) % 3 AS INT) + 1]
+            AS media_type,
         text,
         octet_length(encode(text)) AS payload_bytes,
-        doc_id % 640 + 16 AS width,
-        doc_id % 480 + 16 AS height,
-        (doc_id % 30 + 1) * 1000 AS duration_ms
+        (doc_id % 640 + 640) % 640 + 16 AS width,
+        (doc_id % 480 + 480) % 480 + 16 AS height,
+        ((doc_id % 30 + 30) % 30 + 1) * 1000 AS duration_ms
     FROM documents
 )"""
 

@@ -1129,8 +1129,8 @@ def test_trainer_source_change_requires_rev_bump():
     )
     digest = hashlib.md5(src.encode()).hexdigest()
     PINNED = {
-        # rev 2: _ensure_ann_delta factored out of ann_index_append (r13)
-        2: "7260c5b610916d48b0b39077d2e9c904",
+        # rev 3: _embeddings joined the surface + negative-id gate (r13)
+        3: "8c9b3d12fea1792c7b1165dd8d09ca1e",
     }
     assert sim._ANN_TRAINER_REV in PINNED and (
         PINNED[sim._ANN_TRAINER_REV] == digest
