@@ -49,9 +49,38 @@ def _ensure_utc(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Relational measure representability bound (r13 extreme-money probe):
+# the universal integer-money discipline (cents() = CAST(ROUND(v·100)
+# AS BIGINT)) aborts under ANSI on NaN/±Inf/1e300 on BOTH engines —
+# 27 of 55 relational oracles red on a corrupted-measure feed. Same
+# contract as events.value: non-representable measures go NULL at the
+# load chokepoint, the ROW survives, and the r9 NULL-measures regime
+# (already mirrored in every oracle) takes over. Oracle twin: the
+# registry-level shadow-CTE prelude (registry._measure_shadow_ctes).
+MEASURE_ABS_MAX = 1000000000000.0
+MEASURE_COLS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "part": ("p_retailprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, raw: bool = False
+) -> DataFrame:
+    """``raw=True`` skips the measure representability gate — reserved
+    for the corruption DETECTORS (key_uniqueness_report's census must
+    see the raw feed; its oracle is exempt from the mirrors too)."""
     _ensure_utc(spark)
-    return _normalize_decimals(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = _normalize_decimals(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    if not raw:
+        for col in MEASURE_COLS.get(name, ()):
+            cd = F.col(col).cast("double")
+            keep = ~F.isnan(cd) & (F.abs(cd) <= MEASURE_ABS_MAX)
+            df = df.withColumn(col, F.when(keep, F.col(col)))
+    return df
 
 
 def _normalize_decimals(df: DataFrame) -> DataFrame:

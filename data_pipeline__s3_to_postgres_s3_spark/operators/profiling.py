@@ -303,7 +303,10 @@ def key_uniqueness_report(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     parts = []
     for name, keys in KEY_SPECS:
-        df = load_table(spark, sf_dir, name)
+        # raw=True: the census is the corruption DETECTOR — it must see
+        # the feed before any representability gate (r13 extreme-money
+        # probe; its oracle is in registry._RAW_FEED_ORACLES).
+        df = load_table(spark, sf_dir, name, raw=True)
         notnull = reduce(and_, [F.col(k).isNotNull() for k in keys])
         if df.count() <= KEY_CENSUS_EXACT_MAX_ROWS:
             nd_cols = [F.struct(*[F.col(c) for c in df.columns])]

@@ -729,17 +729,73 @@ _EVENTS_FEED_NORM = (
     "THEN ts END AS ts) FROM events)"
 )
 # Raw-feed exemptions (r12 ADVICE): key_uniqueness_report is the
-# duplicate/corruption DETECTOR — its Spark side reads events via
-# load_table (raw, profiling.py KEY_SPECS loop), never load_events, so
-# its oracle must see the raw feed too. Rewriting it would split the
-# engines on a corpus whose duplicate event_ids differ only in
+# duplicate/corruption DETECTOR — its Spark side reads every table via
+# load_table(raw=True) (profiling.py KEY_SPECS loop), never the gated
+# loaders, so its oracle must see the raw feed too. Rewriting it would
+# split the engines on a corpus whose duplicate keys differ only in
 # non-representable values (NaN vs Inf — both NULL after the rewrite,
 # distinct raw). Pinned: tests/test_extreme_value_robustness.py.
 _EVENTS_RAW_ORACLES = frozenset({"key_uniqueness_report"})
+# Alias for the general contract (events + relational measures).
+_RAW_FEED_ORACLES = _EVENTS_RAW_ORACLES
 ORACLES = {
     name: sql
     if name in _EVENTS_RAW_ORACLES
     else sql.replace("FROM events", f"FROM {_EVENTS_FEED_NORM}")
+    for name, sql in ORACLES.items()
+}
+
+# Relational measure-representability mirror (catalog.MEASURE_COLS —
+# r13 extreme-money probe: NaN/±Inf/±1e300 in the star schema's
+# measures abort the ANSI cents cast on both engines; 27/55 relational
+# oracles red). The Spark gate lives in catalog.load_table; the oracle
+# twin is a SHADOW CTE prelude — `WITH lineitem AS (SELECT * REPLACE
+# (...) FROM main.lineitem), ...` — spliced ahead of each oracle that
+# references a gated table. A shadowing CTE wins name resolution for
+# EVERY reference form (FROM, JOIN, comma-join, nested subqueries,
+# later CTEs), so no text surgery inside the oracle is needed and no
+# spelling can silently escape the mirror; `main.` qualifies the base
+# view to avoid the circular-CTE binder error. Unused shadows are
+# harmless (never materialized). Raw-feed detectors stay exempt.
+_MEASURE_NORM_TABLES = (
+    ("lineitem", ("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    ("orders", ("o_totalprice",)),
+    ("part", ("p_retailprice",)),
+    ("customer", ("c_acctbal",)),
+    ("supplier", ("s_acctbal",)),
+)
+
+
+def _measure_shadow_ctes(sql: str) -> str:
+    shadows = []
+    for table, cols in _MEASURE_NORM_TABLES:
+        if table not in sql:
+            continue
+        reps = ", ".join(
+            f"CASE WHEN NOT isnan(CAST({c} AS DOUBLE)) AND "
+            f"abs(CAST({c} AS DOUBLE)) <= 1000000000000.0 THEN {c} END "
+            f"AS {c}"
+            for c in cols
+        )
+        shadows.append(f"{table} AS (SELECT * REPLACE ({reps}) FROM main.{table})")
+    if not shadows:
+        return sql
+    prelude = ",\n".join(shadows)
+    stripped = sql.lstrip()
+    lead = sql[: len(sql) - len(stripped)]
+    if stripped.upper().startswith("WITH RECURSIVE"):
+        head = stripped[: len("WITH RECURSIVE")]
+        return f"{lead}{head} {prelude},\n{stripped[len(head):].lstrip()}"
+    if stripped.upper().startswith("WITH"):
+        head = stripped[: len("WITH")]
+        return f"{lead}{head} {prelude},\n{stripped[len(head):].lstrip()}"
+    return f"{lead}WITH {prelude}\n{stripped}"
+
+
+ORACLES = {
+    name: sql
+    if name in _RAW_FEED_ORACLES
+    else _measure_shadow_ctes(sql)
     for name, sql in ORACLES.items()
 }
 
