@@ -67,6 +67,46 @@ MEASURE_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Per-(file, mtime) dirtiness memo: gating wraps columns in CASE, which
+# costs parquet predicate pushdown on exactly the columns users filter
+# (a measure-range scan predicate stops reaching PushedFilters). A
+# healthy corpus — the overwhelmingly common case — must not pay that,
+# so the gate engages ONLY when the feed actually contains a
+# non-representable value (the similarity `_dup_vec_ids` convention:
+# zero plan impact on clean data). The probe is one column-pruned
+# LIMIT-1 scan per (table, file version) per process; the oracle
+# mirrors are unconditional CASE views whose identity on clean data
+# keeps the two sides equal either way.
+_DIRTY_MEMO: dict[tuple, bool] = {}
+
+
+def _memo_key(sf_dir: str, name: str, kind: str) -> tuple:
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        mt = int(os.path.getmtime(p))
+    except OSError:
+        mt = -1
+    return (p, mt, kind)
+
+
+def _measures_dirty(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    key = _memo_key(sf_dir, name, "measures")
+    if key not in _DIRTY_MEMO:
+        cols = MEASURE_COLS[name]
+        df = _normalize_decimals(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ).select(*cols)
+        bad = None
+        for col in cols:
+            cd = F.col(col).cast("double")
+            b = F.isnan(cd) | (F.abs(cd) > MEASURE_ABS_MAX)
+            bad = b if bad is None else (bad | b)
+        _DIRTY_MEMO[key] = df.where(bad).limit(1).count() > 0
+    return _DIRTY_MEMO[key]
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, raw: bool = False
 ) -> DataFrame:
@@ -75,8 +115,10 @@ def load_table(
     see the raw feed; its oracle is exempt from the mirrors too)."""
     _ensure_utc(spark)
     df = _normalize_decimals(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    if not raw:
-        for col in MEASURE_COLS.get(name, ()):
+    if not raw and name in MEASURE_COLS and _measures_dirty(
+        spark, sf_dir, name
+    ):
+        for col in MEASURE_COLS[name]:
             cd = F.col(col).cast("double")
             keep = ~F.isnan(cd) & (F.abs(cd) <= MEASURE_ABS_MAX)
             df = df.withColumn(col, F.when(keep, F.col(col)))
@@ -121,7 +163,55 @@ EVENT_TS_MIN = "1970-01-01 00:00:00"
 EVENT_TS_MAX = "2100-01-01 00:00:00"
 
 
-def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
+def _events_dirty(spark: SparkSession, sf_dir: str) -> bool:
+    """One LIMIT-1 probe per (events file set, mtimes) per process: does
+    the feed contain a non-representable ts or value? Gating wraps ts
+    and value in CASE, which costs scan-level predicate pushdown on
+    exactly the event-time/value filters — a clean feed (the common
+    case) must not pay that. Reads through the same events* glob the
+    file-stream source uses so batch and streaming agree on the
+    verdict."""
+    import glob as _glob
+    import os
+
+    files = sorted(
+        _glob.glob(os.path.join(sf_dir, "events*.parquet"))
+    )
+    key = (
+        tuple((f, int(os.path.getmtime(f))) for f in files),
+        "events-tsvalue",
+    )
+    if not files:
+        return False
+    if key not in _DIRTY_MEMO:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if len(files) == 1:
+            # events.parquet may be a single FILE or a Spark-written
+            # DIRECTORY — a direct path read handles both, where
+            # pathGlobFilter matches only leaf file names and would see
+            # nothing inside the directory.
+            raw = spark.read.parquet(files[0])
+        else:
+            raw = spark.read.option(
+                "pathGlobFilter", "events*.parquet"
+            ).parquet(sf_dir)
+        ev = normalize_event_ts(
+            _normalize_decimals(raw), gate=False
+        ).select("ts", "value")
+        cd = F.col("value").cast("double")
+        bad_v = F.isnan(cd) | (F.abs(cd) > EVENT_VALUE_ABS_MAX)
+        t = F.col("ts")
+        bad_t = t.isNotNull() & (
+            (t < F.lit(EVENT_TS_MIN).cast("timestamp"))
+            | (t >= F.lit(EVENT_TS_MAX).cast("timestamp"))
+        )
+        _DIRTY_MEMO[key] = ev.where(bad_v | bad_t).limit(1).count() > 0
+    return _DIRTY_MEMO[key]
+
+
+def normalize_event_ts(
+    ev: DataFrame, col: str = "ts", gate: bool = True
+) -> DataFrame:
     """Normalize an event-timestamp column to TIMESTAMP (LTZ) regardless of
     the encoding the producer wrote — external data arrives in whatever
     layout the source chose (cf. the reference's S7 ingestion contract,
@@ -153,15 +243,19 @@ def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
     # regime (stream readers drop; batch windows pin NULLS FIRST — the
     # r6 events NULL matrix). Mirrored once at the registry level
     # (_EVENTS_FEED_NORM), the normalize_event_value pattern.
-    c = F.col(col)
-    ev = ev.withColumn(
-        col,
-        F.when(
-            (c >= F.lit(EVENT_TS_MIN).cast("timestamp"))
-            & (c < F.lit(EVENT_TS_MAX).cast("timestamp")),
-            c,
-        ),
-    )
+    # ``gate=False`` = encoding normalization only: the _events_dirty
+    # probe itself, and clean feeds (where skipping the CASE wrap keeps
+    # event-time predicates in PushedFilters).
+    if gate:
+        c = F.col(col)
+        ev = ev.withColumn(
+            col,
+            F.when(
+                (c >= F.lit(EVENT_TS_MIN).cast("timestamp"))
+                & (c < F.lit(EVENT_TS_MAX).cast("timestamp")),
+                c,
+            ),
+        )
     return ev
 
 
@@ -172,7 +266,9 @@ def normalize_event_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
 EVENT_VALUE_ABS_MAX = 1000000000000.0
 
 
-def normalize_event_value(ev: DataFrame, col: str = "value") -> DataFrame:
+def normalize_event_value(
+    ev: DataFrame, col: str = "value", gate: bool = True
+) -> DataFrame:
     """Non-REPRESENTABLE event values go NULL; the ROW survives (r12
     extreme-value probe — 17/34 events queries red on a NaN/Inf/1e300
     feed): NaN and ±Inf abort every ANSI cents() cast (and their rank
@@ -183,6 +279,8 @@ def normalize_event_value(ev: DataFrame, col: str = "value") -> DataFrame:
     every oracle. The oracle twin is the registry-level `FROM events`
     rewrite (registry._EVENTS_FEED_NORM); a verified no-op on sane
     corpora."""
+    if not gate:
+        return ev
     cd = F.col(col).cast("double")
     keep = ~F.isnan(cd) & (F.abs(cd) <= EVENT_VALUE_ABS_MAX)
     return ev.withColumn(col, F.when(keep, F.col(col)))
@@ -190,11 +288,15 @@ def normalize_event_value(ev: DataFrame, col: str = "value") -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a proper TIMESTAMP ``ts`` (see ``normalize_event_ts``
-    for the encodings accepted) and ``value`` gated to the representable
-    range (``normalize_event_value``)."""
+    for the encodings accepted) and ``ts``/``value`` gated to the
+    representable ranges — the gates engage only when the feed actually
+    carries a non-representable value (``_events_dirty``), so clean
+    plans keep scan-level ts/value pushdown."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    g = _events_dirty(spark, sf_dir)
     return normalize_event_value(
-        normalize_event_ts(load_table(spark, sf_dir, "events"))
+        normalize_event_ts(load_table(spark, sf_dir, "events"), gate=g),
+        gate=g,
     )
 
 

@@ -108,11 +108,17 @@ def read_events_stream(
     # Spark, and a null reaching a Python stateful op aborts the query —
     # r6 null-robustness probe). Drop them explicitly HERE so every
     # streaming query and its oracle (the shared _EV fragment filters
-    # identically) agree on the row set. Values gate to the
-    # representable range exactly like the batch path (r12
-    # extreme-value probe — NaN/Inf/1e300 abort the ANSI cents cast).
+    # identically) agree on the row set. ts/values gate to the
+    # representable ranges exactly like the batch path (r12/r13
+    # extreme-value/timestamp probes), via the SAME per-file-set
+    # dirtiness verdict (catalog._events_dirty — a static probe over
+    # the identical glob), so clean streams keep event-time pushdown.
+    from ..catalog import _events_dirty
+
+    g = _events_dirty(spark, sf_dir)
     return normalize_event_value(
-        normalize_event_ts(ev).where(F.col("ts").isNotNull())
+        normalize_event_ts(ev, gate=g).where(F.col("ts").isNotNull()),
+        gate=g,
     )
 
 
@@ -627,8 +633,10 @@ def _admitted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     state lives in the destination, not the job)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
+    from ..catalog import _events_dirty
+
     v = (
-        normalize_event_ts(ev)
+        normalize_event_ts(ev, gate=_events_dirty(spark, sf_dir))
         .where(F.col("ts").isNotNull() & (F.col("event_type") == "view"))
         .select(
             "user_id",

@@ -166,3 +166,50 @@ def test_census_reads_raw_measures(spark, extreme_money_dir):
         assert rows[t] == pq.read_table(
             f"{extreme_money_dir}/{t}.parquet"
         ).num_rows
+
+
+def _pushed_filters(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return "\n".join(
+        line for line in buf.getvalue().splitlines() if "PushedFilters" in line
+    )
+
+
+def test_clean_corpus_keeps_measure_pushdown(spark, sf_small):
+    """The gate engages ONLY on dirty feeds (catalog._measures_dirty):
+    on a healthy corpus a measure-range predicate must still reach
+    PushedFilters — the 100 TB scan-cost property the conditional
+    dispatch exists to preserve."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+
+    df = (
+        load_table(spark, sf_small, "lineitem")
+        .where(F.col("l_quantity") < 24)
+        .select("l_orderkey")
+    )
+    assert "LessThan(l_quantity,24.0)" in _pushed_filters(df)
+
+
+def test_dirty_corpus_engages_the_gate(spark, extreme_money_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import (
+        MEASURE_ABS_MAX,
+        load_table,
+    )
+
+    li = load_table(spark, extreme_money_dir, "lineitem")
+    bad = li.where(
+        F.isnan(F.col("l_extendedprice").cast("double"))
+        | (F.abs(F.col("l_extendedprice").cast("double")) > MEASURE_ABS_MAX)
+    )
+    assert bad.count() == 0, "gated load must not expose non-representables"
+    raw = load_table(spark, extreme_money_dir, "lineitem", raw=True)
+    assert li.count() == raw.count(), "rows survive the gate"

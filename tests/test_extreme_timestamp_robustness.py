@@ -201,3 +201,28 @@ def test_ts_gate_is_noop_on_sane_timestamps(spark, sf_small):
     assert ev.count() == raw.count()
     assert ev.where("ts IS NULL").count() == 0
     assert ev.exceptAll(raw).count() == 0
+
+
+def test_clean_corpus_keeps_event_time_pushdown(spark, sf_small):
+    """The ts/value gates engage only on dirty feeds
+    (catalog._events_dirty): on a healthy corpus an event-time range
+    predicate must still reach PushedFilters."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_events
+
+    df = (
+        load_events(spark, sf_small)
+        .where(F.col("ts") >= "2024-01-01")
+        .select("event_id")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    pushed = "\n".join(
+        line for line in buf.getvalue().splitlines() if "PushedFilters" in line
+    )
+    assert "GreaterThanOrEqual(ts," in pushed
