@@ -94,10 +94,16 @@ def _memo_key(sf_dir: str, name: str, kind: str) -> tuple:
 def _measures_dirty(spark: SparkSession, sf_dir: str, name: str) -> bool:
     key = _memo_key(sf_dir, name, "measures")
     if key not in _DIRTY_MEMO:
-        cols = MEASURE_COLS[name]
         df = _normalize_decimals(
             spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ).select(*cols)
+        )
+        # Partial-schema fixtures (narrow projections of the table) are
+        # legal inputs: gate only the measure columns actually present.
+        cols = [c for c in MEASURE_COLS[name] if c in df.columns]
+        if not cols:
+            _DIRTY_MEMO[key] = False
+            return False
+        df = df.select(*cols)
         bad = None
         for col in cols:
             cd = F.col(col).cast("double")
@@ -119,6 +125,8 @@ def load_table(
         spark, sf_dir, name
     ):
         for col in MEASURE_COLS[name]:
+            if col not in df.columns:
+                continue
             cd = F.col(col).cast("double")
             keep = ~F.isnan(cd) & (F.abs(cd) <= MEASURE_ABS_MAX)
             df = df.withColumn(col, F.when(keep, F.col(col)))
@@ -195,17 +203,28 @@ def _events_dirty(spark: SparkSession, sf_dir: str) -> bool:
             raw = spark.read.option(
                 "pathGlobFilter", "events*.parquet"
             ).parquet(sf_dir)
-        ev = normalize_event_ts(
-            _normalize_decimals(raw), gate=False
-        ).select("ts", "value")
-        cd = F.col("value").cast("double")
-        bad_v = F.isnan(cd) | (F.abs(cd) > EVENT_VALUE_ABS_MAX)
-        t = F.col("ts")
-        bad_t = t.isNotNull() & (
-            (t < F.lit(EVENT_TS_MIN).cast("timestamp"))
-            | (t >= F.lit(EVENT_TS_MAX).cast("timestamp"))
-        )
-        _DIRTY_MEMO[key] = ev.where(bad_v | bad_t).limit(1).count() > 0
+        raw = _normalize_decimals(raw)
+        checks = []
+        if "value" in raw.columns:
+            cd = F.col("value").cast("double")
+            checks.append(F.isnan(cd) | (F.abs(cd) > EVENT_VALUE_ABS_MAX))
+        if "ts" in raw.columns:
+            t = F.col("ts")
+            raw = normalize_event_ts(raw, gate=False)
+            checks.append(
+                t.isNotNull()
+                & (
+                    (t < F.lit(EVENT_TS_MIN).cast("timestamp"))
+                    | (t >= F.lit(EVENT_TS_MAX).cast("timestamp"))
+                )
+            )
+        if not checks:
+            _DIRTY_MEMO[key] = False
+            return False
+        bad = checks[0]
+        for b in checks[1:]:
+            bad = bad | b
+        _DIRTY_MEMO[key] = raw.where(bad).limit(1).count() > 0
     return _DIRTY_MEMO[key]
 
 
