@@ -2793,46 +2793,41 @@ def ann_compact_rebuild(
       covered exactly the corpus (no vector lost or duplicated across
       the segment boundary).
 
-    The base-scope artifact directory is REMOVED after the manifest
-    frames are materialized (eviction pinned in tests/test_similarity.py);
-    a later append/segment-serve rebuilds the pair read-through, so the
-    registry stays order-independent. Deterministic and idempotent: the
-    same corpus always yields the same six rows.
+    Any base-scope artifact directory present is REMOVED (eviction
+    pinned in tests/test_similarity.py); a later append/segment-serve
+    rebuilds the pair read-through, so the registry stays
+    order-independent. IDEMPOTENT in the real sense: when no pair
+    exists there is nothing to build-then-delete — the retired rows are
+    derived from the freshly rebuilt FULL code table's watermark split,
+    which equals the pair's contents by construction (segments
+    partition the encoded vec_id set at the watermark; the oracle
+    computes the identical split over its full-scope assignments).
+    Deterministic: the same corpus always yields the same six rows,
+    whether or not a pair was on disk.
 
     Scale shape: the rebuild is ann_index_build's (bounded training
     collects, one corpus encode pass, ivf_cell-clustered write); the
-    retired-segment audit is two metadata-pruned parquet scans reading
-    ONLY vec_id."""
-    base_art = _ensure_ann_artifact(spark, sf_dir, scope="base")
-    delta_dir = _ensure_ann_delta(spark, sf_dir, base_art)
-    vecsum = F.coalesce(
-        F.sum(F.col("vec_id")), F.lit(0).cast("long")
-    ).alias("checksum")
-    retired = [
-        spark.read.schema(_ANN_CODES_SCHEMA)
-        .parquet(os.path.join(base_art, "codes"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), vecsum)
-        .select(
-            F.lit("retired_base_codes").alias("component"),
-            "n_rows",
-            "checksum",
-        ),
-        spark.read.schema(_ANN_CODES_SCHEMA)
-        .parquet(delta_dir)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"), vecsum)
-        .select(
-            F.lit("retired_delta_codes").alias("component"),
-            "n_rows",
-            "checksum",
-        ),
-    ]
-    # Materialize the retired-segment stats BEFORE the directories go
-    # away — the frames above lazily read the parquet being retired.
-    retired_rows = [df.collect()[0] for df in retired]
+    retired-segment audit is one metadata-pruned parquet aggregate over
+    the just-written codes table reading ONLY vec_id — no base-scope
+    training anywhere on the compaction path."""
     full = ann_index_build(spark, sf_dir)
-    shutil.rmtree(base_art, True)
-    retired_df = spark.createDataFrame(
-        [tuple(r) for r in retired_rows],
-        "component string, n_rows bigint, checksum bigint",
+    # retire the superseded segment pair, if one exists
+    shutil.rmtree(_ann_artifact_dir(sf_dir, scope="base"), True)
+    wm = _ann_append_watermark(spark, sf_dir)
+    codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
+        os.path.join(_ann_artifact_dir(sf_dir), "codes")
     )
-    return full.unionByName(retired_df)
+    side = (
+        F.col("vec_id") <= wm if wm is not None else F.lit(False)
+    )
+    def seg(name: str, cond) -> DataFrame:
+        return codes.where(cond).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("vec_id")), F.lit(0).cast("long")
+            ).alias("checksum"),
+        ).select(F.lit(name).alias("component"), "n_rows", "checksum")
+
+    return full.unionByName(
+        seg("retired_base_codes", side)
+    ).unionByName(seg("retired_delta_codes", ~side))
