@@ -177,16 +177,53 @@ def main() -> None:
         out["second_sample"] = second_sample
     if errors:
         out["n_errors"] = len(errors)
-    print(json.dumps(out))
-    # The driver's BENCH_r{N}.json truncates stdout, losing the first ~25
-    # per-query numbers from the archived artifact (round-4 judge had to
-    # reconstruct them). Persist the full dict beside the repo so every
-    # round's per-query history survives verbatim.
+    # The driver's BENCH_r{N}.json keeps only the last ~2000 chars of
+    # stdout and tries to json-parse them; the full 191-query line is
+    # ~6k chars, so the archived capture came back parsed:null every
+    # round (r13 VERDICT #7). Emit a COMPACT line that fits the capture
+    # (totals first, then the slowest queries until the budget is spent,
+    # with a pointer to the full map), and persist the complete dict in
+    # bench_latest.json — which remains the per-query history of record.
     latest = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_latest.json")
     with open(latest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
+    print(json.dumps(_compact_line(out), separators=(",", ":")))
     spark.stop()
+
+
+_STDOUT_BUDGET = 1800  # chars; the driver's tail capture is 2000
+
+
+def _compact_line(out: dict) -> dict:
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": sum(
+            1 for v in out["queries"].values() if not isinstance(v, dict)
+        ),
+        "queries_full": "bench_latest.json",
+        "queries": {},
+    }
+    if "n_errors" in out:
+        compact["n_errors"] = out["n_errors"]
+    timed = sorted(
+        (
+            (t, name)
+            for name, t in out["queries"].items()
+            if isinstance(t, (int, float))
+        ),
+        reverse=True,
+    )
+    for t, name in timed:
+        compact["queries"][name] = t
+        if len(json.dumps(compact, separators=(",", ":"))) > _STDOUT_BUDGET:
+            del compact["queries"][name]
+            break
+    compact["n_shown"] = len(compact["queries"])
+    return compact
 
 
 if __name__ == "__main__":

@@ -81,14 +81,19 @@ _DIRTY_MEMO: dict[tuple, bool] = {}
 
 
 def _memo_key(sf_dir: str, name: str, kind: str) -> tuple:
+    # ns-resolution mtime + size (r13 ADVICE): int-seconds mtime let a
+    # corpus regenerated in place within the same second keep a stale
+    # "clean" verdict for the process lifetime — the Spark gate stays
+    # off while the oracle mirrors are unconditional, a silent hash-red.
     import os
 
     p = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     try:
-        mt = int(os.path.getmtime(p))
+        st = os.stat(p)
+        mt, size = st.st_mtime_ns, st.st_size
     except OSError:
-        mt = -1
-    return (p, mt, kind)
+        mt, size = -1, -1
+    return (p, mt, size, kind)
 
 
 def _measures_dirty(spark: SparkSession, sf_dir: str, name: str) -> bool:
@@ -185,10 +190,15 @@ def _events_dirty(spark: SparkSession, sf_dir: str) -> bool:
     files = sorted(
         _glob.glob(os.path.join(sf_dir, "events*.parquet"))
     )
-    key = (
-        tuple((f, int(os.path.getmtime(f))) for f in files),
-        "events-tsvalue",
-    )
+
+    def _fstat(f: str) -> tuple:
+        try:
+            st = os.stat(f)
+            return (f, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return (f, -1, -1)
+
+    key = (tuple(_fstat(f) for f in files), "events-tsvalue")
     if not files:
         return False
     if key not in _DIRTY_MEMO:

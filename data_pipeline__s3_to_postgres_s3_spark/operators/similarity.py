@@ -2116,9 +2116,13 @@ def embedding_corr_topk(
 # destination, not the job (extract_load_transform_data_pipeline.py.py:95-101).
 ANN_ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ann")
 _ANN_COMPONENTS = ("pq_codebook", "ivf_centroids", "codes")
-# The current artifact directory layout: {key12}_{mtime}_{token8}. Used
-# by the write-side sweep to recognize legacy (pre-r12) directories.
+# The current artifact directory layout: {key12}_{mtime}_{token8}.
 _ANN_DIR_RE = re.compile(r"^[0-9a-f]{12}_\d+_[0-9a-f]{8}$")
+# The KNOWN pre-r12 layout ({md5_32}_{mtime}, no trainer token) — the
+# ONLY shape the write-side sweep deletes as legacy (r13 ADVICE: an
+# "anything unrecognized" rule would have rival code versions destroy
+# each other's live artifacts during a rollback).
+_ANN_LEGACY_DIR_RE = re.compile(r"^[0-9a-f]{32}_\d+$")
 
 # Bump on any trainer-LOGIC or artifact-LAYOUT edit that doesn't move a
 # training constant (constants fold into the token below automatically).
@@ -2300,9 +2304,12 @@ def _ann_write_artifact(
         # r12 ADVICE: pre-r12 artifact dirs ({md5_32}_{mtime} — no trainer
         # token) never match the current {key12}_{mtime}_{token8} layout,
         # so the same-key rule above can't see them and they'd linger
-        # indefinitely on long-lived hosts. Any non-tmp entry that doesn't
-        # parse as the current format is a legacy leftover by construction.
-        legacy = _ANN_DIR_RE.match(sib) is None
+        # indefinitely on long-lived hosts. r13 ADVICE narrowed the rule:
+        # sweep ONLY the known pre-r12 pattern, never "anything
+        # unrecognized" — a future layout revision (or two code versions
+        # coexisting during a rollback) must not have each version
+        # destroying the other's live artifacts on every write.
+        legacy = _ANN_LEGACY_DIR_RE.match(sib) is not None
         if stale_sibling or legacy:
             shutil.rmtree(os.path.join(ANN_ARTIFACT_ROOT, sib), True)
     return art
@@ -2786,12 +2793,17 @@ def ann_compact_rebuild(
       to ann_index_build's manifest, which is the point: the oracle
       retrains the full index in SQL, so a driver hash proves the
       post-compaction index equivalent to a fresh full build;
-    - retired_base_codes / retired_delta_codes: the segment pair's
-      row counts and Σ vec_id content checksums, captured from the
-      segments BEFORE retirement — the oracle reproduces them from the
-      watermark split of the valid corpus, proving the retired pair
-      covered exactly the corpus (no vector lost or duplicated across
-      the segment boundary).
+    - retired_base_codes / retired_delta_codes: the retired segments'
+      row counts and Σ vec_id content checksums, DERIVED from the
+      rebuilt full code table's watermark split — which equals the
+      pair's contents by construction (segments partition the encoded
+      vec_id set at the watermark; r13 ADVICE: this is a derivation,
+      not a pre-deletion disk read — a corrupted half-written segment
+      would be retired with the manifest reporting the split it SHOULD
+      have covered). The oracle reproduces the identical split from
+      the valid corpus, proving the retired pair covered exactly the
+      corpus (no vector lost or duplicated across the segment
+      boundary).
 
     Any base-scope artifact directory present is REMOVED (eviction
     pinned in tests/test_similarity.py); a later append/segment-serve

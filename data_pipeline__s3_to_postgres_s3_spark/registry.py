@@ -766,10 +766,20 @@ _MEASURE_NORM_TABLES = (
 )
 
 
+# Leading whitespace / `--` comment lines — stripped before the WITH
+# detection so a commented oracle header can't demote the splice to a
+# (syntactically broken) WITH-before-WITH (r13 ADVICE).
+_SQL_LEAD_RE = re.compile(r"^(?:\s*--[^\n]*\n|\s+)*")
+
+
 def _measure_shadow_ctes(sql: str) -> str:
     shadows = []
     for table, cols in _MEASURE_NORM_TABLES:
-        if table not in sql:
+        # Word-boundary match (r13 ADVICE): a bare substring test made
+        # 'part' match PARTITION BY / p_partkey and spliced harmless but
+        # noisy unused shadows. (_ is a word char, so p_partkey still
+        # never matches.)
+        if not re.search(rf"\b{table}\b", sql):
             continue
         reps = ", ".join(
             f"CASE WHEN NOT isnan(CAST({c} AS DOUBLE)) AND "
@@ -781,8 +791,8 @@ def _measure_shadow_ctes(sql: str) -> str:
     if not shadows:
         return sql
     prelude = ",\n".join(shadows)
-    stripped = sql.lstrip()
-    lead = sql[: len(sql) - len(stripped)]
+    lead = _SQL_LEAD_RE.match(sql).group(0)
+    stripped = sql[len(lead):]
     if stripped.upper().startswith("WITH RECURSIVE"):
         head = stripped[: len("WITH RECURSIVE")]
         return f"{lead}{head} {prelude},\n{stripped[len(head):].lstrip()}"
@@ -805,16 +815,64 @@ ORACLES = {
 # skip value normalization and drift from the Spark-side gate. Fail at
 # import instead: after stripping wrapped fragments, no non-exempt
 # oracle may still reference the events table.
+# A plain `raise`, NOT `assert` (r13 ADVICE): asserts compile out under
+# python -O / PYTHONOPTIMIZE, silently disabling the drift guard exactly
+# where a deployment flag could flip it off.
 _EVENTS_REF_RE = re.compile(r"\b(from|join)\s+events\b", re.IGNORECASE)
 for _name, _sql in ORACLES.items():
     if _name in _EVENTS_RAW_ORACLES:
         continue
     _residue = _sql.replace(_EVENTS_FEED_NORM, "")
     _m = _EVENTS_REF_RE.search(_residue)
-    assert _m is None, (
-        f"oracle {_name!r} references the events table as {_m.group(0)!r}, "
-        "which the _EVENTS_FEED_NORM rewrite cannot see — write it as "
-        "'FROM events' (exact case, single space) or add the oracle to "
-        "_EVENTS_RAW_ORACLES if it must read the raw feed"
-    )
+    if _m is not None:
+        raise RuntimeError(
+            f"oracle {_name!r} references the events table as {_m.group(0)!r}, "
+            "which the _EVENTS_FEED_NORM rewrite cannot see — write it as "
+            "'FROM events' (exact case, single space) or add the oracle to "
+            "_EVENTS_RAW_ORACLES if it must read the raw feed"
+        )
+
+# Assembly-time guard for the SHADOW-CTE mirror (r13 ADVICE — the events
+# rewrite above already had one, this rewrite did not): a non-exempt
+# oracle must not (a) reference a gated table as `main.<table>` — the
+# shadow CTE cannot capture a qualified reference, so the raw feed would
+# silently escape the mirror — nor (b) declare its OWN CTE named after a
+# gated table, which would collide with the spliced shadow (duplicate-CTE
+# binder error at oracle runtime, i.e. only when the driver runs it).
+_GATED_TABLES_ALT = "|".join(t for t, _ in _MEASURE_NORM_TABLES)
+_MAIN_REF_RE = re.compile(rf"\bmain\.({_GATED_TABLES_ALT})\b", re.IGNORECASE)
+_CTE_COLLISION_RE = re.compile(
+    rf"\b({_GATED_TABLES_ALT})\s+AS\s*\(", re.IGNORECASE
+)
+for _name, _sql in ORACLES.items():
+    if _name in _RAW_FEED_ORACLES:
+        continue
+    # Strip the spliced shadow prelude (its own text legitimately says
+    # `<table> AS (… FROM main.<table>)`) before scanning the residue.
+    _residue = _sql
+    for _tbl, _cols in _MEASURE_NORM_TABLES:
+        _reps = ", ".join(
+            f"CASE WHEN NOT isnan(CAST({_c} AS DOUBLE)) AND "
+            f"abs(CAST({_c} AS DOUBLE)) <= 1000000000000.0 THEN {_c} END "
+            f"AS {_c}"
+            for _c in _cols
+        )
+        _residue = _residue.replace(
+            f"{_tbl} AS (SELECT * REPLACE ({_reps}) FROM main.{_tbl})", ""
+        )
+    _m = _MAIN_REF_RE.search(_residue)
+    if _m is not None:
+        raise RuntimeError(
+            f"oracle {_name!r} references the gated table {_m.group(0)!r} "
+            "with a main. qualifier, which the shadow-CTE mirror cannot "
+            "capture — drop the qualifier, or add the oracle to "
+            "_RAW_FEED_ORACLES if it must read the raw feed"
+        )
+    _m = _CTE_COLLISION_RE.search(_residue)
+    if _m is not None:
+        raise RuntimeError(
+            f"oracle {_name!r} declares a CTE named after the gated table "
+            f"{_m.group(1)!r} — it would collide with the spliced shadow "
+            "CTE (duplicate-CTE binder error); rename the CTE"
+        )
 del _name, _sql

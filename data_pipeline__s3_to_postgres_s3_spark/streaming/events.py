@@ -113,6 +113,13 @@ def read_events_stream(
     # extreme-value/timestamp probes), via the SAME per-file-set
     # dirtiness verdict (catalog._events_dirty — a static probe over
     # the identical glob), so clean streams keep event-time pushdown.
+    # CAVEAT (r13 ADVICE, same class as the one-batch-lag watermark
+    # note on dropDuplicates): the verdict is taken ONCE, at stream
+    # DEFINITION time, over the files present then — files landing
+    # later in a multi-batch run bypass the gate until the stream is
+    # redefined. The driver's single-AvailableNow-batch replays are
+    # safe; a long-lived multi-batch deployment must either redefine
+    # the stream on drop-zone changes or force gate=True.
     from ..catalog import _events_dirty
 
     g = _events_dirty(spark, sf_dir)

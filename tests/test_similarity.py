@@ -1145,8 +1145,10 @@ def test_trainer_source_change_requires_rev_bump():
 def test_legacy_ann_artifact_dirs_are_swept(spark, sf_small, tmp_path):
     """r12 ADVICE: pre-r12 artifact layouts ({md5_32}_{mtime} — no
     trainer token) never match the same-key eviction rule and lingered
-    forever. The write-side sweep now removes any non-tmp entry that
-    doesn't parse as the current {key12}_{mtime}_{token8} format."""
+    forever. r13 ADVICE narrowed the sweep to exactly that KNOWN legacy
+    pattern: an unrecognized (e.g. future-layout) directory must
+    SURVIVE, or two code versions coexisting during a rollback would
+    destroy each other's live artifacts on every write."""
     import os
 
     from data_pipeline__s3_to_postgres_s3_spark.operators import (
@@ -1162,15 +1164,23 @@ def test_legacy_ann_artifact_dirs_are_swept(spark, sf_small, tmp_path):
         sim.ANN_ARTIFACT_ROOT, "aaaaaaaaaaaa_1700000000_bbbbbbbb.tmp-99999"
     )
     os.makedirs(foreign_tmp, exist_ok=True)
+    future = os.path.join(
+        sim.ANN_ARTIFACT_ROOT, "v99_some_future_layout_0123"
+    )
+    os.makedirs(future, exist_ok=True)
     try:
         sim._ann_write_artifact(spark, sf_small)
         assert not os.path.exists(legacy), "legacy dir must be swept"
         assert os.path.exists(foreign_tmp), "in-flight tmp dirs are sacred"
+        assert os.path.exists(future), (
+            "unrecognized layouts must survive the sweep (r13 ADVICE)"
+        )
     finally:
         import shutil
 
         shutil.rmtree(foreign_tmp, True)
         shutil.rmtree(legacy, True)
+        shutil.rmtree(future, True)
 
 
 def test_ann_segments_topk_matches_oracle(spark, sf_small):
