@@ -2136,7 +2136,11 @@ _ANN_LEGACY_DIR_RE = re.compile(r"^[0-9a-f]{32}_\d+$")
 # rev 3 (r13): _embeddings joins the surface (the valid-set definition
 # IS artifact content — the negative-id drop changes what trains) and
 # gains the vec_id >= 0 gate.
-_ANN_TRAINER_REV = 3
+# rev 4 (r14): the delta is a stacked pair of segments
+# (codes_delta_0001/0002 split at the second watermark) — a LAYOUT
+# change; _ann_max_vec_id/_ann_stack_watermark2/_ann_segment_bounds
+# join the surface (they define segment boundaries = artifact content).
+_ANN_TRAINER_REV = 4
 
 # Every function whose LOGIC determines persisted-artifact CONTENT or
 # layout (training, encoding, the base/delta split, the directory
@@ -2156,6 +2160,9 @@ _ANN_TRAINER_SURFACE = (
     "_ann_encode_codes",
     "_ann_write_artifact",
     "_ann_append_watermark",
+    "_ann_max_vec_id",
+    "_ann_stack_watermark2",
+    "_ann_segment_bounds",
     "_ensure_ann_delta",
 )
 
@@ -2351,6 +2358,17 @@ def _ann_qsum(col: str) -> F.Column:
 # pattern (extract_load_transform_data_pipeline.py.py:95-101: destination
 # state decides what is new) applied to the index artifact.
 APPEND_WM_FRAC = 0.9
+# r14 (r13 VERDICT #2): the delta is a STACK of segments, not one dir —
+# a production ingest appends repeatedly between compactions, and the
+# LSM story needs per-segment watermarks with serve/compaction covering
+# the whole stack. The second watermark splits the arrival range at
+# floor(APPEND_WM2_FRAC · max(vec_id)): segment 0001 holds
+# (wm, wm2], segment 0002 holds (wm2, max] — "yesterday evening's
+# batch" and "today's batch". The union over the stack is EXACTLY the
+# pre-r14 single delta (vec_id > wm), so every pair-level oracle
+# (append manifest, segment serve, compact retirement) is unchanged.
+APPEND_WM2_FRAC = 0.95
+_ANN_DELTA_STACK = ("codes_delta_0001", "codes_delta_0002")
 _ANN_CODES_SCHEMA = "vec_id bigint, codes array<bigint>, ivf_cell int"
 _ANN_IVFC_SCHEMA = "cell int, centroid array<double>"
 
@@ -2363,9 +2381,7 @@ def _ann_append_watermark(spark: SparkSession, sf_dir: str):
     import math
 
     def build():
-        mx = (
-            _embeddings(spark, sf_dir).agg(F.max("vec_id")).collect()[0][0]
-        )
+        mx = _ann_max_vec_id(spark, sf_dir)
         if mx is None:
             return None
         return int(math.floor(APPEND_WM_FRAC * float(mx)))
@@ -2373,50 +2389,112 @@ def _ann_append_watermark(spark: SparkSession, sf_dir: str):
     return _index_meta(sf_dir, "append_wm", build)
 
 
-def _ensure_ann_delta(spark: SparkSession, sf_dir: str, art: str) -> str:
-    """Publish (once) the retrain-free delta code segment beside the
-    base-scope artifact ``art`` and return its path: rows with vec_id
-    above the append watermark, encoded against the PERSISTED
-    base-trained codebooks/centroids (read from disk — the trainers are
-    unreachable here), written atomically like every artifact component.
-    Shared by ann_index_append (which manifests it) and
-    ann_index_topk_segments (which serves from it), so the two can never
-    disagree about what the delta segment contains."""
-    delta_dir = os.path.join(art, "codes_delta")
-    if os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
-        return delta_dir
+def _ann_max_vec_id(spark: SparkSession, sf_dir: str):
+    """MAX(vec_id) over the valid corpus, memoized per (file, mtime);
+    None on an empty/all-invalid corpus. The anchor for every stacked
+    watermark and the stack report's upper bound."""
+
+    def build():
+        return (
+            _embeddings(spark, sf_dir).agg(F.max("vec_id")).collect()[0][0]
+        )
+
+    return _index_meta(sf_dir, "max_vec_id", build)
+
+
+def _ann_stack_watermark2(spark: SparkSession, sf_dir: str):
+    """floor(APPEND_WM2_FRAC · max(vec_id)) — the per-segment watermark
+    splitting the arrival range into the two stacked delta segments.
+    Same double multiply-then-floor as the first watermark so the
+    oracle's FLOOR(0.95 * CAST(MAX(vec_id) AS DOUBLE)) matches
+    bit-for-bit."""
+    import math
+
+    def build():
+        mx = _ann_max_vec_id(spark, sf_dir)
+        if mx is None:
+            return None
+        return int(math.floor(APPEND_WM2_FRAC * float(mx)))
+
+    return _index_meta(sf_dir, "append_wm2", build)
+
+
+def _ann_segment_bounds(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, object, object]]:
+    """The stacked delta segments as (name, lo_exclusive, hi_inclusive)
+    rows: segment 0001 = (wm, wm2], segment 0002 = (wm2, None=open].
+    Bounds are None on an empty corpus (every segment is then empty)."""
     wm = _ann_append_watermark(spark, sf_dir)
-    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    emb = (
-        emb.where(F.col("vec_id") > wm)
-        if wm is not None
-        else emb.where(F.lit(False))
-    )
+    wm2 = _ann_stack_watermark2(spark, sf_dir)
+    return [
+        (_ANN_DELTA_STACK[0], wm, wm2),
+        (_ANN_DELTA_STACK[1], wm2, None),
+    ]
+
+
+def _ensure_ann_delta(
+    spark: SparkSession, sf_dir: str, art: str
+) -> list[str]:
+    """Publish (once) the retrain-free delta segment STACK beside the
+    base-scope artifact ``art`` and return the segment paths in stack
+    order: codes_delta_0001 holds arrivals in (wm, wm2],
+    codes_delta_0002 those above wm2 — two append batches between
+    compactions, each encoded against the PERSISTED base-trained
+    codebooks/centroids (read from disk — the trainers are unreachable
+    here) and written atomically like every artifact component. Shared
+    by ann_index_append (which manifests the stack union),
+    ann_index_topk_segments (which serves base ∪ stack), and
+    ann_segment_stack_report (which audits per-segment contents), so no
+    two consumers can disagree about what a segment contains. The stack
+    union is exactly the pre-r14 single delta (vec_id > wm), so every
+    pair-level oracle is unchanged."""
+    bounds = _ann_segment_bounds(spark, sf_dir)
+    dirs = [os.path.join(art, name) for name, _, _ in bounds]
+    if all(
+        os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs
+    ):
+        return dirs
     dim = _corpus_dim(spark, sf_dir) or PQ_M
     sub = dim // PQ_M
     cent_rows = spark.read.schema(_ANN_IVFC_SCHEMA).parquet(
         os.path.join(art, "ivf_centroids")
     ).collect()
-    if cent_rows and sub > 0:
-        cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
+    cb = (
+        spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
             os.path.join(art, "pq_codebook")
         )
-        delta = _ann_encode_codes(
-            _ann_cell_subspaces(emb, cent_rows, sub), cb
-        )
-    else:  # degenerate base (no trained cells): nothing can encode
-        delta = spark.createDataFrame([], _ANN_CODES_SCHEMA)
-    tmp = f"{delta_dir}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, True)
-    (
-        delta.repartition("ivf_cell")
-        .write.mode("overwrite")
-        .partitionBy("ivf_cell")
-        .parquet(tmp)
+        if cent_rows and sub > 0
+        else None
     )
-    shutil.rmtree(delta_dir, True)
-    os.rename(tmp, delta_dir)
-    return delta_dir
+    emb_all = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    for (name, lo, hi), seg_dir in zip(bounds, dirs):
+        if os.path.exists(os.path.join(seg_dir, "_SUCCESS")):
+            continue
+        if lo is None:
+            emb = emb_all.where(F.lit(False))
+        else:
+            rng = F.col("vec_id") > lo
+            if hi is not None:
+                rng = rng & (F.col("vec_id") <= hi)
+            emb = emb_all.where(rng)
+        if cb is not None:
+            seg = _ann_encode_codes(
+                _ann_cell_subspaces(emb, cent_rows, sub), cb
+            )
+        else:  # degenerate base (no trained cells): nothing can encode
+            seg = spark.createDataFrame([], _ANN_CODES_SCHEMA)
+        tmp = f"{seg_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, True)
+        (
+            seg.repartition("ivf_cell")
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(tmp)
+        )
+        shutil.rmtree(seg_dir, True)
+        os.rename(tmp, seg_dir)
+    return dirs
 
 
 def ann_index_append(
@@ -2454,7 +2532,7 @@ def ann_index_append(
     (|delta| rows against broadcast M·K + nlist·d tables, zero shuffle
     until the code-layout groupBy); the base segment is never rewritten."""
     art = _ensure_ann_artifact(spark, sf_dir, scope="base")
-    delta_dir = _ensure_ann_delta(spark, sf_dir, art)
+    delta_dirs = _ensure_ann_delta(spark, sf_dir, art)
 
     qsum = _ann_qsum
     cb = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
@@ -2466,7 +2544,7 @@ def ann_index_append(
     base_codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
         os.path.join(art, "codes")
     )
-    delta_codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(delta_dir)
+    delta_codes = _ann_read_stack(spark, delta_dirs)
     union = base_codes.unionByName(delta_codes)
 
     def code_stats(codes: DataFrame, pq_name: str, ivf_name: str):
@@ -2760,7 +2838,7 @@ def ann_index_topk_segments(
     probed cells. Only corpus-sized touches: the |Q| query vectors and
     the |Q|·PQ_SHORTLIST exact re-rank rows."""
     art = _ensure_ann_artifact(spark, sf_dir, scope="base")
-    delta_dir = _ensure_ann_delta(spark, sf_dir, art)
+    delta_dirs = _ensure_ann_delta(spark, sf_dir, art)
     cents = spark.read.schema(_PQ_CENTS_SCHEMA).parquet(
         os.path.join(art, "pq_codebook")
     )
@@ -2769,10 +2847,20 @@ def ann_index_topk_segments(
     ).collect()
     codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(
         os.path.join(art, "codes")
-    ).unionByName(
-        spark.read.schema(_ANN_CODES_SCHEMA).parquet(delta_dir)
-    )
+    ).unionByName(_ann_read_stack(spark, delta_dirs))
     return _ann_serve_topk(spark, sf_dir, cents, ivf_rows, codes)
+
+
+def _ann_read_stack(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Union the stacked delta segments — a metadata-only concat of
+    ivf_cell-partitioned parquet reads (each prunes to the probed cells
+    downstream); explicit schema because an empty segment dir holds
+    only _SUCCESS."""
+    out = None
+    for d in dirs:
+        df = spark.read.schema(_ANN_CODES_SCHEMA).parquet(d)
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def ann_compact_rebuild(
@@ -2843,3 +2931,147 @@ def ann_compact_rebuild(
     return full.unionByName(
         seg("retired_base_codes", side)
     ).unionByName(seg("retired_delta_codes", ~side))
+
+
+def ann_segment_stack_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-segment accounting for the stacked LSM index layout (r13
+    VERDICT #2): one row per on-disk segment — the base code table plus
+    every stacked delta segment — with its watermark bounds
+    (wm_lo exclusive, wm_hi inclusive; -1 stands for "open"/absent so
+    the columns stay non-null int64 on any corpus), row count, Σ vec_id
+    id-checksum, and the position-weighted Σ cell·(m+1) code-content
+    checksum the append manifest already uses.
+
+    The DuckDB oracle reproduces every row by RETRAINING the base index
+    (the shared _pq_code_ctes/_ivf_cent_ctes chains with the watermark
+    training filter — codes are a pure function of the trained tables)
+    and splitting its full-coverage assignments at the stacked
+    watermarks: a driver hash therefore proves (a) the on-disk segments
+    partition the valid corpus exactly at the declared bounds — no
+    vector lost or duplicated across any segment boundary — and (b)
+    each segment's encoded CONTENT equals an independent base-trained
+    encode of its id range.
+
+    Scale shape: three bounded-aggregate parquet scans (each segment
+    read once, vec_id/codes columns only), bounds from memoized 1-row
+    collects; |segments| rows out."""
+    art = _ensure_ann_artifact(spark, sf_dir, scope="base")
+    seg_dirs = _ensure_ann_delta(spark, sf_dir, art)
+    wm = _ann_append_watermark(spark, sf_dir)
+    bounds = _ann_segment_bounds(spark, sf_dir)
+    mx = _ann_max_vec_id(spark, sf_dir)
+
+    def b(v) -> F.Column:
+        return F.lit(-1 if v is None else int(v)).cast("long")
+
+    def seg_row(name: str, path: str, lo, hi) -> DataFrame:
+        codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(path)
+        code_ck = F.coalesce(
+            F.sum(
+                F.aggregate(
+                    F.expr(
+                        "transform(codes, (c, i) -> CAST(c AS BIGINT)"
+                        " * (CAST(i AS BIGINT) + 1))"
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                )
+            ),
+            F.lit(0).cast("long"),
+        )
+        return codes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("vec_id")), F.lit(0).cast("long")
+            ).alias("id_checksum"),
+            code_ck.alias("code_checksum"),
+        ).select(
+            F.lit(name).alias("component"),
+            b(lo).alias("wm_lo"),
+            b(hi).alias("wm_hi"),
+            "n_rows",
+            "id_checksum",
+            "code_checksum",
+        )
+
+    parts = [
+        seg_row("base", os.path.join(art, "codes"), -1, wm),
+    ]
+    for (name, lo, hi), seg_dir in zip(bounds, seg_dirs):
+        label = name.replace("codes_", "")
+        parts.append(
+            seg_row(label, seg_dir, lo, hi if hi is not None else mx)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_compact_if_drifted(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Drift-TRIGGERED compaction (r13 VERDICT #2's second half): the
+    retrain trigger embedding_drift_report computes now actually drives
+    the merge. The decision scalar is the number of drifted dimensions
+    (|rounded base→delta mean shift| > DRIFT_ABS_THRESHOLD — exactly
+    the report's flag, aggregated); when ANY dimension drifted, the
+    full-scope rebuild runs and the stacked segment pair is retired
+    (ann_compact_rebuild verbatim — the scheduled-compaction op stays
+    the unconditional twin); when none did, the stack is explicitly
+    KEPT and audited in place.
+
+    Manifest (component, n_rows, checksum):
+    - 'drift_decision': n_rows = drifted-dimension count, checksum =
+      1 when compaction ran / 0 when the stack was kept — the recorded
+      decision the r13 VERDICT asked for;
+    - drifted → ann_compact_rebuild's six rows (post-merge artifact ≡
+      fresh full build + watermark-split retirement audit);
+    - not drifted → 'kept_base_codes' / 'kept_delta_0001' /
+      'kept_delta_0002': per-segment row counts and Σ vec_id content
+      checksums read from the UNTOUCHED on-disk stack, proving the
+      kept segments still partition the corpus at the stacked
+      watermarks (the id-level audit; per-segment CODE content is
+      ann_segment_stack_report's job).
+
+    The DuckDB oracle computes the identical drifted-dim count from the
+    drift report's integer-grid recipe and emits the matching branch
+    rows behind count-guarded predicates — the branch itself is part of
+    what the driver hashes. Deterministic per corpus; the decision
+    collect is one |dims|-row aggregate reduced to a scalar."""
+    n_drifted = (
+        embedding_drift_report(spark, sf_dir, cfg)
+        .agg(F.coalesce(F.sum("drifted"), F.lit(0)).cast("long"))
+        .collect()[0][0]
+    )
+    decision = spark.range(1).select(
+        F.lit("drift_decision").alias("component"),
+        F.lit(int(n_drifted)).cast("long").alias("n_rows"),
+        F.lit(1 if n_drifted > 0 else 0).cast("long").alias("checksum"),
+    )
+    if n_drifted > 0:
+        return decision.unionByName(ann_compact_rebuild(spark, sf_dir, cfg))
+    art = _ensure_ann_artifact(spark, sf_dir, scope="base")
+    seg_dirs = _ensure_ann_delta(spark, sf_dir, art)
+
+    def kept(name: str, path: str) -> DataFrame:
+        codes = spark.read.schema(_ANN_CODES_SCHEMA).parquet(path)
+        return codes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("vec_id")), F.lit(0).cast("long")
+            ).alias("checksum"),
+        ).select(F.lit(name).alias("component"), "n_rows", "checksum")
+
+    out = decision.unionByName(
+        kept("kept_base_codes", os.path.join(art, "codes"))
+    )
+    for (name, _, _), seg_dir in zip(
+        _ann_segment_bounds(spark, sf_dir), seg_dirs
+    ):
+        out = out.unionByName(
+            kept(f"kept_{name.replace('codes_', '')}", seg_dir)
+        )
+    return out

@@ -2435,22 +2435,12 @@ LLMOPS_ORACLES["ann_compact_rebuild"] = ANN_COMPACT_REBUILD
 # FIXED expressions in the identical association, drifted derived from
 # the ROUNDED shift (never NULL: no verdict without both sides). Every
 # SUM CAST to BIGINT (the HUGEINT dtype trap).
-def _embedding_drift_sql() -> str:
-    from ..operators.similarity import (
-        APPEND_WM_FRAC,
-        DRIFT_ABS_THRESHOLD,
-    )
-
-    valid = (
-        "SELECT * FROM embeddings WHERE len(embedding) = "
-        "(SELECT MAX(len(embedding)) FROM embeddings) AND "
-        "len(list_filter(embedding, v -> v IS NULL)) = 0 AND "
-        "len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) "
-        "OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND "
-        "vec_id >= 0 AND "
-        "vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS "
-        "NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)"
-    )
+def _drift_core_sql() -> str:
+    """The flat/per/mid CTE block of the drift recipe (references
+    ``valid`` and ``wm``) — composed verbatim by _embedding_drift_sql
+    AND _ann_compact_if_drifted_sql so the drifted-flag definition the
+    trigger consumes can never drift from the report (the _pq_code_ctes
+    precedent)."""
     mb = "CAST(s_base AS DOUBLE) / 10000.0 / n_base"
     md = "CAST(s_delta AS DOUBLE) / 10000.0 / n_delta"
     vb = f"CAST(ss_base AS DOUBLE) / 100000000.0 / n_base - ({mb}) * ({mb})"
@@ -2458,11 +2448,7 @@ def _embedding_drift_sql() -> str:
         f"CAST(ss_delta AS DOUBLE) / 100000000.0 / n_delta"
         f" - ({md}) * ({md})"
     )
-    return f"""
-WITH valid AS ({valid}),
-wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} *
-    CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid),
-flat AS (
+    return f"""flat AS (
     SELECT CASE WHEN vec_id > (SELECT w FROM wm) THEN 1 ELSE 0 END AS nu,
         generate_subscripts(embedding, 1) - 1 AS dim,
         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
@@ -2495,7 +2481,30 @@ mid AS (
         CASE WHEN n_delta > 0
              THEN {portable_round_sql(vd, 8)} END AS var_delta
     FROM per
-)
+)"""
+
+
+def _embedding_drift_sql() -> str:
+    from ..operators.similarity import (
+        APPEND_WM_FRAC,
+        DRIFT_ABS_THRESHOLD,
+    )
+
+    valid = (
+        "SELECT * FROM embeddings WHERE len(embedding) = "
+        "(SELECT MAX(len(embedding)) FROM embeddings) AND "
+        "len(list_filter(embedding, v -> v IS NULL)) = 0 AND "
+        "len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) "
+        "OR isinf(CAST(v AS DOUBLE)))) = 0 AND vec_id IS NOT NULL AND "
+        "vec_id >= 0 AND "
+        "vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id IS "
+        "NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1)"
+    )
+    return f"""
+WITH valid AS ({valid}),
+wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} *
+    CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid),
+{_drift_core_sql()}
 SELECT *,
     CAST(CASE WHEN mean_shift IS NOT NULL
               AND ABS(mean_shift) > {DRIFT_ABS_THRESHOLD}

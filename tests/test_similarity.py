@@ -909,22 +909,25 @@ def test_ann_index_append_delta_fires_and_is_idempotent(spark, sf_small):
         ).count()
     )
 
-    delta_dir = os.path.join(
-        sim._ensure_ann_artifact(spark, sf_small, "base"), "codes_delta"
-    )
-    stamp = {
-        f: os.path.getmtime(os.path.join(delta_dir, f))
-        for f in os.listdir(delta_dir)
-    }
+    art_base = sim._ensure_ann_artifact(spark, sf_small, "base")
+    delta_dirs = [
+        os.path.join(art_base, name) for name in sim._ANN_DELTA_STACK
+    ]
+
+    def stamps():
+        return {
+            (d, f): os.path.getmtime(os.path.join(d, f))
+            for d in delta_dirs
+            for f in os.listdir(d)
+        }
+
+    stamp = stamps()
     second = {
         r["component"]: (r["n_rows"], r["checksum"])
         for r in sim.ann_index_append(spark, sf_small).collect()
     }
     assert second == first
-    assert stamp == {
-        f: os.path.getmtime(os.path.join(delta_dir, f))
-        for f in os.listdir(delta_dir)
-    }  # nothing rewritten
+    assert stamp == stamps()  # nothing rewritten
 
 
 def test_ann_index_append_encodes_without_retraining(
@@ -942,7 +945,8 @@ def test_ann_index_append_encodes_without_retraining(
     )
 
     art = sim._ensure_ann_artifact(spark, sf_small, scope="base")
-    shutil.rmtree(os.path.join(art, "codes_delta"), True)
+    for name in sim._ANN_DELTA_STACK:
+        shutil.rmtree(os.path.join(art, name), True)
     monkeypatch.setattr(
         sim,
         "_pq_train_rows",
@@ -1131,6 +1135,10 @@ def test_trainer_source_change_requires_rev_bump():
     PINNED = {
         # rev 3: _embeddings joined the surface + negative-id gate (r13)
         3: "8c9b3d12fea1792c7b1165dd8d09ca1e",
+        # rev 4 (r14): stacked delta segments — codes_delta_0001/0002
+        # split at the APPEND_WM2_FRAC watermark; bounds helpers join
+        # the surface.
+        4: "493794b590de7c9fe5f70018033d08cb",
     }
     assert sim._ANN_TRAINER_REV in PINNED and (
         PINNED[sim._ANN_TRAINER_REV] == digest
