@@ -2377,56 +2377,204 @@ LLMOPS_ORACLES["ann_index_topk_segments"] = ANN_INDEX_TOPK_SEGMENTS
 # proving the retired base+delta pair covered exactly the corpus: no
 # vector lost or double-counted across the segment boundary. Σ vec_id is
 # the content checksum (exact int64, order-free).
-def _ann_compact_sql() -> str:
-    from ..operators.similarity import APPEND_WM_FRAC, IVF_ROUND, PQ_ITERS
+def _compact_manifest_rows(guard: str = "") -> str:
+    """The six compact-manifest rows (references the full-scope trained
+    CTEs plus ``wm``) — composed by _ann_compact_sql (guard="", bytes
+    unchanged from r13) and by _ann_compact_if_drifted_sql, which
+    appends the drift-count guard to every row so the oracle emits the
+    compacted branch only when the trigger fired."""
+    from ..operators.similarity import IVF_ROUND, PQ_ITERS
 
     rg = 10**IVF_ROUND
-    wm_cte = (
-        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
-        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
-    )
-    ctes = _pq_code_ctes() + _ivf_cent_ctes() + [wm_cte]
     qels = (
         "SELECT CAST(FLOOR(CAST(u AS DOUBLE) * {rg} + 0.5) AS BIGINT) AS q "
         "FROM (SELECT unnest(centroid) AS u FROM {src})"
     )
     base = "vec_id <= (SELECT w FROM wm)"
     delta = "vec_id > (SELECT w FROM wm)"
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
-SELECT 'pq_codebook' AS component,
+    return f"""SELECT 'pq_codebook' AS component,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM c{PQ_ITERS}) AS n_rows,
     (SELECT CAST(SUM(q) AS BIGINT)
-     FROM ({qels.format(rg=rg, src=f'c{PQ_ITERS}')})) AS checksum
+     FROM ({qels.format(rg=rg, src=f'c{PQ_ITERS}')})) AS checksum{guard}
 UNION ALL
 SELECT 'ivf_centroids',
     (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfcentroids),
     (SELECT CAST(SUM(q) AS BIGINT)
-     FROM ({qels.format(rg=rg, src='ivfcentroids')}))
+     FROM ({qels.format(rg=rg, src='ivfcentroids')})){guard}
 UNION ALL
 SELECT 'codes_pq',
     (SELECT CAST(COUNT(*) AS BIGINT) FROM a{PQ_ITERS}),
-    (SELECT CAST(SUM(cell * (m + 1)) AS BIGINT) FROM a{PQ_ITERS})
+    (SELECT CAST(SUM(cell * (m + 1)) AS BIGINT) FROM a{PQ_ITERS}){guard}
 UNION ALL
 SELECT 'codes_ivf',
     (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned),
-    (SELECT CAST(SUM(cell) AS BIGINT) FROM ivfassigned)
+    (SELECT CAST(SUM(cell) AS BIGINT) FROM ivfassigned){guard}
 UNION ALL
 SELECT 'retired_base_codes',
     (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned WHERE {base}),
     (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT)
-     FROM ivfassigned WHERE {base})
+     FROM ivfassigned WHERE {base}){guard}
 UNION ALL
 SELECT 'retired_delta_codes',
     (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned WHERE {delta}),
     (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT)
-     FROM ivfassigned WHERE {delta})
+     FROM ivfassigned WHERE {delta}){guard}
 """
+
+
+def _ann_compact_sql() -> str:
+    from ..operators.similarity import APPEND_WM_FRAC
+
+    wm_cte = (
+        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
     )
+    ctes = _pq_code_ctes() + _ivf_cent_ctes() + [wm_cte]
+    return "WITH " + ",\n".join(ctes) + "\n" + _compact_manifest_rows()
 
 
 ANN_COMPACT_REBUILD = _ann_compact_sql()
 LLMOPS_ORACLES["ann_compact_rebuild"] = ANN_COMPACT_REBUILD
+
+
+# ann_segment_stack_report (operators/similarity.ann_segment_stack_report):
+# retrain the BASE index in SQL (watermark training filter), assign ALL
+# valid rows, and split the assignments at the stacked watermarks —
+# reproducing each on-disk segment's bounds, row count, Σ vec_id
+# id-checksum, and position-weighted Σ cell·(m+1) code checksum. A
+# driver hash proves the persisted segments partition the corpus at the
+# declared bounds AND carry base-trained-encode content. Bounds
+# COALESCE to -1 (the operator's "open/absent" sentinel) so the
+# columns stay non-null BIGINT on any corpus.
+def _ann_stack_report_sql() -> str:
+    from ..operators.similarity import (
+        APPEND_WM2_FRAC,
+        APPEND_WM_FRAC,
+        PQ_ITERS,
+    )
+
+    wm_cte = (
+        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    wm2_cte = (
+        f"wm2 AS (SELECT CAST(FLOOR({APPEND_WM2_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    mx_cte = "mx AS (SELECT CAST(MAX(vec_id) AS BIGINT) AS m FROM valid)"
+    tf = " AND {v} <= (SELECT w FROM wm)"
+    pq = _pq_code_ctes(train_filter=tf)
+    ctes = (
+        pq[:1]
+        + [wm_cte, wm2_cte, mx_cte]
+        + pq[1:]
+        + _ivf_cent_ctes(train_filter=tf)
+    )
+
+    def row(name: str, lo: str, hi: str, rng: str) -> str:
+        return f"""SELECT '{name}' AS component,
+    CAST({lo} AS BIGINT) AS wm_lo,
+    CAST({hi} AS BIGINT) AS wm_hi,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfassigned
+     WHERE {rng}) AS n_rows,
+    (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM ivfassigned
+     WHERE {rng}) AS id_checksum,
+    (SELECT CAST(COALESCE(SUM(cell * (m + 1)), 0) AS BIGINT)
+     FROM a{PQ_ITERS} WHERE {rng}) AS code_checksum"""
+
+    w1 = "(SELECT w FROM wm)"
+    w2 = "(SELECT w FROM wm2)"
+    rows = [
+        row("base", "-1", f"COALESCE({w1}, -1)", f"vec_id <= {w1}"),
+        row(
+            "delta_0001",
+            f"COALESCE({w1}, -1)",
+            f"COALESCE({w2}, -1)",
+            f"vec_id > {w1} AND vec_id <= {w2}",
+        ),
+        row(
+            "delta_0002",
+            f"COALESCE({w2}, -1)",
+            "COALESCE((SELECT m FROM mx), -1)",
+            f"vec_id > {w2}",
+        ),
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+ANN_SEGMENT_STACK_REPORT = _ann_stack_report_sql()
+LLMOPS_ORACLES["ann_segment_stack_report"] = ANN_SEGMENT_STACK_REPORT
+
+
+# ann_compact_if_drifted (operators/similarity.ann_compact_if_drifted):
+# compute the drifted-dimension count from the drift report's
+# integer-grid recipe (_drift_core_sql — shared verbatim with
+# embedding_drift_report's oracle so the trigger can't drift from the
+# report), then emit the matching branch behind count-guarded
+# predicates: the decision row always; the six full-scope compact
+# manifest rows when any dimension drifted; the three kept-segment
+# audit rows (id-level: count + Σ vec_id over the valid corpus's
+# watermark split) when none did.
+def _ann_compact_if_drifted_sql() -> str:
+    from ..operators.similarity import (
+        APPEND_WM2_FRAC,
+        APPEND_WM_FRAC,
+        DRIFT_ABS_THRESHOLD,
+    )
+
+    wm_cte = (
+        f"wm AS (SELECT CAST(FLOOR({APPEND_WM_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    wm2_cte = (
+        f"wm2 AS (SELECT CAST(FLOOR({APPEND_WM2_FRAC} * "
+        "CAST(MAX(vec_id) AS DOUBLE)) AS BIGINT) AS w FROM valid)"
+    )
+    ndrift_cte = (
+        "ndrift AS (SELECT CAST(COALESCE(SUM(CASE WHEN mean_shift IS "
+        f"NOT NULL AND ABS(mean_shift) > {DRIFT_ABS_THRESHOLD} "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n FROM mid)"
+    )
+    ctes = (
+        _pq_code_ctes()
+        + _ivf_cent_ctes()
+        + [wm_cte, wm2_cte, _drift_core_sql(), ndrift_cte]
+    )
+    g_yes = "\n WHERE (SELECT n FROM ndrift) > 0"
+    g_no = "\n WHERE (SELECT n FROM ndrift) = 0"
+    w1 = "(SELECT w FROM wm)"
+    w2 = "(SELECT w FROM wm2)"
+
+    def kept(name: str, rng: str) -> str:
+        return f"""SELECT '{name}',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM valid WHERE {rng}),
+    (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT)
+     FROM valid WHERE {rng}){g_no}"""
+
+    rows = (
+        "SELECT 'drift_decision' AS component,\n"
+        "    (SELECT n FROM ndrift) AS n_rows,\n"
+        "    CAST(CASE WHEN (SELECT n FROM ndrift) > 0 THEN 1 ELSE 0 "
+        "END AS BIGINT) AS checksum\n"
+        "UNION ALL\n"
+        + _compact_manifest_rows(guard=g_yes).rstrip("\n")
+        + "\nUNION ALL\n"
+        + "\nUNION ALL\n".join(
+            kept(n, r)
+            for n, r in [
+                ("kept_base_codes", f"vec_id <= {w1}"),
+                (
+                    "kept_delta_0001",
+                    f"vec_id > {w1} AND vec_id <= {w2}",
+                ),
+                ("kept_delta_0002", f"vec_id > {w2}"),
+            ]
+        )
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
 
 
 # embedding_drift_report (operators/similarity.embedding_drift_report):
@@ -2515,6 +2663,11 @@ FROM mid
 
 EMBEDDING_DRIFT_REPORT = _embedding_drift_sql()
 LLMOPS_ORACLES["embedding_drift_report"] = EMBEDDING_DRIFT_REPORT
+
+# Registered here (after _drift_core_sql exists) — the builder lives
+# beside its compact twin above.
+ANN_COMPACT_IF_DRIFTED = _ann_compact_if_drifted_sql()
+LLMOPS_ORACLES["ann_compact_if_drifted"] = ANN_COMPACT_IF_DRIFTED
 
 # pq_recall_report (operators/similarity.pq_recall_report): the two
 # L2-metric ANN oracles nested VERBATIM as CTEs (the recall-report

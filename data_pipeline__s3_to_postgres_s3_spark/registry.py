@@ -109,11 +109,13 @@ from .operators.dedup import (
     minhash_estimate_audit,
 )
 from .operators.similarity import (
+    ann_compact_if_drifted,
     ann_compact_rebuild,
     ann_index_append,
     ann_index_build,
     ann_index_topk,
     ann_index_topk_segments,
+    ann_segment_stack_report,
     embedding_centroid_report,
     embedding_dim_stats,
     embedding_drift_report,
@@ -371,14 +373,15 @@ QUERIES: dict[str, QueryFn] = {
     # the documents stream, swapped against event_transition_matrix
     # (hash-green r6+r7+r8, events matrices).
     "stream_heavy_hitters": stream_heavy_hitters,
-    # Round-11 new op, straight into the window (headline-op precedent;
-    # r10 VERDICT ask #2): the persisted-ANN-index build manifest — the
-    # DuckDB oracle retrains the identical index and reproduces every
-    # artifact row count and checksum. Takes embedding_norm_profile's
-    # slot (hash-green r9+r10; the norm census stays pinned by
-    # test_similarity.py and shares the _embeddings chokepoint with the
-    # in-window similarity family).
-    "ann_index_build": ann_index_build,
+    # Round-14 new op, straight into the window (r13 VERDICT #2): the
+    # stacked-segment manifest — per-segment watermark bounds, row
+    # counts, Σ vec_id and position-weighted code checksums, oracle =
+    # the base-trained retraining split at the stacked watermarks.
+    # Takes ann_index_build's slot (hash-green r11+r12+r13; the build
+    # manifest machinery stays driver-hashed via the in-window
+    # ann_compact_rebuild, whose oracle IS the full-scope build
+    # retraining plus the retirement split).
+    "ann_segment_stack_report": ann_segment_stack_report,
     # Round-11 new op, straight into the window: the remediation half of
     # the duplicate-key contract (exact re-ingest rows collapse with a
     # multiplicity column, conflicting ids quarantine — deterministic set
@@ -390,14 +393,17 @@ QUERIES: dict[str, QueryFn] = {
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
-    # Round-11 new op, straight into the window: IVF-PQ top-K served
-    # FROM the persisted artifact (value-identical to the in-window
-    # ivf_pq_topk — pinned row-for-row in test_similarity.py; oracle =
-    # the ivf_pq retraining, keeping the served artifact honest). Takes
-    # embedding_dim_stats' slot (hash-green r9+r10; the per-dimension
-    # census machinery stays driver-hashed through the in-window
-    # embedding_corr_topk, which shares its integer-grid recipe).
-    "ann_index_topk": ann_index_topk,
+    # Round-14 new op, straight into the window (r13 VERDICT #2's
+    # second half): drift-TRIGGERED compaction — the decision row
+    # records the drifted-dim count and whether the merge ran; drifted
+    # → ann_compact_rebuild's manifest, else the kept-stack audit. The
+    # oracle computes the identical count from the drift recipe
+    # (_drift_core_sql, shared verbatim with embedding_drift_report)
+    # and emits the matching branch behind count guards. Takes
+    # ann_index_topk's slot (hash-green r11+r12+r13; the artifact
+    # serve plan stays driver-hashed via the in-window
+    # ann_index_topk_segments, which shares _ann_serve_topk verbatim).
+    "ann_compact_if_drifted": ann_compact_if_drifted,
     # Round-8 late rotation: zorder_skip_estimate (brand-new file-skip
     # estimator composing the in-window zorder_manifest's Morton
     # machinery) takes promo_revenue_share's slot (hash-green r6+r7;
@@ -525,6 +531,10 @@ QUERIES: dict[str, QueryFn] = {
     # comments on ann_index_topk_segments / ann_compact_rebuild):
     "ivf_pq_topk": ivf_pq_topk,
     "pq_recall_report": pq_recall_report,
+    # Rotated out in round 14 (hash-green r11+r12+r13; see the window
+    # comments on ann_segment_stack_report / ann_compact_if_drifted):
+    "ann_index_build": ann_index_build,
+    "ann_index_topk": ann_index_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_kmeans": embedding_kmeans,
     "dedup_exact": dedup_exact,

@@ -70,6 +70,8 @@ REPS = {
         "ann_index_append",
         "ann_index_topk_segments",
         "ann_compact_rebuild",
+        "ann_segment_stack_report",
+        "ann_compact_if_drifted",
         "embedding_drift_report",
         "ann_index_topk",
         "ivf_pq_topk",
@@ -84,6 +86,8 @@ REPS = {
         "ann_index_append",
         "ann_index_topk_segments",
         "ann_compact_rebuild",
+        "ann_segment_stack_report",
+        "ann_compact_if_drifted",
         "embedding_drift_report",
         "ann_index_topk",
         "ivf_pq_topk",

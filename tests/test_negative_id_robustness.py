@@ -57,6 +57,8 @@ QUERIES_UNDER_TEST = [
     "ann_index_build",
     "ann_index_topk",
     "ann_index_topk_segments",
+    "ann_segment_stack_report",
+    "ann_compact_if_drifted",
     "ann_index_append",
     "ann_compact_rebuild",
     "embedding_drift_report",

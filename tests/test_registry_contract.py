@@ -55,30 +55,24 @@ ROWS_ONLY_ALLOWED = {
 # dedup_containment [green r5+r6] and profile_events [green r6 + heavy
 # local pins]).
 ROTATED_IN = {
-    # Round 11 (r10 VERDICT ask #2 — the round's forced move, ≤6-swap
-    # budget honored at 2): the persisted-ANN-index build manifest and
-    # the artifact-served IVF-PQ top-K go straight into the window
-    # (headline-op precedent), swapped against embedding_norm_profile
-    # and embedding_dim_stats — both hash-green r9+r10 with dedicated
-    # local pins (norm census in test_similarity.py; the dim census'
-    # integer-grid machinery stays driver-hashed through the in-window
-    # embedding_corr_topk). Prior rounds' rotations are recorded in git
-    # history of this file and the committed CORRECTNESS_r*.json
-    # (round 10 rotated similarity_pq_topk / ivf_pq_topk /
-    # pq_recall_report / stream_distinct_users / embedding_corr_topk in
-    # — see the r10 version of this set).
-    "ann_index_build",
-    "ann_index_topk",
-    # Round 11 (VERDICT ask #6 — the duplicate-key probe round): the
-    # PK-multiplicity detection gate, swapped against heavy_hitters_cms
-    # (hash-green r9+r10; the CMS machinery stays driver-hashed through
-    # the in-window stream_heavy_hitters + the Python replica in
-    # test_approx.py).
+    # Round 14 (r13 VERDICT #2 — conservative rotation, 2 swaps in the
+    # ≤6 budget): the stacked-segment manifest and the drift-TRIGGERED
+    # compaction go straight into the window (headline-op precedent),
+    # swapped against ann_index_build and ann_index_topk — both
+    # hash-green r11+r12+r13; the build-manifest machinery stays
+    # driver-hashed via the in-window ann_compact_rebuild (its oracle
+    # IS the full-scope build retraining + retirement split) and the
+    # artifact serve plan via the in-window ann_index_topk_segments
+    # (shares _ann_serve_topk verbatim). Prior rounds' rotations are
+    # recorded in git history of this file and the committed
+    # CORRECTNESS_r*.json (round 11 rotated ann_index_build /
+    # ann_index_topk / key_uniqueness_report / repair_documents_reingest
+    # in — see the r11 version of this set).
+    "ann_segment_stack_report",
+    "ann_compact_if_drifted",
+    # Round 11 members still in-window (kept for the family-reps
+    # contract; hash-green r11+r12+r13):
     "key_uniqueness_report",
-    # Round 11 continuation: the remediation half (exact re-ingest rows
-    # collapse, conflicting ids quarantine), swapped against
-    # regional_market_share (hash-green r9+r10; pinned by the
-    # dim/lineitem NULL matrices + the local oracle sweep).
     "repair_documents_reingest",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one

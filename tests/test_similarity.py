@@ -1330,3 +1330,222 @@ def test_ann_append_and_segments_serve_after_compaction(spark, sf_small):
             assert report["ok"], (name, report)
     finally:
         con.close()
+
+
+def test_ann_segment_stack_report_matches_oracle(spark, sf_small):
+    """Driver-faithful check of the r14 stacked-segment manifest: the
+    DuckDB oracle retrains the base index and splits its full-coverage
+    assignments at the stacked watermarks — counts, Σ vec_id, and the
+    position-weighted code checksums must all reproduce the on-disk
+    segments."""
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    from .oracle_harness import compare, duckdb_connection
+
+    con = duckdb_connection(sf_small)
+    try:
+        report = compare(
+            sim.ann_segment_stack_report(spark, sf_small),
+            con,
+            ORACLES["ann_segment_stack_report"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+
+
+def test_ann_stack_segments_partition_corpus(spark, sf_small):
+    """The stacked segments must PARTITION the valid corpus at the
+    declared bounds: base ≤ wm, 0001 in (wm, wm2], 0002 above wm2, with
+    the stack union exactly the pre-r14 single delta (vec_id > wm) —
+    the invariant that keeps every pair-level oracle unchanged."""
+    import os
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+
+    art = sim._ensure_ann_artifact(spark, sf_small, scope="base")
+    dirs = sim._ensure_ann_delta(spark, sf_small, art)
+    wm = sim._ann_append_watermark(spark, sf_small)
+    wm2 = sim._ann_stack_watermark2(spark, sf_small)
+    valid_ids = {
+        r["vec_id"]
+        for r in sim._embeddings(spark, sf_small)
+        .select("vec_id")
+        .collect()
+    }
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.schema(sim._ANN_CODES_SCHEMA)
+        .parquet(os.path.join(art, "codes"))
+        .select("vec_id")
+        .collect()
+    }
+    seg_ids = [
+        {
+            r["vec_id"]
+            for r in spark.read.schema(sim._ANN_CODES_SCHEMA)
+            .parquet(d)
+            .select("vec_id")
+            .collect()
+        }
+        for d in dirs
+    ]
+    assert all(i <= wm for i in base_ids)
+    assert all(wm < i <= wm2 for i in seg_ids[0])
+    assert all(i > wm2 for i in seg_ids[1])
+    # the second batch actually fired on the sf corpus
+    assert seg_ids[0] and seg_ids[1], "both stacked segments non-empty"
+    assert not (seg_ids[0] & seg_ids[1])
+    assert seg_ids[0] | seg_ids[1] == {i for i in valid_ids if i > wm}
+    assert base_ids | seg_ids[0] | seg_ids[1] == valid_ids
+
+
+def _write_embeddings_variant(sf_small, tmp_path, mutate):
+    """Copy the sf corpus, applying ``mutate(rows)`` to the embeddings
+    table (the planted-drift fixture recipe)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
+
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(
+                f"{sf_small}/{t}.parquet", str(tmp_path / f"{t}.parquet")
+            )
+    src = pq_.read_table(f"{sf_small}/embeddings.parquet").to_pylist()
+    mutate(src)
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in src], pa.int64()),
+                "embedding": pa.array(
+                    [r["embedding"] for r in src], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r["label"] for r in src], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_ann_compact_if_drifted_compacts_on_planted_drift(
+    spark, sf_small, tmp_path
+):
+    """Planted +0.2 shift on dim 0 of every delta vector → the trigger
+    fires: decision row records (n_drifted ≥ 1, compacted = 1), the
+    manifest carries ann_compact_rebuild's six rows, the base-scope
+    stack is RETIRED from disk, and the count-guarded oracle emits the
+    identical branch."""
+    import os
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    from .oracle_harness import compare, duckdb_connection
+
+    def plant(rows):
+        wm = int(0.9 * max(r["vec_id"] for r in rows))
+        for r in rows:
+            if r["vec_id"] > wm and r["embedding"]:
+                v = list(r["embedding"])
+                v[0] = (v[0] or 0.0) + 0.2
+                r["embedding"] = v
+
+    d = _write_embeddings_variant(sf_small, tmp_path, plant)
+    rows = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_compact_if_drifted(spark, d).collect()
+    }
+    assert rows["drift_decision"][0] >= 1 and rows["drift_decision"][1] == 1
+    assert set(rows) == {
+        "drift_decision",
+        "pq_codebook",
+        "ivf_centroids",
+        "codes_pq",
+        "codes_ivf",
+        "retired_base_codes",
+        "retired_delta_codes",
+    }
+    assert not os.path.exists(
+        sim._ann_artifact_dir(d, scope="base")
+    ), "drifted: the base-scope stack must be retired"
+    con = duckdb_connection(d)
+    try:
+        report = compare(
+            sim.ann_compact_if_drifted(spark, d),
+            con,
+            ORACLES["ann_compact_if_drifted"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
+
+
+def test_ann_compact_if_drifted_keeps_undrifted_stack(
+    spark, sf_small, tmp_path
+):
+    """Zero-drift corpus (every delta vector replaced by a base
+    vector's values → all mean shifts 0): the trigger must NOT fire —
+    decision (0, 0), the kept-segment audit rows reproduce the
+    untouched on-disk stack, the stack SURVIVES on disk, and the
+    count-guarded oracle emits the kept branch."""
+    import os
+
+    from data_pipeline__s3_to_postgres_s3_spark.operators import (
+        similarity as sim,
+    )
+    from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES
+
+    from .oracle_harness import compare, duckdb_connection
+
+    def flatten(rows):
+        wm = int(0.9 * max(r["vec_id"] for r in rows))
+        base_vecs = [
+            r["embedding"]
+            for r in rows
+            if r["vec_id"] <= wm and r["embedding"]
+        ]
+        mean_like = base_vecs[0]
+        for r in rows:
+            if r["embedding"]:
+                r["embedding"] = list(mean_like)
+
+    d = _write_embeddings_variant(sf_small, tmp_path, flatten)
+    rows = {
+        r["component"]: (r["n_rows"], r["checksum"])
+        for r in sim.ann_compact_if_drifted(spark, d).collect()
+    }
+    assert rows["drift_decision"] == (0, 0)
+    assert set(rows) == {
+        "drift_decision",
+        "kept_base_codes",
+        "kept_delta_0001",
+        "kept_delta_0002",
+    }
+    art = sim._ann_artifact_dir(d, scope="base")
+    assert os.path.exists(os.path.join(art, "codes", "_SUCCESS"))
+    for name in sim._ANN_DELTA_STACK:
+        assert os.path.exists(os.path.join(art, name, "_SUCCESS")), (
+            "undrifted: the stack must survive"
+        )
+    con = duckdb_connection(d)
+    try:
+        report = compare(
+            sim.ann_compact_if_drifted(spark, d),
+            con,
+            ORACLES["ann_compact_if_drifted"],
+        )
+        assert report["ok"], report
+    finally:
+        con.close()
