@@ -1244,8 +1244,14 @@ def test_ann_segments_serve_equals_one_pass_base_encode(spark, sf_small):
 def test_ann_segments_recall_floor_vs_exact(spark, sf_small):
     """The segment serve pays the same nprobe routing cost as ivf_pq —
     NOT row-identical to the exact brute-force top-K (measured ~0.70
-    recall@5 at sf0.001/sf0.01). Pin a floor so a broken shortlist
-    (recall collapse) surfaces while honest routing loss does not."""
+    recall@5 at sf0.001/sf0.01). The r14 nprobe sweep (r13 VERDICT #4,
+    PLANS.md) separated the two candidate causes: segment recall tracks
+    the FULL-artifact serve within ±0.075 at every nprobe in 1..10 with
+    no systematic deficit, so the 0.70 is routing cost (recall rises
+    0.25→0.78 with nprobe on both paths), not base-vs-full codebook
+    staleness — compaction buys latency/layout, not recall, at this
+    drift level. Floor raised 0.5 → 0.6 per the sweep (observed ≥ 0.70
+    on both sf corpora; 0.1 margin for corpus regeneration)."""
     served = {
         (r["query_id"], r["vec_id"])
         for r in sim.ann_index_topk_segments(spark, sf_small).collect()
@@ -1255,7 +1261,7 @@ def test_ann_segments_recall_floor_vs_exact(spark, sf_small):
         (r["query_id"], r["vec_id"])
         for r in sim._exact_l2_topk(emb).collect()
     }
-    assert len(served & exact) / len(exact) >= 0.5
+    assert len(served & exact) / len(exact) >= 0.6
 
 
 def test_ann_compact_matches_oracle_and_retires_pair(spark, sf_small):
