@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import TABLES, load_events, load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.numeric import portable_round
 
@@ -257,6 +257,155 @@ KEY_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("documents", ("doc_id",)),
     ("embeddings", ("vec_id",)),
 )
+
+
+# Numeric column spec for the ANALYZE-style stats census (shared with
+# the oracle builder — the KEY_SPECS convention). Names only; the census
+# is encoding-invariant because every value funnels through one
+# CAST-to-double canonicalization on BOTH engines.
+TABLE_STATS_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey", "n_regionkey")),
+    ("customer", ("c_custkey", "c_nationkey", "c_acctbal")),
+    ("supplier", ("s_suppkey", "s_nationkey", "s_acctbal")),
+    ("part", ("p_partkey", "p_size", "p_retailprice")),
+    ("orders", ("o_orderkey", "o_custkey", "o_totalprice")),
+    (
+        "lineitem",
+        (
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ),
+    ),
+    ("events", ("event_id", "user_id", "value")),
+    ("documents", ("doc_id", "n_chars")),
+    ("embeddings", ("vec_id", "label")),
+)
+
+
+def _stat_canon(col: str) -> F.Column:
+    """CAST(col AS DOUBLE) + 0.0 — one canonical numeric domain for
+    ndv/min/max. The +0.0 collapses -0.0 to +0.0 (IEEE: -0.0 + 0.0 =
+    +0.0) so a feed carrying a negative zero cannot split the engines:
+    Spark's distinct normalizes -0.0 == 0.0 (NormalizeFloatingNumbers)
+    and which of the two equal zeros MIN/MAX returns is engine-arbitrary,
+    while the canonicalized value hashes identically. Token-identical
+    twin in the oracle SQL."""
+    return F.col(col).cast("double") + F.lit(0.0)
+
+
+def table_column_stats(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """ANALYZE-style optimizer-statistics census over every numeric
+    column of every table: non-null count, NULL count, exact NDV, and
+    min/max on the canonical double domain — the statistics a
+    cost-based optimizer (join reordering, broadcast thresholds,
+    selectivity estimates) runs on, and the pre-load validation the
+    reference pipeline skips entirely (it trusts pandas inference and
+    loads blind — extract_load_transform_data_pipeline.py.py:52-63).
+
+    Reads the NORMALIZED feeds (load_table / load_events) so the stats
+    describe exactly what every downstream query consumes — a
+    non-representable measure that the load gate NULLed is reported
+    here as a NULL, which is the actionable number (the raw-feed
+    corruption detector is key_uniqueness_report + the dirtiness
+    probes, not this census).
+
+    Scale shape: ONE aggregation pass per table (Spark plans the
+    multi-COUNT(DISTINCT) via EXPAND — rows multiplied map-side by the
+    distinct-aggregate count, then one partially-aggregated shuffle);
+    the 1-row result unpivots to per-column rows with stack(), so the
+    driver never loops issuing per-column scans. 27 rows total. At
+    production scale swap the exact NDVs for approx_count_distinct and
+    keep the same surface (the profile_table convention)."""
+    parts = []
+    for name, cols in TABLE_STATS_SPECS:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = load_table(spark, sf_dir, name)
+        aggs = []
+        for c in cols:
+            d = _stat_canon(c)
+            aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+            # COUNT (never NULL), not SUM: a 0-row table must report 0
+            # (the r12 empty-table probe class).
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), F.lit(1)))
+                .cast("long")
+                .alias(f"nu_{c}")
+            )
+            aggs.append(F.countDistinct(d).cast("long").alias(f"nd_{c}"))
+            aggs.append(F.min(d).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(d).cast("double").alias(f"mx_{c}"))
+        one = df.agg(*aggs)
+        stacked = ", ".join(
+            f"'{c}', nn_{c}, nu_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+        )
+        parts.append(
+            one.select(
+                F.lit(name).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {stacked}) AS "
+                    "(column_name, n_nonnull, n_nulls, n_distinct, "
+                    "min_value, max_value)"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def schema_snapshot_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Physical-schema census per table: column count, the sorted
+    column-name list, and the row count — the mechanical DETECTOR for
+    the schema-drift class (the driver regenerates the testdata between
+    rounds and may add, reorder, or re-type columns; the r13
+    partial-schema gotcha was this class's tip). A feed whose snapshot
+    row changed since the last run is the signal to re-validate every
+    consumer BEFORE trusting query output — the audit the reference
+    pipeline lacks (it re-infers the schema from each CSV on every load
+    and silently absorbs drift —
+    extract_load_transform_data_pipeline.py.py:52-63).
+
+    Reads the RAW feed (load_table(raw=True), the key_uniqueness_report
+    convention): the census must describe the file as it landed, before
+    any representability gate; its oracle is registry-exempt from the
+    mirrors and introspects the same parquet through DuckDB's
+    information_schema, so the two engines agree on exactly the
+    physical column set. Names (not physical types) are the drift-
+    stable identity: the load chokepoints normalize types by DESIGN
+    (decimal→double, nanos→timestamp), so a type census would disagree
+    across equivalent encodings, but a name/arity/row-count census is
+    invariant — and the `_extra` / `_reordered` / widened drift
+    variants all reproduce identically on both engines.
+
+    Scale shape: the column list is parquet FOOTER metadata (no scan);
+    the row count is one column-pruned COUNT(*) scan per table —
+    metadata-only on parquet row-group stats. 10 rows out."""
+    parts = []
+    for name in TABLES:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = load_table(spark, sf_dir, name, raw=True)
+        col_list = ",".join(sorted(df.columns))
+        parts.append(
+            df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+                F.lit(name).alias("table_name"),
+                F.lit(len(df.columns)).cast("long").alias("n_cols"),
+                F.lit(col_list).alias("col_list"),
+                "n_rows",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
 
 
 def key_uniqueness_report(

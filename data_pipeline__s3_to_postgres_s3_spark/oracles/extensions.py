@@ -1509,6 +1509,70 @@ KEY_UNIQUENESS_REPORT = _key_uniqueness_sql()
 EXTENSION_ORACLES["key_uniqueness_report"] = KEY_UNIQUENESS_REPORT
 
 
+# table_column_stats (operators/profiling.py): ANALYZE-style numeric
+# stats census, built from the SAME TABLE_STATS_SPECS the operator
+# iterates (no drift). Every value funnels through the canonical
+# (CAST(col AS DOUBLE) + 0.0) domain — token-identical to the Column
+# expr — so -0.0 can never split the engines; counts CAST to BIGINT
+# (the HUGEINT dtype trap), min/max CAST to DOUBLE (a DuckDB DOUBLE +
+# DECIMAL literal addition stays DOUBLE, the outer cast pins it).
+# NULL counting uses COUNT(CASE ...) — never SUM — so a 0-row table
+# reports 0, not NULL (r12 empty-table probe). The oracle reads the
+# gated feeds (the registry splices the shadow-CTE / events mirrors),
+# matching the operator's normalized load_table/load_events reads.
+def _table_column_stats_sql() -> str:
+    from ..operators.profiling import TABLE_STATS_SPECS
+
+    parts = []
+    for name, cols in TABLE_STATS_SPECS:
+        for c in cols:
+            d = f"(CAST({c} AS DOUBLE) + 0.0)"
+            parts.append(f"""
+SELECT '{name}' AS table_name, '{c}' AS column_name,
+    CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+    CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+    CAST(COUNT(DISTINCT {d}) AS BIGINT) AS n_distinct,
+    CAST(MIN({d}) AS DOUBLE) AS min_value,
+    CAST(MAX({d}) AS DOUBLE) AS max_value
+FROM {name}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+TABLE_COLUMN_STATS = _table_column_stats_sql()
+EXTENSION_ORACLES["table_column_stats"] = TABLE_COLUMN_STATS
+
+
+# schema_snapshot_report (operators/profiling.py): physical-schema
+# census — the schema-drift DETECTOR. Raw-feed oracle (registry
+# _RAW_FEED_ORACLES, the key_uniqueness_report convention): the Spark
+# side reads load_table(raw=True), so the oracle must see the raw view
+# too. The column set comes from DuckDB's information_schema over the
+# SAME registered views (DISTINCT guards against a runner registering
+# a table in more than one schema); names sort bytewise-identically to
+# Python's sorted() for these ASCII identifiers.
+def _schema_snapshot_sql() -> str:
+    from ..catalog import TABLES
+
+    parts = []
+    for name in TABLES:
+        cols_sub = (
+            "(SELECT DISTINCT column_name FROM information_schema.columns "
+            f"WHERE table_name = '{name}')"
+        )
+        parts.append(f"""
+SELECT '{name}' AS table_name,
+    CAST((SELECT COUNT(*) FROM {cols_sub}) AS BIGINT) AS n_cols,
+    (SELECT string_agg(column_name, ',' ORDER BY column_name)
+     FROM {cols_sub}) AS col_list,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM {name}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SCHEMA_SNAPSHOT_REPORT = _schema_snapshot_sql()
+EXTENSION_ORACLES["schema_snapshot_report"] = SCHEMA_SNAPSHOT_REPORT
+
+
 # salted_brand_revenue (operators/skew.py): the oracle is the PLAIN
 # join+group — the driver hash proves the salted/two-phase plan moves
 # work, never rows or cents. Revenue in exact 1e-4 integer units.

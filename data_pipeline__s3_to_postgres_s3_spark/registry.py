@@ -149,6 +149,8 @@ from .operators.profiling import (
     profile_events,
     profile_orders,
     referential_integrity_report,
+    schema_snapshot_report,
+    table_column_stats,
 )
 from .operators.skew import salted_brand_revenue
 from .operators.sampling import (
@@ -382,14 +384,15 @@ QUERIES: dict[str, QueryFn] = {
     # ann_compact_rebuild, whose oracle IS the full-scope build
     # retraining plus the retirement split).
     "ann_segment_stack_report": ann_segment_stack_report,
-    # Round-11 new op, straight into the window: the remediation half of
-    # the duplicate-key contract (exact re-ingest rows collapse with a
-    # multiplicity column, conflicting ids quarantine — deterministic set
-    # algebra, oracle-mirrored exactly). Takes regional_market_share's
-    # slot (hash-green r9+r10; the Q8 ratio-of-conditional-sums class
-    # stays pinned by the dim/lineitem NULL matrices and the local
-    # oracle sweep every pytest run).
-    "repair_documents_reingest": repair_documents_reingest,
+    # Round-14 new op, straight into the window (the r14 schema-drift
+    # probe round's ANALYZE twin): per-column optimizer-statistics
+    # census (non-null/NULL/exact-NDV/min/max on the canonical double
+    # domain) over every numeric column of every table. Takes
+    # repair_documents_reingest's slot (hash-green r11+r12+r13; the
+    # repair set algebra stays pinned by
+    # test_duplicate_key_robustness.py's planted-corpus semantics tests
+    # and the local oracle sweep every pytest run).
+    "table_column_stats": table_column_stats,
     "item_triangles": item_triangles,
     "active_users_rolling": active_users_rolling,
     "user_value_mad": user_value_mad,
@@ -419,15 +422,16 @@ QUERIES: dict[str, QueryFn] = {
     # money-matrix-pinned).
     "ship_priority_counts": ship_priority_counts,
     # -- dedup/source-mixture audits --------------------------------------
-    # Round-11 new op, straight into the window (the duplicate-key probe
-    # round's detection gate): PK-multiplicity census per table — the
-    # mechanical alarm for the un-mirrorable identity-ambiguity class the
-    # probe measured (28/185 queries diverge on a planted-duplicate
-    # corpus). Takes heavy_hitters_cms's slot (hash-green r9+r10; the CMS
-    # cell machinery stays driver-hashed through the in-window
-    # stream_heavy_hitters, which shares cms_entries, and the Python
-    # replica pin in test_approx.py).
-    "key_uniqueness_report": key_uniqueness_report,
+    # Round-14 new op, straight into the window (the r14 schema-drift
+    # probe round's detection gate, the key_uniqueness_report
+    # precedent): physical-schema census per table — column count,
+    # sorted column-name list, row count — raw-feed read, oracle
+    # introspects DuckDB information_schema over the same views. Takes
+    # key_uniqueness_report's slot (hash-green r11+r12+r13; the PK
+    # census machinery — incl. the fingerprint dispatch — stays pinned
+    # by test_duplicate_key_robustness.py's planted/clean/branch-
+    # bit-identity tests and the local oracle sweep every pytest run).
+    "schema_snapshot_report": schema_snapshot_report,
     # Round-8 late rotation: jaccard_threshold_sweep (brand-new measured
     # threshold CDF — the empirical complement of minhash_param_planner's
     # theoretical S-curve, sharing its _scurve_sql string and the jaccard
@@ -532,9 +536,12 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_pq_topk": ivf_pq_topk,
     "pq_recall_report": pq_recall_report,
     # Rotated out in round 14 (hash-green r11+r12+r13; see the window
-    # comments on ann_segment_stack_report / ann_compact_if_drifted):
+    # comments on ann_segment_stack_report / ann_compact_if_drifted /
+    # schema_snapshot_report / table_column_stats):
     "ann_index_build": ann_index_build,
     "ann_index_topk": ann_index_topk,
+    "key_uniqueness_report": key_uniqueness_report,
+    "repair_documents_reingest": repair_documents_reingest,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_kmeans": embedding_kmeans,
     "dedup_exact": dedup_exact,
@@ -745,7 +752,9 @@ _EVENTS_FEED_NORM = (
 # split the engines on a corpus whose duplicate keys differ only in
 # non-representable values (NaN vs Inf — both NULL after the rewrite,
 # distinct raw). Pinned: tests/test_extreme_value_robustness.py.
-_EVENTS_RAW_ORACLES = frozenset({"key_uniqueness_report"})
+_EVENTS_RAW_ORACLES = frozenset(
+    {"key_uniqueness_report", "schema_snapshot_report"}
+)
 # Alias for the general contract (events + relational measures).
 _RAW_FEED_ORACLES = _EVENTS_RAW_ORACLES
 ORACLES = {

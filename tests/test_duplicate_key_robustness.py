@@ -201,6 +201,23 @@ def test_key_uniqueness_report_detects_planted_duplicates(spark, dupkey_dir):
     assert rows["region"]["dup_keys"] == 0
 
 
+@pytest.mark.parametrize(
+    "name", ["schema_snapshot_report", "table_column_stats"]
+)
+def test_census_ops_oracle_green_under_duplicate_keys(
+    spark, dupkey_dir, name
+):
+    """r14 census ops under planted duplicates: no key assumption — both
+    engines count the duplicated rows identically, so the gate stays
+    green (no chokepoint involvement; plain counts/aggregates)."""
+    con = duckdb_connection(dupkey_dir)
+    try:
+        report = compare(QUERIES[name](spark, dupkey_dir), con, ORACLES[name])
+        assert report["ok"], f"{name} under duplicate keys: {report}"
+    finally:
+        con.close()
+
+
 def test_key_uniqueness_report_clean_corpus_baseline(spark, sf_small):
     """On the driver's own corpus every single-column PK is unique; the
     synthetic lineitem's (l_orderkey, l_linenumber) is NOT (the

@@ -104,6 +104,11 @@ REPS = {
     "lineitem": [
         "min_cost_supplier",
         "supplier_nation_profit",
+        # r14: the two census ops scan EVERY table — one emptied-table
+        # rep each suffices (COUNT semantics, never SUM, keep the empty
+        # rows 0 on both sides; min/max go NULL on both).
+        "table_column_stats",
+        "schema_snapshot_report",
     ],
 }
 

@@ -70,6 +70,12 @@ QUERIES_UNDER_TEST = [
     "cdc_merge_customers",
     "value_histogram",
     "key_uniqueness_report",  # the raw-feed census, exempt on both sides
+    # r14: the ANALYZE census reads every gated measure through
+    # load_table — the planted NaN/Inf/1e300 land in n_nulls on BOTH
+    # sides (Spark gate vs shadow-CTE mirror); the schema census is
+    # raw-exempt like key_uniqueness_report.
+    "table_column_stats",
+    "schema_snapshot_report",
 ]
 
 

@@ -70,6 +70,11 @@ QUERIES_UNDER_TEST = [
     "scd2_user_event_history",
     "profile_events",
     "key_uniqueness_report",
+    # r14: the ANALYZE census reads events via load_events (value gate
+    # engages when the ts probe marks the feed dirty; the FROM-events
+    # rewrite mirrors); the schema census is raw-exempt.
+    "table_column_stats",
+    "schema_snapshot_report",
     "tripdata_monthly_metrics",
     "stream_hourly_rollup",
     "stream_sliding_value",

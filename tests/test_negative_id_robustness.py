@@ -66,6 +66,10 @@ QUERIES_UNDER_TEST = [
     "events_sessionized",
     "stream_distinct_users",
     "key_uniqueness_report",
+    # r14: the two census ops count/aggregate raw ids with no hash or
+    # modulus arithmetic — negative ids flow through as plain values.
+    "table_column_stats",
+    "schema_snapshot_report",
 ]
 
 

@@ -70,10 +70,14 @@ ROTATED_IN = {
     # in — see the r11 version of this set).
     "ann_segment_stack_report",
     "ann_compact_if_drifted",
-    # Round 11 members still in-window (kept for the family-reps
-    # contract; hash-green r11+r12+r13):
-    "key_uniqueness_report",
-    "repair_documents_reingest",
+    # Round-14 second pair (4 swaps total, still ≤6): the schema-drift
+    # round's detection gate and its ANALYZE twin go straight into the
+    # window, swapped against key_uniqueness_report and
+    # repair_documents_reingest — both hash-green r11+r12+r13, both
+    # machinery-pinned by test_duplicate_key_robustness.py's
+    # planted-corpus oracle-differential tests every pytest run.
+    "schema_snapshot_report",
+    "table_column_stats",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
