@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import TABLES, load_events, load_table
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..functions.numeric import portable_round
+from ..functions.numeric import cents, portable_round
 
 # Pinned column list (shared with the oracle builder) — profiling output
 # must be stable even if the physical parquet gains columns.
@@ -257,6 +257,161 @@ KEY_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("documents", ("doc_id",)),
     ("embeddings", ("vec_id",)),
 )
+
+
+def join_skew_report(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Join-key skew census over the star schema's declared FK
+    relationships — the input to every skew remediation decision
+    (salting, AQE skew-join thresholds, broadcast choices): per
+    relationship, the child-side key multiplicity profile (distinct
+    keys, max rows under one key, the hottest key itself, mean rows
+    per key) and the skew ratio max/avg. The reference pipeline joins
+    its feeds blind (sql/transformation.sql:16-38 — no cardinality
+    check precedes any join); at 100 TB the hot-key check IS the
+    difference between a plan that finishes and one that spills a
+    single straggler partition for hours (this repo's own
+    salted_brand_revenue / hot-key-capped interval join carry the
+    remediations; this report is their trigger).
+
+    Determinism: the hot key is the SMALLEST key among those sharing
+    the max multiplicity (min_by over a (-n, fk) struct — a
+    distributive aggregate, NOT a global sort; the oracle's ORDER BY
+    n DESC, fk LIMIT 1 subquery is the same total order). hot_key is
+    reported as DOUBLE so an empty child (NULL hot key) stays
+    dtype-stable across both engines' pandas materializations.
+
+    Scale shape: ONE column-pruned scan per child (the NULL-FK rows
+    ride the same groupBy as their own key group — no separate totals
+    scan), one map-side-combined groupBy, one tiny fold; nothing
+    collects, nothing sorts globally. 7 rows."""
+    frames = []
+    for label, child_t, fk, _parent, _pk in FK_RELATIONSHIPS:
+        child = load_table(spark, sf_dir, child_t)
+        grouped = child.groupBy(F.col(fk).cast("long").alias("fk")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        nn = F.col("fk").isNotNull()
+        key_stats = grouped.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.when(~nn, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("null_fk_rows"),
+            F.count(F.when(nn, F.lit(1))).cast("long").alias("n_keys"),
+            F.coalesce(F.sum(F.when(nn, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("nonnull_rows"),
+            F.coalesce(F.max(F.when(nn, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("max_key_rows"),
+            F.expr("min_by(fk, struct(-n, fk)) FILTER (WHERE fk IS NOT NULL)")
+            .cast("double")
+            .alias("hot_key"),
+        )
+        frames.append(
+            key_stats.select(
+                F.lit(label).alias("relationship"),
+                "n_rows",
+                "null_fk_rows",
+                "n_keys",
+                "max_key_rows",
+                "hot_key",
+                F.when(
+                    F.col("n_keys") > 0,
+                    portable_round(
+                        F.col("nonnull_rows").cast("double")
+                        / F.col("n_keys"),
+                        4,
+                    ),
+                ).alias("avg_key_rows"),
+                F.when(
+                    F.col("nonnull_rows") > 0,
+                    portable_round(
+                        F.col("max_key_rows").cast("double")
+                        * F.col("n_keys")
+                        / F.col("nonnull_rows"),
+                        4,
+                    ),
+                ).alias("skew_ratio"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def partition_stats_rollup(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Partition-level statistics with an algebraic MERGE to the table
+    total — the incremental-maintenance shape of table_column_stats: a
+    warehouse maintaining month-partitioned stats re-computes ONLY the
+    partitions a load touched and folds the partials (counts/sums ADD,
+    mins/maxes fold) instead of rescanning 100 TB; NDV is deliberately
+    absent from the rollup surface because plain NDV does not merge
+    (that is what sketches are for — see approx_aggregates). The
+    reference recomputes its aggregates from scratch on every run
+    (sql/transformation.sql full-refresh DDL); this is the incremental
+    twin, the same contract as its max-PK incremental loads
+    (extract_load_transform_data_pipeline.py.py:95-101).
+
+    Output: one row per o_orderdate month (scope='month') with
+    n_rows / n_priced / sum_cents / min-max of o_totalprice on the
+    canonical double domain, plus ONE scope='total' row DERIVED FROM
+    THE MONTH FRAME by the merge algebra — never from a second table
+    scan. The oracle mirrors both levels from the same month CTE, so
+    the driver hash proves the merge algebra itself.
+
+    Scale shape: one scan, one map-side-combined groupBy over ~months
+    keys, then a dozens-of-rows fold. NULL order dates form their own
+    month partition (the r9 NULL-orders regime)."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = _stat_canon("o_totalprice")
+    months = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_priced"),
+        F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min(price).cast("double").alias("min_value"),
+        F.max(price).cast("double").alias("max_value"),
+    )
+    # The month frame feeds TWO consumers (its own rows + the merged
+    # total); Spark re-executes the shared subtree per consumer — a
+    # second full orders scan, exactly what the merge exists to avoid.
+    # Checkpointing the ~months-row partial frame pins the plan to ONE
+    # scan (the dedup_simhash localCheckpoint precedent; the
+    # materialized frame is dozens of rows at any corpus size).
+    months = months.localCheckpoint(eager=False)
+    total = months.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("n_priced"), F.lit(0)).cast("long").alias("n_priced"),
+        F.coalesce(F.sum("sum_cents"), F.lit(0))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min("min_value").cast("double").alias("min_value"),
+        F.max("max_value").cast("double").alias("max_value"),
+    )
+    month_rows = months.select(
+        F.lit("month").alias("scope"),
+        "month",
+        "n_rows",
+        "n_priced",
+        "sum_cents",
+        "min_value",
+        "max_value",
+    )
+    total_row = total.select(
+        F.lit("total").alias("scope"),
+        F.lit(None).cast("date").alias("month"),
+        "n_rows",
+        "n_priced",
+        "sum_cents",
+        "min_value",
+        "max_value",
+    )
+    return month_rows.unionByName(total_row)
 
 
 # Numeric column spec for the ANALYZE-style stats census (shared with

@@ -1542,6 +1542,90 @@ TABLE_COLUMN_STATS = _table_column_stats_sql()
 EXTENSION_ORACLES["table_column_stats"] = TABLE_COLUMN_STATS
 
 
+# join_skew_report (operators/profiling.py): join-key multiplicity
+# census per declared FK relationship, built from the SAME
+# FK_RELATIONSHIPS the operator iterates (no drift). The hot key is
+# the SMALLEST key among those sharing the max multiplicity — the
+# oracle's ORDER BY n DESC, fk LIMIT 1 is the same total order as the
+# operator's min_by((-n, fk)) distributive aggregate; reported as
+# DOUBLE so a NULL (empty child) stays dtype-stable. Ratios mirror the
+# Column exprs token-identically (max*keys/rows association), CASE-
+# guarded against empty input (ANSI x/0 vs DuckDB NULL — r12 probe).
+def _join_skew_sql() -> str:
+    from ..operators.profiling import FK_RELATIONSHIPS
+
+    parts = []
+    for label, child, fk, _parent, _pk in FK_RELATIONSHIPS:
+        parts.append(f"""
+SELECT '{label}' AS relationship,
+    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+    CAST(COALESCE(SUM(CASE WHEN fk IS NULL THEN n END), 0) AS BIGINT)
+        AS null_fk_rows,
+    CAST(COUNT(CASE WHEN fk IS NOT NULL THEN 1 END) AS BIGINT) AS n_keys,
+    CAST(COALESCE(MAX(CASE WHEN fk IS NOT NULL THEN n END), 0) AS BIGINT)
+        AS max_key_rows,
+    CAST((SELECT fk FROM (
+            SELECT CAST({fk} AS BIGINT) AS fk, COUNT(*) AS n
+            FROM {child} WHERE {fk} IS NOT NULL GROUP BY 1
+          ) ORDER BY n DESC, fk LIMIT 1) AS DOUBLE) AS hot_key,
+    CASE WHEN COUNT(CASE WHEN fk IS NOT NULL THEN 1 END) > 0 THEN
+        FLOOR(CAST(COALESCE(SUM(CASE WHEN fk IS NOT NULL THEN n END), 0)
+                   AS DOUBLE)
+              / COUNT(CASE WHEN fk IS NOT NULL THEN 1 END)
+              * 10000 + 0.5) / 10000 END AS avg_key_rows,
+    CASE WHEN COALESCE(SUM(CASE WHEN fk IS NOT NULL THEN n END), 0) > 0 THEN
+        FLOOR(CAST(COALESCE(MAX(CASE WHEN fk IS NOT NULL THEN n END), 0)
+                   AS DOUBLE)
+              * COUNT(CASE WHEN fk IS NOT NULL THEN 1 END)
+              / COALESCE(SUM(CASE WHEN fk IS NOT NULL THEN n END), 0)
+              * 10000 + 0.5) / 10000
+        END AS skew_ratio
+FROM (
+    SELECT CAST({fk} AS BIGINT) AS fk, COUNT(*) AS n
+    FROM {child} GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+JOIN_SKEW_REPORT = _join_skew_sql()
+EXTENSION_ORACLES["join_skew_report"] = JOIN_SKEW_REPORT
+
+
+# partition_stats_rollup (operators/profiling.py): month-partition
+# stats + the MERGED total derived from the month CTE (never a second
+# scan) — the oracle proves the merge algebra by construction. cents
+# sums COALESCE to 0 (bare-SUM NULL class); min/max fold through the
+# canonical (CAST + 0.0) double domain.
+PARTITION_STATS_ROLLUP = """
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(o_totalprice) AS BIGINT) AS n_priced,
+        CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), 0)
+             AS BIGINT) AS sum_cents,
+        CAST(MIN((CAST(o_totalprice AS DOUBLE) + 0.0)) AS DOUBLE)
+            AS min_value,
+        CAST(MAX((CAST(o_totalprice AS DOUBLE) + 0.0)) AS DOUBLE)
+            AS max_value
+    FROM orders
+    GROUP BY month
+)
+SELECT 'month' AS scope, month, n_rows, n_priced, sum_cents,
+       min_value, max_value
+FROM m
+UNION ALL
+SELECT 'total' AS scope, CAST(NULL AS DATE) AS month,
+    CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_rows,
+    CAST(COALESCE(SUM(n_priced), 0) AS BIGINT) AS n_priced,
+    CAST(COALESCE(SUM(sum_cents), 0) AS BIGINT) AS sum_cents,
+    CAST(MIN(min_value) AS DOUBLE) AS min_value,
+    CAST(MAX(max_value) AS DOUBLE) AS max_value
+FROM m
+"""
+
+EXTENSION_ORACLES["partition_stats_rollup"] = PARTITION_STATS_ROLLUP
+
+
 # schema_snapshot_report (operators/profiling.py): physical-schema
 # census — the schema-drift DETECTOR. Raw-feed oracle (registry
 # _RAW_FEED_ORACLES, the key_uniqueness_report convention): the Spark

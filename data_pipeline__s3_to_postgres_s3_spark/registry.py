@@ -144,7 +144,9 @@ from .operators.multimodal import (
 )
 from .operators.pii import pii_scrub, pii_source_report
 from .operators.profiling import (
+    join_skew_report,
     key_uniqueness_report,
+    partition_stats_rollup,
     profile_documents,
     profile_events,
     profile_orders,
@@ -363,7 +365,16 @@ QUERIES: dict[str, QueryFn] = {
     # and the ts/NULL-events matrices), the skew-remedy equivalence
     # query takes purchases_pit_stage's (hash-green r6+r7+r8;
     # point-in-time join pinned in test_temporal.py).
-    "referential_integrity_report": referential_integrity_report,
+    # Round-14 new op, straight into the window (6th and last swap of
+    # the ≤6 budget's second half): join-key skew census per declared
+    # FK relationship — the trigger for every salting/AQE-skew
+    # remediation this repo carries. Takes referential_integrity_report's
+    # slot (hash-green r9+r10+r11+r12+r13; it SHARES the
+    # FK_RELATIONSHIPS spec and the per-relationship child-groupBy
+    # shape with this report, and its orphan semantics stay pinned by
+    # tests/test_referential_integrity.py's planted-orphan matrix and
+    # the local oracle sweep every pytest run).
+    "join_skew_report": join_skew_report,
     "salted_brand_revenue": salted_brand_revenue,
     # Round-9 new op, straight into the window: Q9-shape profit-by-
     # (nation, year) — date function in the grouping key; swapped against
@@ -407,14 +418,15 @@ QUERIES: dict[str, QueryFn] = {
     # serve plan stays driver-hashed via the in-window
     # ann_index_topk_segments, which shares _ann_serve_topk verbatim).
     "ann_compact_if_drifted": ann_compact_if_drifted,
-    # Round-8 late rotation: zorder_skip_estimate (brand-new file-skip
-    # estimator composing the in-window zorder_manifest's Morton
-    # machinery) takes promo_revenue_share's slot (hash-green r6+r7;
-    # the conditional-share agg class stays heavily represented by the
-    # surrounding events/orders analytics block). Its tail grace is
-    # spent early — verified 3× fresh-process with the driver-faithful
-    # comparator before the swap.
-    "zorder_skip_estimate": zorder_skip_estimate,
+    # Round-14 new op, straight into the window (5th swap of the ≤6
+    # budget): month-partition stats with the algebraically MERGED
+    # total derived from the month frame — the incremental-maintenance
+    # twin of table_column_stats; the driver hash proves the merge
+    # algebra itself. Takes zorder_skip_estimate's slot (hash-green
+    # r8 through r13; the Morton/file-skip machinery stays pinned by
+    # tests/test_layout.py's cell-aligned split and footer-stats-skip
+    # proofs and the local oracle sweep every pytest run).
+    "partition_stats_rollup": partition_stats_rollup,
     "order_to_ship_lag_stats": order_to_ship_lag_stats,
     # Round-9 closing rotation: the Q12-shape dual conditional count
     # takes brand_band_revenue's slot (hash-green r6+r7+r8; its Q19
@@ -542,6 +554,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_index_topk": ann_index_topk,
     "key_uniqueness_report": key_uniqueness_report,
     "repair_documents_reingest": repair_documents_reingest,
+    "referential_integrity_report": referential_integrity_report,
+    "zorder_skip_estimate": zorder_skip_estimate,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_kmeans": embedding_kmeans,
     "dedup_exact": dedup_exact,
@@ -752,6 +766,10 @@ _EVENTS_FEED_NORM = (
 # split the engines on a corpus whose duplicate keys differ only in
 # non-representable values (NaN vs Inf — both NULL after the rewrite,
 # distinct raw). Pinned: tests/test_extreme_value_robustness.py.
+# schema_snapshot_report (r14) is the schema-drift detector under the
+# same contract: raw reads, information_schema introspection — the
+# mirrors are value rewrites and must not intervene between it and the
+# physical feed.
 _EVENTS_RAW_ORACLES = frozenset(
     {"key_uniqueness_report", "schema_snapshot_report"}
 )

@@ -78,6 +78,17 @@ ROTATED_IN = {
     # planted-corpus oracle-differential tests every pytest run.
     "schema_snapshot_report",
     "table_column_stats",
+    # Round-14 third pair (6 swaps total, the full ≤6 budget): the
+    # join-key skew census (the salting/AQE-remediation trigger) and
+    # the partition-stats merge rollup go straight in, swapped against
+    # referential_integrity_report (hash-green r9–r13; shares
+    # FK_RELATIONSHIPS + the per-relationship groupBy shape with
+    # join_skew_report, orphan semantics pinned by
+    # test_referential_integrity.py) and zorder_skip_estimate
+    # (hash-green r8–r13; Morton/file-skip machinery pinned by
+    # test_layout.py).
+    "join_skew_report",
+    "partition_stats_rollup",
 }
 # Brand-new oracles registered THIS round may sit in the tail for one
 # round (they are oracle-checked locally every pytest run); the set must
