@@ -202,7 +202,13 @@ def test_key_uniqueness_report_detects_planted_duplicates(spark, dupkey_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["schema_snapshot_report", "table_column_stats"]
+    "name",
+    [
+        "schema_snapshot_report",
+        "table_column_stats",
+        "join_skew_report",
+        "partition_stats_rollup",
+    ],
 )
 def test_census_ops_oracle_green_under_duplicate_keys(
     spark, dupkey_dir, name

@@ -57,6 +57,11 @@ REPS = {
         "dedup_minhash_lsh",
     ],
     "orders": [
+        # r14: the rollup's total row must fold to 0s (COALESCE'd sums)
+        # and NULL min/max on an empty orders; the skew census guards
+        # its ratios with CASE (ANSI x/0 class).
+        "partition_stats_rollup",
+        "join_skew_report",
         "zorder_manifest",
         "zorder_skip_estimate",
         "grouping_sets_orders",

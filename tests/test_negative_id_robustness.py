@@ -66,10 +66,14 @@ QUERIES_UNDER_TEST = [
     "events_sessionized",
     "stream_distinct_users",
     "key_uniqueness_report",
-    # r14: the two census ops count/aggregate raw ids with no hash or
-    # modulus arithmetic — negative ids flow through as plain values.
+    # r14: the census ops count/aggregate raw ids with no hash or
+    # modulus arithmetic — negative ids flow through as plain values
+    # (join_skew's hot-key tiebreak orders SIGNED keys identically on
+    # both engines).
     "table_column_stats",
     "schema_snapshot_report",
+    "join_skew_report",
+    "partition_stats_rollup",
 ]
 
 
