@@ -41,6 +41,9 @@ QUERIES_UNDER_TEST = [
     # l_shipdate / o_orderdate must push down under every encoding.
     "top_supplier_by_revenue",
     "returned_item_report",
+    # r14: month-partition rollup groups on date_trunc(o_orderdate) —
+    # the month key must form identically under every date encoding.
+    "partition_stats_rollup",
 ]
 
 
