@@ -612,39 +612,64 @@ def key_uniqueness_report(
         # probe; its oracle is in registry._RAW_FEED_ORACLES).
         df = load_table(spark, sf_dir, name, raw=True)
         notnull = reduce(and_, [F.col(k).isNotNull() for k in keys])
-        if df.count() <= KEY_CENSUS_EXACT_MAX_ROWS:
+        # Dispatch on the parquet FOOTER row count (identical to
+        # df.count() on a raw load — no filter precedes it), so the
+        # size decision costs a metadata read, not a Spark job per
+        # table (r14: the ten dispatch COUNT jobs were ~40% of this
+        # query's wall). Falls back to df.count() for any layout
+        # pyarrow cannot footer-read.
+        n_meta = _parquet_num_rows(f"{sf_dir}/{name}.parquet")
+        if n_meta is None:
+            n_meta = df.count()
+        if n_meta <= KEY_CENSUS_EXACT_MAX_ROWS:
             nd_cols = [F.struct(*[F.col(c) for c in df.columns])]
         else:
             nd_cols = _content_fingerprint(df)
-        per_key = (
-            df.where(notnull)
-            .groupBy(*keys)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct(*nd_cols).alias("nd"),
-            )
+        # ONE scan per table (r14): NULL-key rows ride the same groupBy
+        # as their own key groups (the join_skew_report shape) instead
+        # of a second totals scan + crossJoin. The aggregate filters
+        # reproduce the old two-frame output EXACTLY, including the
+        # NULL-vs-0 corners the r12 empty-table probe pinned: n_rows /
+        # null_key_rows COALESCE to 0 on a 0-row table (the old COUNT
+        # semantics), while dup_keys / dup_rows / conflict_keys stay
+        # NULL when no non-NULL-key group exists (the old SUM-over-
+        # empty-frame semantics — NULL-skipping sums with no OTHERWISE
+        # branch, so null-key groups contribute nothing rather than 0).
+        per_key = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*nd_cols).alias("nd"),
         )
+        grp_notnull = reduce(and_, [F.col(k).isNotNull() for k in keys])
         key_stats = per_key.agg(
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.when(~grp_notnull, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("null_key_rows"),
+            F.count(F.when(grp_notnull, F.lit(1)))
+            .cast("long")
+            .alias("n_keys"),
+            F.sum(
+                F.when(
+                    grp_notnull,
+                    F.when(F.col("n") > 1, 1).otherwise(0),
+                )
+            )
             .cast("long")
             .alias("dup_keys"),
-            F.sum(F.col("n") - 1).cast("long").alias("dup_rows"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            F.sum(F.when(grp_notnull, F.col("n") - 1))
+            .cast("long")
+            .alias("dup_rows"),
+            F.sum(
+                F.when(
+                    grp_notnull,
+                    F.when(F.col("nd") > 1, 1).otherwise(0),
+                )
+            )
             .cast("long")
             .alias("conflict_keys"),
         )
-        totals = df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            # COUNT (never NULL), not SUM: on a 0-row table the oracle's
-            # COUNT(*) WHERE NOT(...) is 0 while a SUM would go NULL —
-            # r12 empty-table probe.
-            F.count(F.when(~notnull, F.lit(1)))
-            .cast("long")
-            .alias("null_key_rows"),
-        )
         parts.append(
-            totals.crossJoin(key_stats).select(
+            key_stats.select(
                 F.lit(name).alias("table_name"),
                 "n_rows",
                 "null_key_rows",
@@ -658,3 +683,25 @@ def key_uniqueness_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _parquet_num_rows(path: str):
+    """Footer-metadata row count of a parquet file or a Spark-written
+    parquet directory; None when the layout cannot be footer-read (the
+    caller falls back to a Spark COUNT job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, f)
+                    ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — fall back to the exact Spark count
+        return None

@@ -2140,7 +2140,11 @@ _ANN_LEGACY_DIR_RE = re.compile(r"^[0-9a-f]{32}_\d+$")
 # (codes_delta_0001/0002 split at the second watermark) — a LAYOUT
 # change; _ann_max_vec_id/_ann_stack_watermark2/_ann_segment_bounds
 # join the surface (they define segment boundaries = artifact content).
-_ANN_TRAINER_REV = 4
+# rev 5 (r14 optimization): _ensure_ann_delta encodes the missing
+# segment stack in ONE pass and writes segments as row-local vec_id
+# filters of it — content-identical (encoding is row-local; filtering
+# commutes), bumped per the mechanical discipline (the rev-2 precedent).
+_ANN_TRAINER_REV = 5
 
 # Every function whose LOGIC determines persisted-artifact CONTENT or
 # layout (training, encoding, the base/delta split, the directory
@@ -2451,9 +2455,12 @@ def _ensure_ann_delta(
     pair-level oracle is unchanged."""
     bounds = _ann_segment_bounds(spark, sf_dir)
     dirs = [os.path.join(art, name) for name, _, _ in bounds]
-    if all(
-        os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs
-    ):
+    missing = [
+        (b, d)
+        for b, d in zip(bounds, dirs)
+        if not os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if not missing:
         return dirs
     dim = _corpus_dim(spark, sf_dir) or PQ_M
     sub = dim // PQ_M
@@ -2467,21 +2474,35 @@ def _ensure_ann_delta(
         if cent_rows and sub > 0
         else None
     )
-    emb_all = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    for (name, lo, hi), seg_dir in zip(bounds, dirs):
-        if os.path.exists(os.path.join(seg_dir, "_SUCCESS")):
-            continue
+
+    def _rng(lo, hi) -> F.Column:
         if lo is None:
-            emb = emb_all.where(F.lit(False))
-        else:
-            rng = F.col("vec_id") > lo
-            if hi is not None:
-                rng = rng & (F.col("vec_id") <= hi)
-            emb = emb_all.where(rng)
-        if cb is not None:
-            seg = _ann_encode_codes(
-                _ann_cell_subspaces(emb, cent_rows, sub), cb
-            )
+            return F.lit(False)
+        r = F.col("vec_id") > lo
+        if hi is not None:
+            r = r & (F.col("vec_id") <= hi)
+        return r
+
+    encoded = None
+    if cb is not None:
+        # ONE encode pass for the whole missing stack (r14): encoding is
+        # a row-local function of the trained tables, so per-segment
+        # encodes were the same subtree executed once per segment. The
+        # union-range encode runs once; each segment is a row-local
+        # vec_id filter of it. localCheckpoint pins the shared frame to
+        # one execution when more than one segment consumes it (the
+        # dedup_simhash rule: checkpoint only when consumers would
+        # re-execute an expensive subtree); |delta| rows materialize.
+        union_rng = _rng(*_stack_union_bounds(bounds, missing))
+        emb_all = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+        encoded = _ann_encode_codes(
+            _ann_cell_subspaces(emb_all.where(union_rng), cent_rows, sub), cb
+        )
+        if len(missing) > 1:
+            encoded = encoded.localCheckpoint(eager=False)
+    for (name, lo, hi), seg_dir in missing:
+        if encoded is not None:
+            seg = encoded.where(_rng(lo, hi))
         else:  # degenerate base (no trained cells): nothing can encode
             seg = spark.createDataFrame([], _ANN_CODES_SCHEMA)
         tmp = f"{seg_dir}.tmp-{os.getpid()}"
@@ -2495,6 +2516,16 @@ def _ensure_ann_delta(
         shutil.rmtree(seg_dir, True)
         os.rename(tmp, seg_dir)
     return dirs
+
+
+def _stack_union_bounds(bounds, missing) -> tuple:
+    """(lo, hi) covering exactly the MISSING segments' ranges. Segments
+    are contiguous in stack order, so the union of any subset that needs
+    encoding is one interval: lo = first missing segment's lo, hi = last
+    missing segment's hi (None = open)."""
+    lo = missing[0][0][1]
+    hi = missing[-1][0][2]
+    return lo, hi
 
 
 def ann_index_append(

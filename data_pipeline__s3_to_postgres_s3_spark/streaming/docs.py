@@ -60,7 +60,7 @@ from ..operators.dedup import (
     MINHASH_PRIME,
     _shingle_arrays,
 )
-from .events import run_to_memory
+from .events import run_to_memory, state_parts
 
 # Emit co-bucket pairs whose signature agreement is at least this — the
 # half-agreement floor keeps band-collision noise out of the sink while
@@ -281,7 +281,14 @@ def stream_minhash_dedup(
     # doc) far exceeds cores, so the right cap is the core count — and
     # overshooting it pays a Python worker round-trip per empty partition
     # per micro-batch (the 64 collapse).
-    sink = run_to_memory(pairs, "append", state_partitions=32)
+    # Scale-adaptive (r14): min(32, cores) — the r6 A/B's "cap at the
+    # core count" rule expressed against the session's actual core
+    # grant instead of the local[32] constant (the driver re-benches at
+    # a lower core count; overshooting cores pays a Python round-trip
+    # per empty partition per micro-batch).
+    sink = run_to_memory(
+        pairs, "append", state_partitions=state_parts(spark, 32)
+    )
     est = F.col("n_match").cast("double") / MINHASH_PERMS
     return (
         sink.select("doc_a", "doc_b", est.alias("est_sim"))
@@ -353,4 +360,6 @@ def stream_heavy_hitters(
     # 4096-key aggregation, JVM-native: state partitions sized well under
     # the key space but over the core count is pointless — 8 keeps the
     # state-store shuffle tiny (run_to_memory restores the session conf).
-    return run_to_memory(cells, "complete", state_partitions=8)
+    return run_to_memory(
+        cells, "complete", state_partitions=state_parts(spark, 8)
+    )

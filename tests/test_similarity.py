@@ -1139,6 +1139,9 @@ def test_trainer_source_change_requires_rev_bump():
         # split at the APPEND_WM2_FRAC watermark; bounds helpers join
         # the surface.
         4: "493794b590de7c9fe5f70018033d08cb",
+        # rev 5 (r14 optimization): _ensure_ann_delta single-pass stack
+        # encode (content-identical refactor; write shape unchanged).
+        5: "3d48ffba53693a0f0d17afd6051d4c7c",
     }
     assert sim._ANN_TRAINER_REV in PINNED and (
         PINNED[sim._ANN_TRAINER_REV] == digest
