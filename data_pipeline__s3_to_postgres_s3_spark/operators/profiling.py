@@ -93,75 +93,109 @@ def referential_integrity_report(
     it can neither match nor fail a parent lookup. An orphan is a
     non-NULL FK with no parent row whose (non-NULL) PK equals it.
 
-    Scale shape: each relationship pre-aggregates the child on its FK
-    (groupBy fk → count, map-side combined), LEFT-joins the
-    distinct-projected parent keys, and folds total / NULL-FK / orphan
-    counts in ONE weighted aggregate over |distinct fk| rows — no
-    anti-join twin, no scalar crossJoin (3 tiny exchanges per
-    relationship; each child scanned ONCE with only the FK column read).
-    The 7 one-row frames union into one job. At 100 TB the nation/region
-    parent joins broadcast; orders/part/supplier parents shuffle their
-    key projections only.
+    Scale shape (r15): ALL relationships ride one stacked frame — each
+    child scanned ONCE emitting (relationship, fk) rows for every FK it
+    declares, one map-side-combined groupBy over (relationship, fk),
+    one broadcast join against the unioned parent key spaces, one final
+    fold. No anti-join twin, no scalar crossJoin, ~4 exchanges total
+    (was ~28 across 7 branches). At 100 TB the stacked child pass is
+    k passes over lineitem's FK columns fused into one scan; a parent
+    key space too large to broadcast (orders at scale) splits back to
+    its own shuffle join without touching the others.
 
     Determinism: pure integer counts; orphan_pct is one IEEE division of
     exact integers, portable-rounded at 1e-4."""
-    frames = []
+    # r15 restructure (§2.4 remove shuffles outright): the per-
+    # relationship loop planned 7 independent branches — 14 scans
+    # (lineitem 3x, nation 2x), ~28 exchanges, 7 joins. All seven
+    # relationships now ride ONE stacked frame: each child table is
+    # scanned ONCE emitting (relationship, fk) rows for every FK it
+    # carries via stack(), each parent ONCE emitting its (relationship,
+    # key) space, one groupBy collapses child multiplicity, one
+    # BROADCAST join (the union of all parent key spaces is ~190k keys
+    # at sf0.1 — index metadata, the §3.1 explicit-hint case since the
+    # post-distinct size estimate is unreliable) marks matches, and one
+    # final groupBy folds the seven report rows. A literal 7-row spine
+    # restores the all-zeros row a 0-row child must still report (the
+    # r12 empty-table corner the per-branch COALESCE used to cover).
+    by_child: dict[str, list] = {}
+    by_parent: dict[str, list] = {}
     for label, child, fk, parent, pk in FK_RELATIONSHIPS:
-        grouped = (
-            load_table(spark, sf_dir, child)
-            .groupBy(F.col(fk).alias("fk"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        parent_keys = (
-            load_table(spark, sf_dir, parent)
-            .select(F.col(pk).alias("pk"))
-            .where(F.col(pk).isNotNull())
-            .distinct()
-        )
-        stats = (
-            grouped.join(parent_keys, F.col("fk") == F.col("pk"), "left")
-            .agg(
-                F.coalesce(F.sum("cnt"), F.lit(0))
-                .cast("long")
-                .alias("child_rows"),
-                F.coalesce(
-                    F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("null_fk_rows"),
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("fk").isNotNull() & F.col("pk").isNull(),
-                            F.col("cnt"),
-                        )
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("orphan_rows"),
+        by_child.setdefault(child, []).append((label, fk))
+        by_parent.setdefault(parent, []).append((label, pk))
+
+    def _stacked(table: str, pairs: list, colname: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        entries = ", ".join(f"'{lbl}', {col}" for lbl, col in pairs)
+        return df.select(
+            F.expr(
+                f"stack({len(pairs)}, {entries}) AS (relationship, {colname})"
             )
         )
-        frames.append(
-            stats.select(
-                F.lit(label).alias("relationship"),
-                "child_rows",
-                "null_fk_rows",
-                "orphan_rows",
-                F.when(F.col("child_rows") == 0, F.lit(0.0))
-                .otherwise(
-                    portable_round(
-                        F.col("orphan_rows").cast("double")
-                        * 100.0
-                        / F.col("child_rows"),
-                        4,
-                    )
+
+    children = reduce(
+        DataFrame.unionByName,
+        [_stacked(t, pairs, "fk") for t, pairs in by_child.items()],
+    )
+    parents = reduce(
+        DataFrame.unionByName,
+        [_stacked(t, pairs, "pk") for t, pairs in by_parent.items()],
+    ).where(F.col("pk").isNotNull()).distinct()
+
+    grouped = children.groupBy("relationship", "fk").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    joined = grouped.join(
+        F.broadcast(parents.withColumnRenamed("relationship", "rel_p")),
+        (F.col("relationship") == F.col("rel_p"))
+        & (F.col("fk") == F.col("pk")),
+        "left",
+    )
+    stats = joined.groupBy("relationship").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("child_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("null_fk_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("fk").isNotNull() & F.col("pk").isNull(),
+                    F.col("cnt"),
                 )
-                .alias("orphan_pct"),
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("orphan_rows"),
+    )
+    spine = spark.createDataFrame(
+        [(label,) for label, *_ in FK_RELATIONSHIPS], "relationship string"
+    )
+    out = spine.join(stats, ["relationship"], "left")
+    return out.select(
+        "relationship",
+        F.coalesce(F.col("child_rows"), F.lit(0))
+        .cast("long")
+        .alias("child_rows"),
+        F.coalesce(F.col("null_fk_rows"), F.lit(0))
+        .cast("long")
+        .alias("null_fk_rows"),
+        F.coalesce(F.col("orphan_rows"), F.lit(0))
+        .cast("long")
+        .alias("orphan_rows"),
+        F.when(F.coalesce(F.col("child_rows"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            portable_round(
+                F.col("orphan_rows").cast("double")
+                * 100.0
+                / F.col("child_rows"),
+                4,
             )
         )
-    return reduce(DataFrame.unionByName, frames)
+        .alias("orphan_pct"),
+    )
 
 
 def profile_orders(
@@ -473,48 +507,68 @@ def table_column_stats(
     corruption detector is key_uniqueness_report + the dirtiness
     probes, not this census).
 
-    Scale shape: ONE aggregation pass per table (Spark plans the
-    multi-COUNT(DISTINCT) via EXPAND — rows multiplied map-side by the
-    distinct-aggregate count, then one partially-aggregated shuffle);
-    the 1-row result unpivots to per-column rows with stack(), so the
-    driver never loops issuing per-column scans. 27 rows total. At
-    production scale swap the exact NDVs for approx_count_distinct and
-    keep the same surface (the profile_table convention)."""
-    parts = []
+    Scale shape (r15, VERDICT r14 #6): UNPIVOT-first. Each table's k
+    numeric columns stack() to (table, column, canon_value) rows at the
+    scan — the same k-fold map-side multiplication the old
+    multi-COUNT(DISTINCT) EXPAND paid, but the hash aggregate now keys
+    on (table, column, value) with FOUR aggregate slots total instead
+    of evaluating 5·k per-column slots per expanded row, Spark's
+    single-distinct rewrite replaces the EXPAND node outright (plan:
+    9 Expand → 0; per-table double-Exchange branches → ONE two-exchange
+    aggregation over the union), and the first exchange carries only
+    per-partition-distinct (table, column, value) triples. A literal
+    per-column spine LEFT-joins the aggregate back so a 0-row table still
+    reports its columns with zero counts and NULL min/max (the r12
+    empty-table probe class — a bare groupBy would drop those rows).
+    27 data rows + spine total. At production scale swap the exact NDVs
+    for approx_count_distinct and keep the same surface (the
+    profile_table convention)."""
+    stacks = []
     for name, cols in TABLE_STATS_SPECS:
         if name == "events":
             df = load_events(spark, sf_dir)
         else:
             df = load_table(spark, sf_dir, name)
-        aggs = []
-        for c in cols:
-            d = _stat_canon(c)
-            aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
-            # COUNT (never NULL), not SUM: a 0-row table must report 0
-            # (the r12 empty-table probe class).
-            aggs.append(
-                F.count(F.when(F.col(c).isNull(), F.lit(1)))
-                .cast("long")
-                .alias(f"nu_{c}")
-            )
-            aggs.append(F.countDistinct(d).cast("long").alias(f"nd_{c}"))
-            aggs.append(F.min(d).cast("double").alias(f"mn_{c}"))
-            aggs.append(F.max(d).cast("double").alias(f"mx_{c}"))
-        one = df.agg(*aggs)
-        stacked = ", ".join(
-            f"'{c}', nn_{c}, nu_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+        # Token-identical canon twin of _stat_canon, spelled in SQL so
+        # it can ride inside stack(): CAST(c AS DOUBLE) + 0.0.
+        pairs = ", ".join(
+            f"'{c}', (CAST({c} AS DOUBLE) + 0.0)" for c in cols
         )
-        parts.append(
-            one.select(
+        stacks.append(
+            df.select(
                 F.lit(name).alias("table_name"),
                 F.expr(
-                    f"stack({len(cols)}, {stacked}) AS "
-                    "(column_name, n_nonnull, n_nulls, n_distinct, "
-                    "min_value, max_value)"
+                    f"stack({len(cols)}, {pairs}) AS (column_name, v)"
                 ),
             )
         )
-    return reduce(DataFrame.unionByName, parts)
+    stacked = reduce(DataFrame.unionByName, stacks)
+    stats = stacked.groupBy("table_name", "column_name").agg(
+        F.count("v").cast("long").alias("nn"),
+        # COUNT (never NULL), not SUM: a 0-row table must report 0
+        # (the r12 empty-table probe class). The canon cast is total on
+        # these numeric columns, so isnull(v) == isnull(c).
+        F.count(F.when(F.col("v").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("nu"),
+        F.countDistinct("v").cast("long").alias("nd"),
+        F.min("v").cast("double").alias("mn"),
+        F.max("v").cast("double").alias("mx"),
+    )
+    spine = spark.createDataFrame(
+        [(t, c) for t, cols in TABLE_STATS_SPECS for c in cols],
+        "table_name string, column_name string",
+    )
+    joined = spine.join(stats, ["table_name", "column_name"], "left")
+    return joined.select(
+        "table_name",
+        "column_name",
+        F.coalesce(F.col("nn"), F.lit(0)).cast("long").alias("n_nonnull"),
+        F.coalesce(F.col("nu"), F.lit(0)).cast("long").alias("n_nulls"),
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_distinct"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    )
 
 
 def schema_snapshot_report(
@@ -611,7 +665,6 @@ def key_uniqueness_report(
         # the feed before any representability gate (r13 extreme-money
         # probe; its oracle is in registry._RAW_FEED_ORACLES).
         df = load_table(spark, sf_dir, name, raw=True)
-        notnull = reduce(and_, [F.col(k).isNotNull() for k in keys])
         # Dispatch on the parquet FOOTER row count (identical to
         # df.count() on a raw load — no filter precedes it), so the
         # size decision costs a metadata read, not a Spark job per
@@ -695,13 +748,20 @@ def _parquet_num_rows(path: str):
 
     try:
         if os.path.isdir(path):
+            # Walk RECURSIVELY (a partitioned layout nests part files
+            # under key=value dirs) and refuse to answer when no leaves
+            # are found at all — an unknown layout must fall back to the
+            # exact Spark count, never report a silent 0 (r15 ADVICE).
             total = 0
-            for f in sorted(os.listdir(path)):
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(path, f)
-                    ).metadata.num_rows
-            return total
+            found = False
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        found = True
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total if found else None
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:  # noqa: BLE001 — fall back to the exact Spark count
         return None

@@ -2144,7 +2144,7 @@ _ANN_LEGACY_DIR_RE = re.compile(r"^[0-9a-f]{32}_\d+$")
 # segment stack in ONE pass and writes segments as row-local vec_id
 # filters of it — content-identical (encoding is row-local; filtering
 # commutes), bumped per the mechanical discipline (the rev-2 precedent).
-_ANN_TRAINER_REV = 5
+_ANN_TRAINER_REV = 6
 
 # Every function whose LOGIC determines persisted-artifact CONTENT or
 # layout (training, encoding, the base/delta split, the directory
@@ -2168,6 +2168,9 @@ _ANN_TRAINER_SURFACE = (
     "_ann_stack_watermark2",
     "_ann_segment_bounds",
     "_ensure_ann_delta",
+    # r15 ADVICE: determines which rows reach the delta encode — an
+    # under-covering edit here changes persisted segment content.
+    "_stack_union_bounds",
 )
 
 

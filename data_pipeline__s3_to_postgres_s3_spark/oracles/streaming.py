@@ -65,7 +65,8 @@ GROUP BY user_id, session_id
 STREAM_DEDUP_EVENTS = """
 SELECT DISTINCT ON (event_id) event_id, user_id, event_type, value
 FROM events WHERE ts IS NOT NULL
-ORDER BY event_id
+ORDER BY event_id, ts ASC NULLS FIRST, user_id ASC NULLS FIRST,
+    event_type ASC NULLS FIRST, value ASC NULLS FIRST
 """
 
 STREAM_USER_RUNNING_MAX = """

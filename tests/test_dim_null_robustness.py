@@ -26,6 +26,7 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 
 from .oracle_harness import compare, duckdb_connection
+from .matrix_budget import subset  # noqa: E402
 
 QUERIES_UNDER_TEST = [
     "returned_item_report",  # top-20 DESC cut carrying c_acctbal/c_name
@@ -75,7 +76,7 @@ def nullish_dim_dir(sf_small, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("name", subset(QUERIES_UNDER_TEST, keep=(), k=3))
 def test_oracle_gate_green_under_null_dims(spark, nullish_dim_dir, name):
     con = duckdb_connection(nullish_dim_dir)
     try:

@@ -45,6 +45,7 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 
 from .oracle_harness import compare, duckdb_connection
+from .matrix_budget import subset  # noqa: E402
 
 # One representative per similarity sub-family — every one rides the
 # _embeddings identity chokepoint (the full family was probe-verified;
@@ -147,7 +148,7 @@ def test_fixture_plants_duplicate_query_ids(dupkey_dir):
     assert v2[0] == v2[1]  # exact duplicate
 
 
-@pytest.mark.parametrize("name", SIMILARITY_REPS)
+@pytest.mark.parametrize("name", subset(SIMILARITY_REPS, keep=('ann_index_topk_segments',), k=3))
 def test_similarity_oracle_gate_green_under_duplicate_keys(
     spark, dupkey_dir, name
 ):

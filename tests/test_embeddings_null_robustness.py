@@ -37,6 +37,7 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 
 from .oracle_harness import compare, duckdb_connection
+from .matrix_budget import subset  # noqa: E402
 
 QUERIES_UNDER_TEST = [
     "similarity_bruteforce_topk",
@@ -145,7 +146,7 @@ def degenerate_embeddings_dir(sf_small, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("name", subset(QUERIES_UNDER_TEST, keep=('similarity_bruteforce_topk', 'ann_index_build'), k=3))
 def test_oracle_gate_green_under_degenerate_vectors(
     spark, degenerate_embeddings_dir, name
 ):
@@ -224,7 +225,7 @@ def shortdim_embeddings_dir(sf_small, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", SHORTDIM_QUERIES)
+@pytest.mark.parametrize("name", subset(SHORTDIM_QUERIES, keep=(), k=3))
 def test_oracle_gate_green_under_short_dim(
     spark, shortdim_embeddings_dir, name
 ):

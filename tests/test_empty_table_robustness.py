@@ -119,6 +119,24 @@ REPS = {
 
 CASES = [(v, name) for v, names in REPS.items() for name in names]
 
+# Suite budget (r15): the ANN/similarity reps retrain artifact + DuckDB
+# oracle per variant (tens of seconds each). Default keeps the lifecycle
+# chokepoints (the reps whose fix-classes r12 actually caught) plus a
+# stride; SPARK_GRAFT_FULL_MATRIX=1 runs all 53.
+from .matrix_budget import subset  # noqa: E402
+
+CASES_RUN = subset(
+    CASES,
+    k=3,
+    keep=[
+        ("embeddings", "ann_index_build"),
+        ("embeddings_invalid", "ann_index_build"),
+        ("lineitem", "table_column_stats"),
+        ("orders", "partition_stats_rollup"),
+        ("events", "stream_distinct_users"),
+    ],
+)
+
 
 def _build_variant(sf_small: str, d: str, variant: str) -> None:
     table = variant.removesuffix("_invalid")
@@ -165,7 +183,7 @@ def empty_variant_dirs(sf_small, tmp_path_factory):
     return dirs
 
 
-@pytest.mark.parametrize("variant,name", CASES)
+@pytest.mark.parametrize("variant,name", CASES_RUN)
 def test_oracle_gate_green_under_empty_tables(
     spark, empty_variant_dirs, variant, name
 ):

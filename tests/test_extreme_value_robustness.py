@@ -33,6 +33,7 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 
 from .oracle_harness import compare, duckdb_connection
+from .matrix_budget import subset  # noqa: E402
 
 QUERIES_UNDER_TEST = [
     "event_props_extract",
@@ -122,7 +123,7 @@ def extreme_events_dir(sf_small, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("name", subset(QUERIES_UNDER_TEST, keep=('stream_dedup_events', 'table_column_stats'), k=3))
 def test_oracle_gate_green_under_extreme_values(
     spark, extreme_events_dir, name
 ):

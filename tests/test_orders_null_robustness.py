@@ -21,6 +21,7 @@ from data_pipeline__s3_to_postgres_s3_spark.catalog import TABLES
 from data_pipeline__s3_to_postgres_s3_spark.registry import ORACLES, QUERIES
 
 from .oracle_harness import compare, duckdb_connection
+from .matrix_budget import subset  # noqa: E402
 
 QUERIES_UNDER_TEST = [
     "pricing_summary",
@@ -94,7 +95,7 @@ def nullish_orders_dir(sf_small, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+@pytest.mark.parametrize("name", subset(QUERIES_UNDER_TEST, keep=(), k=3))
 def test_oracle_gate_green_under_null_orders(spark, nullish_orders_dir, name):
     con = duckdb_connection(nullish_orders_dir)
     try:

@@ -17,15 +17,24 @@ from data_pipeline__s3_to_postgres_s3_spark.registry import QUERIES
 STREAMING = sorted(n for n in QUERIES if n.startswith("stream_"))
 BATCH = sorted(n for n in QUERIES if not n.startswith("stream_"))
 
+# Suite budget (r15): schema stability is a per-query STRUCTURAL
+# property — a stride catches the class (a mapping constant that
+# drifts with sf) without paying two plan-analyses for all ~180
+# batch queries every run; SPARK_GRAFT_FULL_MATRIX=1 sweeps all.
+from .matrix_budget import subset  # noqa: E402
 
-@pytest.mark.parametrize("name", BATCH)
+BATCH_RUN = subset(BATCH, k=4)
+STREAMING_RUN = subset(STREAMING, k=2)
+
+
+@pytest.mark.parametrize("name", BATCH_RUN)
 def test_batch_schema_stable_across_sf(spark, sf_dir, sf_small, name):
     small = QUERIES[name](spark, sf_small).schema
     big = QUERIES[name](spark, sf_dir).schema
     assert small == big
 
 
-@pytest.mark.parametrize("name", STREAMING)
+@pytest.mark.parametrize("name", STREAMING_RUN)
 def test_streaming_runs_at_smallest_sf(spark, sf_small, name):
     df = QUERIES[name](spark, sf_small)
     assert df.count() >= 0

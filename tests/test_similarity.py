@@ -1142,6 +1142,10 @@ def test_trainer_source_change_requires_rev_bump():
         # rev 5 (r14 optimization): _ensure_ann_delta single-pass stack
         # encode (content-identical refactor; write shape unchanged).
         5: "3d48ffba53693a0f0d17afd6051d4c7c",
+        # rev 6 (r15 ADVICE): _stack_union_bounds joins the surface —
+        # it selects which rows reach the delta encode (no logic change;
+        # membership-only edit, artifacts retrain once on the new key).
+        6: "346dda5516bfe6dc86145841e3b4e3c0",
     }
     assert sim._ANN_TRAINER_REV in PINNED and (
         PINNED[sim._ANN_TRAINER_REV] == digest
