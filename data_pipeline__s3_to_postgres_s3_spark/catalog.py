@@ -138,6 +138,52 @@ def load_table(
     return df
 
 
+def scan_spread(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    min_bytes: int = 0,
+) -> DataFrame:
+    """Round-robin repartition a SMALL single-split scan to the core
+    grant — the guide-§2.5 'unsplittable input' remedy, applied only
+    where the downstream map work is CPU-heavy (interpreted
+    higher-order-function array kernels, wide unpivots): the sf corpora
+    are single-row-group parquet files, so a scan is ONE task at any
+    core count and map-heavy operators serialize on it (measured r15:
+    char_ngram_diversity 3.8 s and the table_column_stats pre-aggregate
+    6-8 s in one task at local[32]).
+
+    Scale-adaptive gate, not a local[32] tune: the repartition fires only
+    when the file is smaller than one 128 MB input split (i.e. the scan
+    CANNOT parallelize) AND the session has more than one core. At
+    production scale the file set exceeds the split size, the gate is
+    false, and the plan is untouched. Round-robin repartition is
+    deterministic under retries (sortBeforeRepartition, SPARK-23207) and
+    row-set-preserving, so any aggregation/per-row operator above it is
+    unaffected. ``min_bytes`` lets a caller skip feeds too small to be
+    worth one-task-per-core scheduling (the census spreads only >=1 MB
+    tables); CPU-dense per-row kernels (char-trigram RLE) pass 0."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            bytes_ = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            bytes_ = os.path.getsize(path)
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if cores > 1 and min_bytes <= bytes_ < 128 * 1024 * 1024:
+        return df.repartition(cores)
+    return df
+
+
 def _normalize_decimals(df: DataFrame) -> DataFrame:
     """Cast any DECIMAL column to DOUBLE at load (a no-op on today's
     all-double testdata).

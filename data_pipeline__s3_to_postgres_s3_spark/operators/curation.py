@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_events, load_table
+from ..catalog import load_events, load_table, scan_spread
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .dedup import _shingle_arrays
 from .sampling import SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO, split_hash
@@ -584,7 +584,9 @@ def gopher_repetition(
     bigint key) up to one IEEE division per ratio, bit-identical in the
     oracle (which keeps the simpler distinct-formulation — different
     algorithm, same exact counts)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     staged = docs.select(
         "doc_id",
         F.split(F.col("text"), "[ \\t\\n\\r\\f]+").alias("ws"),
@@ -1009,9 +1011,9 @@ def cross_source_neardups(
     set is tiny relative to the corpus, so at scale these are
     AQE-broadcast of the PAIRS against the id→source projection, and the
     source inequality prunes last (cheap, non-selective-safe)."""
-    from .dedup import dedup_minhash_lsh
+    from .graph import _minhash_pairs
 
-    pairs = dedup_minhash_lsh(spark, sf_dir, cfg)
+    pairs = _minhash_pairs(spark, sf_dir, cfg)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         pairs.join(
@@ -1098,7 +1100,7 @@ def split_leakage_report(
     surfaces can never drift from their standalone queries. Unlike the
     source axis, the split is PURE doc_id arithmetic, so no join at all:
     two column expressions over the (tiny) verified pair set."""
-    from .dedup import dedup_minhash_lsh
+    from .graph import _minhash_pairs
     from .sampling import SPLIT_BUCKETS, TRAIN_UPTO, VAL_UPTO, split_hash
 
     def split_of(col: str) -> F.Column:
@@ -1109,7 +1111,7 @@ def split_leakage_report(
             .otherwise("test")
         )
 
-    pairs = dedup_minhash_lsh(spark, sf_dir, cfg)
+    pairs = _minhash_pairs(spark, sf_dir, cfg)
     return (
         pairs.select(
             "doc_a",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scan_spread
 from ..config import DEFAULT_CONFIG, EngineConfig
 
 NGRAM_N = 3
@@ -108,7 +108,9 @@ def dedup_ngram_jaccard(
     nodes in precisely the degenerate corpora the metric exists to
     expose). The DuckDB oracle applies the identical cap, so results stay
     hash-green whenever it binds."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     return _ngram_pair_jaccard(docs, df_cap).where(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -210,7 +212,9 @@ def dedup_jaccard_prefix(
     distributions) — exactly where the capped index must start dropping
     postings to survive. Keep both: inverted index for small/clean,
     prefix filter for scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     # The shingle frame feeds FOUR consumers (df census, prefix n-join, and
     # both verify sides): static exchange reuse does not fire across
     # join/explode branches (CLAUDE.md, the dedup_simhash lesson), so
@@ -344,7 +348,9 @@ def dedup_containment(
 
     containment = n_inter/n_inner is a single int/int IEEE division —
     deterministic across engines (CLAUDE.md float rule)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     arrays = _shingle_arrays(docs)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     counts = arrays.select(
@@ -974,7 +980,9 @@ def exact_span_dedup(
     synthetic-corpus tests (chunk_documents/line_dedup precedent)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     staged = docs.select("doc_id", F.split("text", " ").alias("ws"))
     k = SPAN_GRAM_TOKENS
     cat = ", ' ', ".join(f"element_at(ws, i + {j})" for j in range(k))

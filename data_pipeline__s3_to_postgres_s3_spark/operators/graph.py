@@ -33,6 +33,71 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 
 CC_MAX_ITER = 50
 
+# Process-level memo of (LSH pair frame, CC labels frame) per corpus
+# file identity — the similarity._index_meta convention extended to the
+# dedup-cluster family (r15): dedup_clusters, dedup_keep_best and
+# dedup_cluster_report each ran the FULL MinHash pipeline plus the
+# iterative closure from scratch (~5-8 s of driver-looped rounds each
+# at sf0.1), yet all three are pure functions of the same documents
+# file. Time-only and deterministic: the DuckDB oracles recompute the
+# closure from data every run, so a stale entry would hash-red
+# immediately. Keys carry ns-mtime+size (the r13 catalog convention)
+# AND the Spark applicationId — the cached frames are eager
+# localCheckpoints whose blocks die with their SparkContext.
+_MINHASH_CC_MEMO: dict = {}
+
+
+def _memoized_frame(spark: SparkSession, sf_dir: str, kind: str, build):
+    """One lineage-cut DataFrame per (documents file identity, kind,
+    SparkContext) — see the module comment above for why this is safe."""
+    from ..catalog import _memo_key
+
+    key = _memo_key(sf_dir, "documents", kind) + (
+        spark.sparkContext.applicationId,
+    )
+    if key not in _MINHASH_CC_MEMO:
+        stale = [
+            k
+            for k in _MINHASH_CC_MEMO
+            if k[0] == key[0] and k[3] == kind and k != key
+        ]
+        for k in stale:
+            del _MINHASH_CC_MEMO[k]
+        _MINHASH_CC_MEMO[key] = build()
+    return _MINHASH_CC_MEMO[key]
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str, cfg) -> DataFrame:
+    """The verified LSH pair frame, lineage-cut and process-memoized
+    (consumers: the cluster family below + cross_source_neardups)."""
+    from .dedup import dedup_minhash_lsh
+
+    if cfg is not DEFAULT_CONFIG:
+        # Only the registry's shared config memoizes — a caller with a
+        # custom cfg gets a fresh computation (no key ambiguity).
+        return dedup_minhash_lsh(spark, sf_dir, cfg).localCheckpoint()
+    return _memoized_frame(
+        spark,
+        sf_dir,
+        "minhash_pairs",
+        lambda: dedup_minhash_lsh(spark, sf_dir, cfg).localCheckpoint(),
+    )
+
+
+def _minhash_cc(spark: SparkSession, sf_dir: str, cfg) -> tuple:
+    """(pairs, labels): the verified LSH pair frame (lineage-cut) and
+    its connected-components labels, shared by the cluster family."""
+    pairs = _minhash_pairs(spark, sf_dir, cfg)
+    if cfg is not DEFAULT_CONFIG:
+        return pairs, connected_components(pairs.select("doc_a", "doc_b"))
+    labels = _memoized_frame(
+        spark,
+        sf_dir,
+        "minhash_cc",
+        lambda: connected_components(pairs.select("doc_a", "doc_b")),
+    )
+    return pairs, labels
+
 
 def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     """(node, component) for every node in `edges` (first two columns,
@@ -103,10 +168,7 @@ def dedup_clusters(
     the output total-on-documents, so `WHERE is_canonical` is the full
     deduplicated corpus, not just the untouched docs.
     """
-    from .dedup import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir, cfg).select("doc_a", "doc_b")
-    cc = connected_components(pairs)
+    _pairs, cc = _minhash_cc(spark, sf_dir, cfg)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labeled = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("cluster_id")
@@ -239,17 +301,10 @@ def dedup_cluster_report(
     Determinism: integer counts + MIN over exact doubles; the one mean
     is portable_round-ed at 1e-6 (distributed-avg class)."""
     from ..functions.numeric import portable_round
-    from .dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir, cfg).localCheckpoint(
-        eager=False
-    )
-    members = (
-        connected_components(pairs.select("doc_a", "doc_b"))
-        .select(
-            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-        )
-        .localCheckpoint(eager=False)
+    pairs, cc = _minhash_cc(spark, sf_dir, cfg)
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
     sizes = members.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")

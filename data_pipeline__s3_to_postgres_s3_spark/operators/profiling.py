@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import TABLES, load_events, load_table
+from ..catalog import TABLES, load_events, load_table, scan_spread
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.numeric import cents, portable_round
 
@@ -529,6 +529,12 @@ def table_column_stats(
             df = load_events(spark, sf_dir)
         else:
             df = load_table(spark, sf_dir, name)
+        # Single-row-group sf files scan as ONE task; the stacked
+        # pre-aggregate is the census's whole cost (6-8 s serialized at
+        # local[32], measured r15) — spread the >=1 MB feeds across the
+        # core grant before the unpivot (catalog.scan_spread; a no-op
+        # at production split counts).
+        df = scan_spread(spark, df, sf_dir, name, min_bytes=1 << 20)
         # Token-identical canon twin of _stat_canon, spelled in SQL so
         # it can ride inside stack(): CAST(c AS DOUBLE) + 0.0.
         pairs = ", ".join(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scan_spread
 from ..config import DEFAULT_CONFIG, EngineConfig
 
 # Shared with oracles/llmops.py — keep in lockstep.
@@ -158,7 +158,9 @@ def winnow_fingerprints(
     The fingerprint table is what joins against a corpus index for
     plagiarism/near-dup lookup at scale — selectivity is tuned by w,
     independent of doc length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n_grams = f"greatest(size(t) - {WINNOW_K - 1}, 0)"
     grams = F.expr(
@@ -460,6 +462,10 @@ def char_ngram_diversity(
     — identical for BMP text, which the corpus is; non-BMP corpora would
     need a codepoint-aware split on the Spark side.)"""
     docs = load_table(spark, sf_dir, "documents")
+    # The interpreted HOF trigram/RLE kernel is ~4 s in ONE scan task at
+    # sf0.1 (single-row-group file, r15 measurement) — spread it across
+    # the core grant (catalog.scan_spread; no-op at production splits).
+    docs = scan_spread(spark, docs, sf_dir, "documents")
     nt = "greatest(size(chars) - 2, 0)"
     tris = (
         "zip_with(zip_with("

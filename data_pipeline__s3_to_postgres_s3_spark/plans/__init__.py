@@ -3,6 +3,7 @@ from .explain import (
     checkpoint_audit,
     final_broadcast_join_count,
     exchange_count,
+    keyed_exchange_count,
     formatted_plan,
     pushed_filters,
     read_schemas,
@@ -16,6 +17,7 @@ __all__ = [
     "checkpoint_audit",
     "final_broadcast_join_count",
     "exchange_count",
+    "keyed_exchange_count",
     "formatted_plan",
     "pushed_filters",
     "read_schemas",

@@ -75,6 +75,22 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.MULTILINE))
 
 
+def keyed_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges that redistribute BY KEY (hash/range
+    partitioning) — the scale-relevant regression metric for the
+    scan-local operators. catalog.scan_spread's single-split fan-out is
+    a RoundRobinPartitioning exchange: it moves the same (tiny) bytes
+    once to unserialize a one-task scan and disappears at production
+    split counts, so the shuffle-free pins count keyed exchanges only."""
+    return len(
+        re.findall(
+            r"^Arguments: (?:hash|range)partitioning",
+            formatted_plan(df),
+            re.MULTILINE,
+        )
+    )
+
+
 @contextlib.contextmanager
 def checkpoint_audit():
     """Record plan metrics of every frame at the moment it is

@@ -593,7 +593,9 @@ def test_gopher_repetition_and_ccnet_plan_shapes(spark, sf_dir):
         gopher_repetition,
     )
 
-    assert plans.exchange_count(gopher_repetition(spark, sf_dir)) == 0
+    # r15: the adaptive single-split scan spread is a round-robin
+    # exchange, not a keyed shuffle — the pin counts KEYED exchanges.
+    assert plans.keyed_exchange_count(gopher_repetition(spark, sf_dir)) == 0
     # census shuffle happens at build time (collect); the returned plan
     # carries only the NTILE window's single exchange.
     assert plans.exchange_count(ccnet_quality_buckets(spark, sf_dir)) <= 1

@@ -156,9 +156,11 @@ def test_winnow_fingerprints_is_shuffle_free(spark, sf_dir):
     """Winnowing is doc-local (the sliding window never crosses a doc):
     the whole gram→hash→min→distinct chain must stay inside one
     projection — ANY exchange is a regression to the shuffled window
-    formulation."""
+    formulation. (r15: the adaptive single-split scan spread is a
+    round-robin exchange, not a keyed shuffle — the pin counts KEYED
+    exchanges, which must stay zero.)"""
     df = QUERIES["winnow_fingerprints"](spark, sf_dir)
-    assert plans.exchange_count(df) == 0
+    assert plans.keyed_exchange_count(df) == 0
 
 
 def test_similarity_ivf_topk_minimal_exchanges(spark, sf_dir):
@@ -204,8 +206,13 @@ def test_round5_scan_local_ops_are_shuffle_free(spark, sf_dir):
     """The round-5 per-document/per-vector ops are scan-local BY DESIGN:
     chunking expands via a generator, trigram counting run-length-encodes
     inside the row, quantization is row-local arithmetic. ANY exchange is
-    a regression to a shuffled formulation."""
+    a regression to a shuffled formulation. (r15: char_ngram_diversity
+    carries the adaptive round-robin scan spread — keyed exchanges are
+    the pinned metric and must stay zero for all three.)"""
     for name in ("chunk_documents", "char_ngram_diversity", "embedding_quantize"):
+        df = QUERIES[name](spark, sf_dir)
+        assert plans.keyed_exchange_count(df) == 0, name
+    for name in ("chunk_documents", "embedding_quantize"):
         df = QUERIES[name](spark, sf_dir)
         assert plans.exchange_count(df) == 0, name
 
