@@ -108,19 +108,26 @@ def dedup_ngram_jaccard(
     nodes in precisely the degenerate corpora the metric exists to
     expose). The DuckDB oracle applies the identical cap, so results stay
     hash-green whenever it binds."""
-    docs = scan_spread(
-        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
-    )
-    return _ngram_pair_jaccard(docs, df_cap).where(
+    if cfg is DEFAULT_CONFIG and df_cap == NGRAM_DF_CAP:
+        base = _ngram_inter_default(spark, sf_dir)
+    else:
+        docs = scan_spread(
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
+        base = _ngram_inter_counts(docs, df_cap)
+    return _jaccard_projection(base).where(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
-def _ngram_pair_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
-    """The UNTHRESHOLDED pair-similarity frame behind dedup_ngram_jaccard:
-    (doc_a, doc_b, jaccard) for every pair sharing at least one shingle in
-    the DF-capped inverted index. Shared by the thresholded dedup query
-    and jaccard_threshold_sweep (which needs the full similarity CDF)."""
+def _ngram_inter_counts(docs: DataFrame, df_cap: int) -> DataFrame:
+    """The shared inverted-index core of the exact-similarity family:
+    (doc_a, doc_b, n_inter, n_a, n_b) for every a<b pair sharing at least
+    one shingle in the DF-capped index. dedup_ngram_jaccard,
+    jaccard_threshold_sweep and dedup_containment are all pure row-local
+    projections of this one frame (jaccard and containment differ only in
+    the denominator), so at the registry defaults it is computed ONCE per
+    corpus via `_ngram_inter_default` below."""
     arrays = _shingle_arrays(docs)
     sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # |A| per doc is just the array size — no groupBy-over-exploded-rows
@@ -144,14 +151,49 @@ def _ngram_pair_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
     cb = counts.select(
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    )
     return (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
     )
+
+
+def _ngram_inter_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_ngram_inter_counts` at the registry defaults (default cfg,
+    NGRAM_DF_CAP), lineage-cut and process-memoized per documents file
+    identity — the graph._minhash_pairs convention applied to the exact
+    family. Time-only and deterministic: every count in the frame is an
+    exact integer, so the downstream jaccard/containment divisions are
+    partitioning- and order-invariant, and the DuckDB oracles recompute
+    the index from data every run (a stale entry would hash-red
+    immediately). Callers with a non-default cfg or df_cap build fresh."""
+    from .graph import _memoized_frame
+
+    def build() -> DataFrame:
+        docs = scan_spread(
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
+        return _ngram_inter_counts(docs, NGRAM_DF_CAP).localCheckpoint()
+
+    return _memoized_frame(spark, sf_dir, "ngram_inter", build)
+
+
+def _jaccard_projection(base: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over an inter-counts frame.
+    jaccard = |∩| / (|A| + |B| - |∩|) — one exact-long arithmetic chain
+    into a single IEEE division (CLAUDE.md float rule)."""
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return base.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def _ngram_pair_jaccard(docs: DataFrame, df_cap: int) -> DataFrame:
+    """The UNTHRESHOLDED pair-similarity frame behind dedup_ngram_jaccard:
+    (doc_a, doc_b, jaccard) for every pair sharing at least one shingle in
+    the DF-capped inverted index. Kept for non-default callers; the
+    registry-default consumers go through `_ngram_inter_default`."""
+    return _jaccard_projection(_ngram_inter_counts(docs, df_cap))
 
 
 def _ceil_threshold_mult(threshold: float) -> F.Column:
@@ -348,30 +390,13 @@ def dedup_containment(
 
     containment = n_inter/n_inner is a single int/int IEEE division —
     deterministic across engines (CLAUDE.md float rule)."""
-    docs = scan_spread(
-        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
-    )
-    arrays = _shingle_arrays(docs)
-    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
-    counts = arrays.select(
-        "doc_id", F.array_size("shingles").cast("long").alias("n_shingles")
-    )
-    inter = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .where(F.array_size("docs").between(2, df_cap))
-        .select(F.explode("docs").alias("doc_a"), "docs")
-        .select("doc_a", F.explode("docs").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
-    )
+    if cfg is DEFAULT_CONFIG and df_cap == NGRAM_DF_CAP:
+        base = _ngram_inter_default(spark, sf_dir)
+    else:
+        docs = scan_spread(
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
+        base = _ngram_inter_counts(docs, df_cap)
     c_ab = F.col("n_inter").cast("double") / F.col("n_a")
     c_ba = F.col("n_inter").cast("double") / F.col("n_b")
     directed = F.explode(
@@ -389,9 +414,7 @@ def dedup_containment(
         )
     )
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(directed.alias("e"))
+        base.select(directed.alias("e"))
         .select("e.*")
         .where(F.col("containment") >= threshold)
     )
@@ -1431,18 +1454,23 @@ def jaccard_threshold_sweep(
     configured LSH banding even surface those pairs).
 
     Scale design: the pair frame is dedup_ngram_jaccard's DF-capped
-    inverted-index expansion (never all-pairs), localCheckpoint-ed because
-    BOTH the pair census and the per-doc max-similarity census consume it
-    (the shared-subtree re-execution class, CLAUDE.md). The 13-row
-    threshold grid is BROADCAST into theta-joins that stream the pair
-    frame — grid side tiny by construction, pair side never broadcast or
-    collected. Empty thresholds survive via grid LEFT JOIN + coalesce(0),
-    so the row count is fixed at len(grid) on any corpus.
+    inverted-index expansion (never all-pairs), lineage-cut because BOTH
+    the pair census and the per-doc max-similarity census consume it
+    (the shared-subtree re-execution class, CLAUDE.md) — at the registry
+    defaults it is the process-memoized `_ngram_inter_default` frame the
+    whole exact-similarity family shares. The 13-row threshold grid is
+    BROADCAST into theta-joins that stream the pair frame — grid side
+    tiny by construction, pair side never broadcast or collected. Empty
+    thresholds survive via grid LEFT JOIN + coalesce(0), so the row count
+    is fixed at len(grid) on any corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _ngram_pair_jaccard(docs, NGRAM_DF_CAP).localCheckpoint(
-        eager=False
-    )
+    if cfg is DEFAULT_CONFIG:
+        pairs = _jaccard_projection(_ngram_inter_default(spark, sf_dir))
+    else:
+        pairs = _ngram_pair_jaccard(docs, NGRAM_DF_CAP).localCheckpoint(
+            eager=False
+        )
     grid = spark.createDataFrame(
         [(i,) for i in SWEEP_GRID_HUNDREDTHS], "grid_i int"
     ).select(

@@ -248,11 +248,28 @@ def test_token_budget_report_single_aggregation_exchange(spark, sf_dir):
 def test_dedup_containment_mirrors_jaccard_shape(spark, sf_dir):
     """Containment must keep the inverted-index shape (shuffle on shingle
     + pair groupBy) and emit both directions from ONE intersection row —
-    a union-of-two-branches plan would double the index subtree."""
+    a union-of-two-branches plan would double the index subtree. Both
+    registry queries are now row-local projections of the process-memoized
+    `_ngram_inter_default` frame (lineage-cut), so the shape pin runs on
+    the RAW builder the memo executes."""
+    from data_pipeline__s3_to_postgres_s3_spark.catalog import load_table
+    from data_pipeline__s3_to_postgres_s3_spark.operators.dedup import (
+        NGRAM_DF_CAP,
+        _ngram_inter_counts,
+    )
+
     df = QUERIES["dedup_containment"](spark, sf_dir)
     jac = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    # Post-memo both are checkpoint-scan projections: no keyed shuffles.
     assert plans.exchange_count(df) <= plans.exchange_count(jac)
     assert "Union" not in plans.simple_plan(df)
+    raw = _ngram_inter_counts(
+        load_table(spark, sf_dir, "documents"), NGRAM_DF_CAP
+    )
+    # One keyed shuffle on shingle + one on the (a, b) pair groupBy; the
+    # per-doc count joins must broadcast, never add a keyed exchange.
+    assert plans.keyed_exchange_count(raw) <= 2
+    assert "Union" not in plans.simple_plan(raw)
 
 
 def test_vocab_oov_scoring_pass_is_shuffle_free(spark, sf_dir):
